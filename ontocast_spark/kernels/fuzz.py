@@ -1,0 +1,45 @@
+"""Indel-based fuzzy string similarity (pure Python, no deps).
+
+The reference uses ``rapidfuzz.fuzz.ratio`` for entity/predicate label
+similarity (/root/reference/ontocast/tool/aggregate.py:543,732).
+``fuzz.ratio`` is the normalized indel similarity:
+
+    ratio(a, b) = 100 * (1 - indel_distance(a, b) / (len(a) + len(b)))
+
+and ``indel_distance = len(a) + len(b) - 2 * LCS(a, b)``, hence
+
+    ratio(a, b) = 200 * LCS(a, b) / (len(a) + len(b))
+
+LCS length is computed with the Allison–Dix bit-parallel algorithm
+(O(len(a) * len(b) / wordsize)); Python's big ints make it work for any
+string length in a handful of int ops per character of ``b``.
+"""
+
+from __future__ import annotations
+
+
+def lcs_len(a: str, b: str) -> int:
+    """Length of the longest common subsequence of ``a`` and ``b``."""
+    if not a or not b:
+        return 0
+    # Put the shorter string in the bit dimension.
+    if len(a) > len(b):
+        a, b = b, a
+    masks: dict[str, int] = {}
+    for i, ch in enumerate(a):
+        masks[ch] = masks.get(ch, 0) | (1 << i)
+    full = (1 << len(a)) - 1
+    r = 0
+    get = masks.get
+    for ch in b:
+        x = get(ch, 0) | r
+        r = x & ~((x - (((r << 1) | 1) & full)) & full) & full
+    return bin(r).count("1")
+
+
+def ratio(a: str, b: str) -> float:
+    """Normalized indel similarity in [0, 100], matching rapidfuzz."""
+    la, lb = len(a), len(b)
+    if la + lb == 0:
+        return 100.0
+    return 200.0 * lcs_len(a, b) / (la + lb)

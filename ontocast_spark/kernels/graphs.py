@@ -1,0 +1,133 @@
+"""Chunk-graph connectivity kernels (pure Python, no Spark).
+
+Triple model: a triple is a 5-tuple ``(s, p, o, o_is_literal, o_datatype)``
+with full IRI strings (no prefixes, no blank nodes). A graph is a *set* of
+such tuples — matching rdflib's set semantics on ``Graph.add``
+(deduplication is implicit, cf. reference golden counts).
+
+Re-expressed public behavior:
+- entity extraction / adjacency / BFS components:
+  /root/reference/ontocast/tool/validate.py:94-155
+- hub auto-connect of disconnected components:
+  /root/reference/ontocast/tool/validate.py:283-379
+
+These run inside grouped pandas UDFs (one chunk graph per call — chunk
+graphs are small by construction), so they are plain-Python hot loops
+over at most a few hundred triples.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from .rdfterms import (
+    PROV_WAS_QUOTED_FROM,
+    RDF_TYPE,
+    RDFS_COMMENT,
+    RDFS_LABEL,
+    SCHEMA_HAS_PART,
+    SCHEMA_TEXT_DIGITAL_DOCUMENT,
+)
+
+Triple = tuple  # (s: str, p: str, o: str, o_is_literal: bool, o_datatype: str|None)
+
+
+def make_triple(
+    s: str, p: str, o: str, o_is_literal: bool = False, o_datatype: str | None = None
+) -> Triple:
+    return (s, p, o, bool(o_is_literal), o_datatype)
+
+
+def get_all_entities(triples) -> set[str]:
+    """All IRIs appearing as subject or as IRI object."""
+    entities: set[str] = set()
+    for s, _, o, lit, _ in triples:
+        entities.add(s)
+        if not lit:
+            entities.add(o)
+    return entities
+
+
+def build_adjacency(triples) -> dict[str, set[str]]:
+    """Undirected adjacency over IRI–IRI triples."""
+    adj: dict[str, set[str]] = {}
+    for s, _, o, lit, _ in triples:
+        if not lit:
+            adj.setdefault(s, set()).add(o)
+            adj.setdefault(o, set()).add(s)
+    return adj
+
+
+def connected_components(triples) -> list[set[str]]:
+    """BFS connected components over the entity set.
+
+    Entities are visited in sorted order so component discovery order is
+    deterministic (the reference iterates an unordered set).
+    """
+    entities = get_all_entities(triples)
+    adj = build_adjacency(triples)
+    visited: set[str] = set()
+    components: list[set[str]] = []
+    for entity in sorted(entities):
+        if entity in visited:
+            continue
+        component: set[str] = set()
+        queue = deque([entity])
+        while queue:
+            cur = queue.popleft()
+            if cur in visited:
+                continue
+            visited.add(cur)
+            component.add(cur)
+            for nb in adj.get(cur, ()):
+                if nb not in visited:
+                    queue.append(nb)
+        if component:
+            components.append(component)
+    return components
+
+
+def choose_representative(triples, component: set[str]) -> str | None:
+    """Max-degree entity, preferring labeled/commented ones.
+
+    Degree = number of triples the entity participates in (the reference
+    counts ``1`` per triple where ``s == e or o == e``). Ties break on
+    IRI order for determinism (the reference relies on set iteration
+    order there).
+    """
+    if not component:
+        return None
+    degrees: dict[str, int] = dict.fromkeys(component, 0)
+    labeled: set[str] = set()
+    for s, p, o, lit, _ in triples:
+        ends = {s} if (lit or s == o) else {s, o}
+        for e in ends:
+            if e in degrees:
+                degrees[e] += 1
+        if s in degrees and p in (RDFS_LABEL, RDFS_COMMENT):
+            labeled.add(s)
+    pool = labeled if labeled else component
+    return max(sorted(pool), key=lambda e: degrees.get(e, 0))
+
+
+def connect_via_hub(triples, chunk_iri: str) -> set[Triple]:
+    """Hub auto-connect: if the graph has >1 component, add a chunk-hub
+    entity plus bridging triples to one representative per component.
+
+    Returns the (possibly extended) graph as a set.
+    """
+    graph = set(triples)
+    components = connected_components(graph)
+    if len(components) <= 1:
+        return graph
+    hub = chunk_iri
+    hub_id = hub.split("/")[-1]
+    graph.add((hub, RDF_TYPE, SCHEMA_TEXT_DIGITAL_DOCUMENT, False, None))
+    graph.add((hub, RDFS_LABEL, f"Chunk {hub_id}", True, None))
+    for component in components:
+        rep = choose_representative(triples, component)
+        if rep is None:
+            continue
+        graph.add((hub, SCHEMA_HAS_PART, rep, False, None))
+        graph.add((rep, PROV_WAS_QUOTED_FROM, hub, False, None))
+    return graph
