@@ -1,0 +1,136 @@
+"""Semantic chunking kernel (pure Python + numpy, document-local).
+
+Replays the reference's chunking math —
+/root/reference/ontocast/tool/chunk/util.py:116-300 (sentence split,
+±buffer combine, consecutive cosine distances, percentile breakpoints,
+min-size merge) and /root/reference/ontocast/tool/chunk/chunker.py:38-71
+(markdown-aware split regex, recursive re-chunk over max size) — with
+one substitution: the HuggingFace sentence-transformer embedding is
+replaced by a deterministic hashed bag-of-tokens embedding
+(:func:`hash_embed`). The reference's embedding is model-deterministic
+but needs a model download; ours is seed-free, dependency-free, and
+stable across processes, which the resume/checkpoint contract requires.
+
+The whole kernel is document-local (no cross-row state), so in Spark it
+runs inside ``mapInPandas`` — one Arrow batch of documents in, one batch
+of chunk rows out, no per-row Python round trips.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+
+# ChunkerTool defaults (/root/reference/ontocast/tool/chunk/chunker.py:18-24)
+BUFFER_SIZE = 5
+BREAKPOINT_PERCENTILE = 95.0
+MIN_CHUNK_SIZE = 2000
+MAX_CHUNK_SIZE = 20000
+
+# Markdown-aware sentence split (chunker.py:47-48)
+SENTENCE_SPLIT_RE = re.compile(
+    r"(?:(?:\n{2,}(?=#+))|(?:\n{2,}(?=- ))"
+    r"|(?<=[a-z][.?!])\s+(?=\b[A-Z]\w{8,}\b)|(?<!#)(?=#+))"
+)
+
+EMBED_DIM = 64
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def hash_embed(text: str, dim: int = EMBED_DIM) -> np.ndarray:
+    """Deterministic bag-of-hashed-tokens embedding (crc32 buckets)."""
+    vec = np.zeros(dim, dtype=np.float64)
+    for tok in _TOKEN_RE.findall(text.lower()):
+        vec[zlib.crc32(tok.encode()) % dim] += 1.0
+    if not vec.any():
+        vec[:] = 1.0
+    return vec
+
+
+def _combine_sentences(sentences: list[str], buffer_size: int) -> list[str]:
+    """±buffer sliding-window join (chunk/util.py:262-300). Note the
+    reference joins *preceding* sentences without a separator and
+    *following* ones with a single space — ported as-is."""
+    combined = []
+    n = len(sentences)
+    for i in range(n):
+        parts = []
+        for j in range(max(0, i - buffer_size), i):
+            parts.append(sentences[j])
+        acc = "".join(parts) + sentences[i]
+        for j in range(i + 1, min(n, i + 1 + buffer_size)):
+            acc += " " + sentences[j]
+        combined.append(acc)
+    return combined
+
+
+def _cosine_distances(embeddings: np.ndarray) -> np.ndarray:
+    """1 - cosine similarity between consecutive rows
+    (chunk/util.py:230-259)."""
+    a = embeddings[:-1]
+    b = embeddings[1:]
+    num = (a * b).sum(axis=1)
+    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    den = np.where(den == 0.0, 1.0, den)
+    return 1.0 - num / den
+
+
+def split_text(
+    text: str,
+    min_chunk_size: int | None = MIN_CHUNK_SIZE,
+    percentile: float = BREAKPOINT_PERCENTILE,
+    buffer_size: int = BUFFER_SIZE,
+) -> list[str]:
+    """One semantic-split pass (chunk/util.py:133-196)."""
+    sentences = [s.strip() for s in SENTENCE_SPLIT_RE.split(text) if s is not None]
+    sentences = [s for s in sentences if s]
+    if len(sentences) <= 1:
+        return sentences
+    combined = _combine_sentences(sentences, buffer_size)
+    embeddings = np.stack([hash_embed(c) for c in combined])
+    distances = _cosine_distances(embeddings)
+    threshold = np.percentile(distances, percentile)
+    indices_above = [i for i, d in enumerate(distances) if d > threshold]
+
+    chunks: list[str] = []
+    start_index = 0
+    for index in indices_above:
+        group = sentences[start_index : index + 1]
+        combined_text = " ".join(group)
+        # min-size merge: a too-small slice is NOT emitted and
+        # start_index is NOT advanced, so it merges into the next slice
+        # (chunk/util.py:181-186, ported bug-for-bug)
+        if min_chunk_size is not None and len(combined_text) < min_chunk_size:
+            continue
+        chunks.append(combined_text)
+        start_index = index + 1
+    if start_index < len(sentences):
+        chunks.append(" ".join(sentences[start_index:]))
+    return chunks
+
+
+def chunk_document(
+    text: str,
+    min_chunk_size: int = MIN_CHUNK_SIZE,
+    max_chunk_size: int = MAX_CHUNK_SIZE,
+) -> list[str]:
+    """Full chunking: split + bounded recursive re-chunk of oversized
+    pieces with trailing-minichunk merge (chunker.py:51-71)."""
+    docs = [text]
+    while True:
+        if all(len(d) < max_chunk_size for d in docs):
+            return docs
+        new_docs: list[str] = []
+        for d in docs:
+            if len(d) > max_chunk_size:
+                cdocs = split_text(d, min_chunk_size=min_chunk_size)
+                if len(cdocs) > 1 and len(cdocs[-1]) < min_chunk_size:
+                    cdocs = cdocs[:-2] + [cdocs[-2] + cdocs[-1]]
+                new_docs.extend(cdocs)
+            else:
+                new_docs.append(d)
+        if len(docs) == len(new_docs):  # no progress -> stop (stop_flag)
+            return new_docs
+        docs = new_docs

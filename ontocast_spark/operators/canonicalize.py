@@ -1,0 +1,99 @@
+"""Entity/predicate canonicalization (the aggregation heart).
+
+Two interchangeable strategies over the same contract
+(facts triples -> aggregated doc graphs + entity/predicate mappings):
+
+1. :func:`canonicalize_local` — grouped pandas UDF per ``conv_id``
+   replaying the reference aggregator exactly
+   (:mod:`ontocast_spark.kernels.aggregate`). The reference's
+   disambiguation scope is one document
+   (/root/reference/ontocast/tool/aggregate.py:70-84), so grouping by
+   conversation is semantically exact AND embarrassingly parallel:
+   group state is one conversation's triples, corpus parallelism is the
+   number of conversations. This is the production default.
+
+2. :func:`ontocast_spark.operators.cc` + blocked candidate pairs — the
+   distributed variant for *cross-document* canonicalization, where a
+   single group no longer fits: block keys (lower local name, label
+   prefix) -> within-block self-join -> fuzz scoring in a pandas UDF ->
+   edges -> large-star/small-star connected components. See
+   ``crossdoc.py``.
+
+The one shuffle here is the ``groupBy(conv_id)``; skew from
+mega-conversations is bounded upstream (``max_turns``/``max_chunks``
+caps) and by AQE.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..kernels.aggregate import ChunkGraph, aggregate_chunks
+from ..schemas import AGG_TRIPLES, ENTITY_MAPPING
+from .sublimate import split_facts_ontology  # noqa: F401  (re-export for API parity)
+
+
+def _group_chunks(pdf: pd.DataFrame) -> list[ChunkGraph]:
+    chunks: list[ChunkGraph] = []
+    for (chunk_hid, chunk_iri), cpdf in sorted(
+        pdf.groupby(["chunk_hid", "chunk_iri"], sort=False), key=lambda kv: kv[0]
+    ):
+        triples = [
+            (s, p, o, bool(lit), None if dt is None or pd.isna(dt) else dt)
+            for s, p, o, lit, dt in zip(
+                cpdf["subj"], cpdf["pred"], cpdf["obj"],
+                cpdf["obj_is_literal"], cpdf["obj_datatype"],
+            )
+        ]
+        chunks.append(ChunkGraph(chunk_hid, chunk_iri, triples))
+    return chunks
+
+
+def canonicalize_local(facts: DataFrame) -> DataFrame:
+    """facts triples -> aggregated, disambiguated doc graphs
+    (conv_id, doc_iri, subj, pred, obj, obj_is_literal, obj_datatype)."""
+
+    def aggregate_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id = pdf["conv_id"].iloc[0]
+        doc_iri = pdf["doc_iri"].iloc[0]
+        out, _, _ = aggregate_chunks(_group_chunks(pdf), doc_namespace=doc_iri)
+        rows = sorted(out)
+        return pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "doc_iri": doc_iri,
+                "subj": [t[0] for t in rows],
+                "pred": [t[1] for t in rows],
+                "obj": [t[2] for t in rows],
+                "obj_is_literal": [t[3] for t in rows],
+                "obj_datatype": [t[4] for t in rows],
+            }
+        )
+
+    return facts.groupBy("conv_id").applyInPandas(
+        aggregate_group, schema=AGG_TRIPLES
+    )
+
+
+def entity_mappings_local(facts: DataFrame) -> DataFrame:
+    """facts triples -> canonicalization audit table
+    (conv_id, original_iri, canonical_iri, kind)."""
+
+    def mapping_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id = pdf["conv_id"].iloc[0]
+        doc_iri = pdf["doc_iri"].iloc[0]
+        _, emap, pmap = aggregate_chunks(_group_chunks(pdf), doc_namespace=doc_iri)
+        originals = list(emap) + list(pmap)
+        return pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "original_iri": originals,
+                "canonical_iri": [emap[o] for o in emap] + [pmap[o] for o in pmap],
+                "kind": ["entity"] * len(emap) + ["predicate"] * len(pmap),
+            }
+        )
+
+    return facts.groupBy("conv_id").applyInPandas(
+        mapping_group, schema=ENTITY_MAPPING
+    )

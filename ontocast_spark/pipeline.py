@@ -1,0 +1,111 @@
+"""End-to-end KG-construction pipeline (the Spark form of the
+reference's whole langgraph state machine,
+/root/reference/ontocast/stategraph/create.py:24-146).
+
+Stage graph (each stage is set-oriented over the whole corpus — the
+reference's per-document/per-chunk loops disappear)::
+
+    conversations ──assemble──▶ documents ──chunk──▶ chunks
+        ──extract(+select,+sublimate,+connect fused)──▶ triples{facts,ontology}
+        facts ──canonicalize(groupBy conv_id)──▶ kg_triples
+        ontology ──dedup──▶ ontology_alignments
+
+Shuffle budget (what actually moves at 100 TB):
+  1. assembly groupBy (two-level, bounded buffers),
+  2. the canonicalize groupBy(conv_id).
+Chunking/extraction/sublimation/connection are narrow mapInPandas over
+Arrow batches. The ontology-addendum dedup is a small distinct over
+ontology-namespace rows (term declarations repeat per chunk — high
+map-side combine ratio).
+
+``run_pipeline`` optionally persists every stage through
+:mod:`ontocast_spark.io` (parquet/Iceberg + per-partition lineage
+checkpoints) and resumes by anti-join when re-invoked with the same
+warehouse (north-rule resumability).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import io as kgio
+from .ontology import OntologyIndex, builtin_ontology_index
+from .operators.assemble import assemble_documents
+from .operators.canonicalize import canonicalize_local, entity_mappings_local
+from .operators.chunking import chunk_documents
+from .operators.extraction import extract_triples
+
+
+@dataclass
+class PipelineConfig:
+    domain: str = "https://example.com"
+    max_turns: int | None = 100_000  # mega-conversation cap (skew guard)
+    max_chunks: int | None = None  # reference AgentState.max_chunks analog
+    bucket_size: int = 1024
+
+
+def dedup_ontology_addendum(onto: DataFrame) -> DataFrame:
+    """Ontology-addendum rows repeat per chunk; collapse to the distinct
+    term-declaration graph (the reference merges addenda into the
+    managed ontology by graph-union set semantics,
+    /root/reference/ontocast/tool/ontology_manager.py:36-46)."""
+    return (
+        onto.select("subj", "pred", "obj", "obj_is_literal", "obj_datatype")
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    conversations: DataFrame,
+    index: OntologyIndex | None = None,
+    config: PipelineConfig | None = None,
+    warehouse: str | None = None,
+    run_id: str = "run0",
+) -> dict[str, DataFrame]:
+    """Run the full pipeline; returns the stage DataFrames. When
+    ``warehouse`` is set, stages are persisted with lineage checkpoints
+    and already-completed conversations are skipped on re-run."""
+    index = index or builtin_ontology_index()
+    cfg = config or PipelineConfig()
+
+    if warehouse is not None:
+        conversations = kgio.resume_filter(
+            conversations, spark, warehouse, "kg_triples"
+        )
+
+    documents = assemble_documents(
+        conversations,
+        domain=cfg.domain,
+        bucket_size=cfg.bucket_size,
+        max_turns=cfg.max_turns,
+    )
+    chunks = chunk_documents(documents, max_chunks=cfg.max_chunks)
+    triples = extract_triples(spark, chunks, index, fuse=True)
+    facts = triples.filter(F.col("part") == "facts").drop("part")
+    ontology_rows = triples.filter(F.col("part") == "ontology").drop("part")
+
+    kg_triples = canonicalize_local(facts)
+    mappings = entity_mappings_local(facts)
+    alignments = dedup_ontology_addendum(ontology_rows)
+
+    out = {
+        "documents": documents,
+        "chunks": chunks,
+        "facts": facts,
+        "kg_triples": kg_triples,
+        "entity_mappings": mappings,
+        "ontology_alignments": alignments,
+    }
+    if warehouse is not None:
+        mode = "append" if kgio.stage_exists(spark, warehouse, "kg_triples") else "overwrite"
+        kgio.write_stage(kg_triples, warehouse, "kg_triples", run_id, mode=mode)
+        kgio.write_stage(mappings, warehouse, "entity_mappings", run_id, mode=mode)
+        kgio.write_stage(
+            alignments, warehouse, "ontology_alignments", run_id, mode="overwrite"
+        )
+        out["kg_triples"] = kgio.read_stage(spark, warehouse, "kg_triples")
+    return out

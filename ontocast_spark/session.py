@@ -1,0 +1,49 @@
+"""SparkSession factory with the scale-oriented defaults this pipeline
+assumes.
+
+The production deployment target is ``spark-submit --py-files`` on a
+multi-executor cluster over Iceberg tables at 10^12-turn scale; in this
+sandbox everything runs on ``local[N]``. The confs below are the ones
+that matter at both scales:
+
+- AQE on (runtime coalescing + skew-join splitting),
+- Arrow execution for every pandas UDF stage (the whole extraction path
+  is Arrow-batched; per-row Python is banned by design),
+- bounded Arrow batch size so a mega-conversation document cannot blow
+  an executor (cf. SURVEY.md §4 spill notes),
+- shuffle partitions sized for the local core count; on a real cluster
+  leave ``spark.sql.shuffle.partitions`` to AQE's coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_spark(
+    app_name: str = "ontocast-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
