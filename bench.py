@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}. Extra keys report the KG pipeline's turns/sec (the
+BASELINE.json throughput metric).
+
+--scaling mode: runs the identical KG job at local[8] and local[32]
+(N and 4N cores) on the same synthetic input and reports throughput at
+both plus scaling efficiency = (T32/T8)/4 — the sandbox evidence for
+the north rule's two-cluster-size criterion (a real multi-executor
+cluster is unavailable here). Results are appended to BENCH/BASELINE.md
+by `python bench.py --scaling --write-md`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# synthetic KG corpus size for the throughput benchmark
+N_CONVS = int(os.environ.get("BENCH_KG_CONVS", "2000"))
+
+HEADLINE = [
+    "q_kg_pipeline",
+    "q_doc_assembly",
+    "q_agg_pricing",
+    "q_join_revenue",
+    "q_minhash_sig",
+    "q_simhash",
+    "q_ann_topk",
+    "q_sessionize",
+]
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def _synth_conversations(spark, n_convs: int):
+    """Distributed deterministic corpus: conv ids fan out over
+    partitions; each partition generates its conversations locally."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ontocast_spark.schemas import CONVERSATIONS
+    from ontocast_spark.synth import gen_conversation
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for idx in pdf["id"]:
+                rows.extend(gen_conversation(int(idx), seed=42))
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            )
+
+    return (
+        spark.range(n_convs)
+        .repartition(max(CPUS, 8))
+        .mapInPandas(gen, schema=CONVERSATIONS)
+    )
+
+
+def run_kg_job(spark, n_convs: int) -> tuple[float, int, int]:
+    """Returns (elapsed_sec, n_turns, n_triples) for the full pipeline."""
+    from ontocast_spark.pipeline import PipelineConfig, run_pipeline
+
+    conv = _synth_conversations(spark, n_convs)
+    conv = conv.persist()
+    n_turns = conv.count()  # materialize input outside the timed window
+    t0 = time.perf_counter()
+    out = run_pipeline(spark, conv, config=PipelineConfig())
+    n_triples = out["kg_triples"].count()
+    elapsed = time.perf_counter() - t0
+    conv.unpersist()
+    return elapsed, n_turns, n_triples
+
+
+def bench_default() -> dict:
+    from ontocast_spark.queries import QUERIES
+    from ontocast_spark.session import build_spark
+
+    spark = build_spark(app_name="bench", master=f"local[{CPUS}]",
+                        shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("WARN")
+    queries: dict[str, float] = {}
+    kg_stats = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        if name == "q_kg_pipeline":
+            elapsed, n_turns, n_triples = run_kg_job(spark, N_CONVS)
+            queries[name] = round(elapsed, 3)
+            kg_stats = {
+                "kg_turns": n_turns,
+                "kg_triples": n_triples,
+                "kg_turns_per_sec": round(n_turns / elapsed, 1),
+            }
+        else:
+            _count(QUERIES[name](spark, SF_DIR))
+            queries[name] = round(time.perf_counter() - t0, 3)
+        total += queries[name]
+    spark.stop()
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "headline queries total (KG pipeline + operators)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **kg_stats,
+    }
+
+
+def bench_scaling(n_convs: int) -> dict:
+    from ontocast_spark.session import build_spark
+
+    results = {}
+    for cores in (8, 32):
+        spark = build_spark(
+            app_name=f"bench-scaling-{cores}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores,
+        )
+        spark.sparkContext.setLogLevel("WARN")
+        # warmup (JVM/codegen) on a small slice
+        run_kg_job(spark, max(n_convs // 20, 10))
+        elapsed, n_turns, n_triples = run_kg_job(spark, n_convs)
+        results[cores] = {
+            "elapsed_sec": round(elapsed, 3),
+            "turns": n_turns,
+            "triples": n_triples,
+            "turns_per_sec": round(n_turns / elapsed, 1),
+        }
+        spark.stop()
+    eff = results[32]["turns_per_sec"] / results[8]["turns_per_sec"] / 4.0
+    return {
+        "n_convs": n_convs,
+        "local8": results[8],
+        "local32": results[32],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--write-md", action="store_true")
+    ap.add_argument("--n-convs", type=int, default=N_CONVS)
+    args = ap.parse_args()
+    if args.scaling:
+        res = bench_scaling(args.n_convs)
+        print(json.dumps(res))
+        if args.write_md:
+            md = (
+                "\n## Measured scaling evidence (bench.py --scaling)\n\n"
+                f"KG pipeline over {res['n_convs']} synthetic conversations "
+                f"({res['local32']['turns']} turns), identical input, "
+                "identical job:\n\n"
+                "| cores | elapsed (s) | turns/sec |\n|---|---|---|\n"
+                f"| local[8] | {res['local8']['elapsed_sec']} | "
+                f"{res['local8']['turns_per_sec']} |\n"
+                f"| local[32] | {res['local32']['elapsed_sec']} | "
+                f"{res['local32']['turns_per_sec']} |\n\n"
+                f"Scaling efficiency (T32/T8)/4 = "
+                f"**{res['scaling_efficiency']}** (target >= 0.8).\n"
+            )
+            os.makedirs("BENCH", exist_ok=True)
+            with open("BENCH/BASELINE.md", "a") as f:
+                f.write(md)
+    else:
+        print(json.dumps(bench_default()))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,532 @@
+"""Driver-contract queries: each named query has an idiomatic-Spark
+implementation (spark, sf_dir) -> DataFrame and (where SQL-expressible)
+a DuckDB oracle over the same parquet tables.
+
+These map the operator inventory of SURVEY.md §2 — plus the
+training-data-pipeline operators (dedup, fingerprinting, MinHash/LSH,
+SimHash, quality scoring, ANN) — onto the driver's testdata tables.
+Aliases match between Spark and SQL exactly (the driver's value-hash
+sorts columns by name).
+
+Conventions for bit-stable cross-engine results:
+- monetary aggregates: cast to DECIMAL(18,2) pre-sum (exact), cast the
+  sum to DOUBLE post-hoc -> identical bytes in both engines;
+- float similarity: double-precision sequential reductions in both
+  engines + round(·, 6);
+- top-k: rank with explicit deterministic tie-breaks, never bare LIMIT
+  over a non-unique ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- S1/§1.3
+def q_doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-ordered turn concatenation (events as transcript turns)."""
+    from .operators.assemble import assemble_documents
+
+    conv = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("text"),
+    )
+    docs = assemble_documents(conv, domain="https://example.com")
+    return docs.select("conv_id", "doc_hid", "n_turns", "text")
+
+
+ORACLE_DOC_ASSEMBLY = """
+SELECT conv_id, substr(sha256(text), 1, 12) AS doc_hid, n_turns, text
+FROM (
+  SELECT user_id::VARCHAR AS conv_id,
+         string_agg(event_type, chr(10) || chr(10) ORDER BY event_id) AS text,
+         count(*) AS n_turns
+  FROM events GROUP BY user_id
+)
+"""
+
+
+# ---------------------------------------------------------------- C8 top-k
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        events.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------- Q1 filter
+def q_sublimate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRSTARTS-style namespace split as a Catalyst predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    part = F.when(F.col("text").startswith("the "), F.lit("facts")).otherwise(
+        F.lit("ontology")
+    )
+    return (
+        docs.withColumn("part", part)
+        .groupBy("lang", "part")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_SUBLIMATE_FILTER = """
+SELECT lang, CASE WHEN text LIKE 'the %' THEN 'facts' ELSE 'ontology' END AS part,
+       count(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- A10 rewrite
+def q_mapping_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-mapping rewrite: left join + coalesce (identity
+    default), then set-semantics count — the triple-rewrite join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    mapping = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(mapping), li.l_partkey == mapping.p_partkey, "left")
+        .select(
+            "l_orderkey",
+            F.coalesce("p_brand", F.col("l_partkey").cast("string")).alias("canon"),
+        )
+        .dropDuplicates(["l_orderkey", "canon"])
+        .groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_MAPPING_REWRITE = """
+SELECT canon, count(*) AS n FROM (
+  SELECT DISTINCT l_orderkey,
+         coalesce(p_brand, l_partkey::VARCHAR) AS canon
+  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+) GROUP BY canon
+"""
+
+
+# ---------------------------------------------------------------- A12 dedup
+def q_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct("text").alias("distinct_docs"),
+    )
+
+
+ORACLE_DEDUP_COUNTS = """
+SELECT count(*) AS total_docs, count(DISTINCT text) AS distinct_docs FROM documents
+"""
+
+
+# ---------------------------------------------------------------- hash ids
+def q_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha256(text)[:12] doc ids — bit-exact vs the reference hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.substring(F.sha2(F.col("text"), 256), 1, 12).alias("doc_hid")
+    )
+
+
+ORACLE_HASH_IDS = """
+SELECT doc_id, substr(sha256(text), 1, 12) AS doc_hid FROM documents
+"""
+
+
+# ---------------------------------------------------------------- A4 argmax
+def q_prefer_longer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefer-longer metadata merge: per lang the longest text
+    (deterministic tie-break), cf. aggregate.py:147-172."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.length("text").desc(), F.col("text").asc()
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("text").alias("best_text"))
+    )
+
+
+ORACLE_PREFER_LONGER = """
+SELECT lang, text AS best_text FROM (
+  SELECT lang, text,
+         row_number() OVER (PARTITION BY lang ORDER BY length(text) DESC, text) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------- A3 collect
+def q_type_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity -> set(rdf:type) analog: sorted distinct event types."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types")
+    )
+
+
+ORACLE_TYPE_COLLECT = """
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------- V1 union
+def q_union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """subjects ∪ IRI-objects entity extraction analog."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("l_partkey").alias("entity_id"))
+        .union(li.select(F.col("l_suppkey").alias("entity_id")))
+        .distinct()
+    )
+
+
+ORACLE_UNION_ENTITIES = """
+SELECT l_partkey AS entity_id FROM lineitem
+UNION
+SELECT l_suppkey AS entity_id FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------- agg/join
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_JOIN_REVENUE = """
+SELECT c_mktsegment,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------- sessions
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative sum) — the batch form
+    of the streaming session-window operator."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # parquet ts is NTZ  # noqa: E731
+    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1_800_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
+) GROUP BY user_id
+"""
+
+
+# ------------------------------------------------ text analysis / quality
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens).cast("long").alias("token_cnt"),
+        F.round(
+            F.size(F.array_distinct(tokens)).cast("double")
+            / F.size(tokens).cast("double"),
+            4,
+        ).alias("uniq_ratio"),
+    )
+
+
+ORACLE_LANG_QUALITY = """
+SELECT doc_id, n_chars,
+       len(string_split(text, ' '))::BIGINT AS token_cnt,
+       round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' '))::DOUBLE, 4) AS uniq_ratio
+FROM documents
+"""
+
+
+# ------------------------------------------------ fingerprint / MinHash
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min MD5 over stride-8 8-grams."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "array_min(transform(sequence(1, greatest(length(text)-7, 1), 8), "
+        "i -> md5(substring(text, i, 8)))) AS fp",
+    )
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id,
+       list_min([md5(substr(text, i, 8))
+                 for i in range(1, greatest(length(text)-7, 1)+1, 8)]) AS fp
+FROM documents
+"""
+
+_MINHASH_K = 4
+
+_SPARK_SHINGLES = (
+    "transform(sequence(1, greatest(size(split(text, ' '))-2, 1)), "
+    "i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+)
+_DUCK_SHINGLES = (
+    "[array_to_string(string_split(text, ' ')[i:i+2], ' ') "
+    "for i in range(1, greatest(len(string_split(text, ' '))-2, 1)+1)]"
+)
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over word 3-gram shingles (k=4 permutations
+    via seeded MD5) — the candidate-generation half of MinHash-LSH
+    dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = [
+        f"array_min(transform({_SPARK_SHINGLES}, s -> md5('{k}|' || s))) AS sig{k}"
+        for k in range(_MINHASH_K)
+    ]
+    return docs.selectExpr("doc_id", *sigs)
+
+
+ORACLE_MINHASH_SIG = "SELECT doc_id, " + ", ".join(
+    f"list_min([md5('{k}|' || s) for s in {_DUCK_SHINGLES}]) AS sig{k}"
+    for k in range(_MINHASH_K)
+) + " FROM documents"
+
+
+def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: bucket docs by (sig0, sig1); emit candidate buckets
+    with >1 member — the near-dup candidate join key."""
+    sig = q_minhash_sig(spark, sf_dir)
+    return (
+        sig.select(F.concat_ws("|", "sig0", "sig1").alias("band_key"), "doc_id")
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+ORACLE_MINHASH_LSH_BUCKETS = f"""
+SELECT band_key, count(*) AS n_docs FROM (
+  SELECT sig0 || '|' || sig1 AS band_key, doc_id FROM ({ORACLE_MINHASH_SIG})
+) GROUP BY band_key HAVING count(*) > 1
+"""
+
+
+# ------------------------------------------------ SimHash (32-bit)
+_HEX_ODD = "('1','3','5','7','9','b','d','f')"
+
+
+def _simhash_weight_exprs() -> list[str]:
+    return [
+        f"sum(CASE WHEN substr(h, {b + 1}, 1) IN {_HEX_ODD} "
+        f"THEN 1 ELSE -1 END) AS w{b}"
+        for b in range(32)
+    ]
+
+
+_SIMHASH_COMBINE = " + ".join(
+    f"(CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: per-token MD5 hex-digit parity bits,
+    majority vote per bit position — near-dup fingerprinting."""
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_simhash_docs")
+    weights = ", ".join(_simhash_weight_exprs())
+    return spark.sql(f"""
+        SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM (
+          SELECT doc_id, {weights} FROM (
+            SELECT doc_id, md5(tok) AS h
+            FROM _simhash_docs LATERAL VIEW explode(split(text, ' ')) AS tok
+          ) GROUP BY doc_id
+        )
+    """)
+
+
+ORACLE_SIMHASH = f"""
+SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM (
+  SELECT doc_id, {", ".join(_simhash_weight_exprs())} FROM (
+    SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+  ) GROUP BY doc_id
+)
+"""
+
+
+# ------------------------------------------------ ANN / similarity search
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 query embedding, in
+    double precision with sequential reduction (bit-stable across
+    engines). The LSH-bucketed variant lives in operators/similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+    )
+    query = emb.filter(F.col("vec_id") == 0).selectExpr("e AS qe")
+    dot = "aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    nrm = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (a, x) -> a + x))"
+    sim = f"round(({dot}) / ({nrm.format('e')} * {nrm.format('qe')}), 6)"
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .selectExpr("vec_id", f"{sim} AS sim")
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select("vec_id", "sim", "rn")
+    )
+
+
+ORACLE_ANN_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_inner_product(e, qe)
+               / (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(qe, qe))),
+               6) AS sim
+  FROM e, q WHERE vec_id != 0
+)
+SELECT vec_id, sim, rn FROM (
+  SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+
+
+# ------------------------------------------------ KG pipeline (non-SQL)
+def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KG construction over transcript-shaped rows derived from the
+    events table (non-SQL-expressible: chunker + extractor + greedy
+    canonicalization kernels; rows-only driver check)."""
+    from .pipeline import PipelineConfig, run_pipeline
+
+    events = _t(spark, sf_dir, "events")
+    conv = events.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(
+            F.lit("User Account reported revenue of $"),
+            F.round(F.col("value"), 2).cast("string"),
+            F.lit(" million after the "),
+            F.col("event_type"),
+            F.lit(" event. "),
+            F.lit("Acme Corp employs Dana Fox."),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+    out = run_pipeline(spark, conv, config=PipelineConfig(max_turns=200))
+    return out["kg_triples"]
+
+
+QUERIES = {
+    "q_doc_assembly": q_doc_assembly,
+    "q_topk_per_group": q_topk_per_group,
+    "q_sublimate_filter": q_sublimate_filter,
+    "q_mapping_rewrite": q_mapping_rewrite,
+    "q_dedup_counts": q_dedup_counts,
+    "q_hash_ids": q_hash_ids,
+    "q_prefer_longer": q_prefer_longer,
+    "q_type_collect": q_type_collect,
+    "q_union_entities": q_union_entities,
+    "q_agg_pricing": q_agg_pricing,
+    "q_join_revenue": q_join_revenue,
+    "q_sessionize": q_sessionize,
+    "q_lang_quality": q_lang_quality,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_minhash_sig": q_minhash_sig,
+    "q_minhash_lsh_buckets": q_minhash_lsh_buckets,
+    "q_simhash": q_simhash,
+    "q_ann_topk": q_ann_topk,
+    "q_kg_pipeline": q_kg_pipeline,
+}
+
+ORACLES = {
+    "q_doc_assembly": ORACLE_DOC_ASSEMBLY,
+    "q_topk_per_group": ORACLE_TOPK_PER_GROUP,
+    "q_sublimate_filter": ORACLE_SUBLIMATE_FILTER,
+    "q_mapping_rewrite": ORACLE_MAPPING_REWRITE,
+    "q_dedup_counts": ORACLE_DEDUP_COUNTS,
+    "q_hash_ids": ORACLE_HASH_IDS,
+    "q_prefer_longer": ORACLE_PREFER_LONGER,
+    "q_type_collect": ORACLE_TYPE_COLLECT,
+    "q_union_entities": ORACLE_UNION_ENTITIES,
+    "q_agg_pricing": ORACLE_AGG_PRICING,
+    "q_join_revenue": ORACLE_JOIN_REVENUE,
+    "q_sessionize": ORACLE_SESSIONIZE,
+    "q_lang_quality": ORACLE_LANG_QUALITY,
+    "q_doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "q_minhash_sig": ORACLE_MINHASH_SIG,
+    "q_minhash_lsh_buckets": ORACLE_MINHASH_LSH_BUCKETS,
+    "q_simhash": ORACLE_SIMHASH,
+    "q_ann_topk": ORACLE_ANN_TOPK,
+    # q_kg_pipeline: non-SQL-expressible -> rows-only check
+}
