@@ -76,6 +76,45 @@ def canonicalize_local(facts: DataFrame) -> DataFrame:
     )
 
 
+CANON_COMBINED_SCHEMA = (
+    "conv_id string, doc_iri string, row_kind string, subj string, "
+    "pred string, obj string, obj_is_literal boolean, obj_datatype string"
+)
+
+
+def canonicalize_combined(facts: DataFrame) -> DataFrame:
+    """One grouped pass emitting BOTH the aggregated triples
+    (row_kind='triple') and the canonicalization audit rows
+    (row_kind='entity_map'/'predicate_map', subj=original,
+    obj=canonical). The greedy disambiguation is O(n^2) per document —
+    running it once and splitting by row_kind afterwards halves the
+    dominant cost vs calling canonicalize_local + entity_mappings_local
+    separately."""
+
+    def combined_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id = pdf["conv_id"].iloc[0]
+        doc_iri = pdf["doc_iri"].iloc[0]
+        out, emap, pmap = aggregate_chunks(_group_chunks(pdf), doc_namespace=doc_iri)
+        rows = sorted(out)
+        data = {
+            "conv_id": [conv_id] * (len(rows) + len(emap) + len(pmap)),
+            "doc_iri": [doc_iri] * (len(rows) + len(emap) + len(pmap)),
+            "row_kind": ["triple"] * len(rows)
+            + ["entity_map"] * len(emap)
+            + ["predicate_map"] * len(pmap),
+            "subj": [t[0] for t in rows] + list(emap) + list(pmap),
+            "pred": [t[1] for t in rows] + [""] * (len(emap) + len(pmap)),
+            "obj": [t[2] for t in rows] + list(emap.values()) + list(pmap.values()),
+            "obj_is_literal": [t[3] for t in rows] + [False] * (len(emap) + len(pmap)),
+            "obj_datatype": [t[4] for t in rows] + [None] * (len(emap) + len(pmap)),
+        }
+        return pd.DataFrame(data)
+
+    return facts.groupBy("conv_id").applyInPandas(
+        combined_group, schema=CANON_COMBINED_SCHEMA
+    )
+
+
 def entity_mappings_local(facts: DataFrame) -> DataFrame:
     """facts triples -> canonicalization audit table
     (conv_id, original_iri, canonical_iri, kind)."""

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from . import io as kgio
 from .ontology import OntologyIndex, builtin_ontology_index
 from .operators.assemble import assemble_documents
-from .operators.canonicalize import canonicalize_local, entity_mappings_local
+from .operators.canonicalize import canonicalize_combined
 from .operators.chunking import chunk_documents
 from .operators.extraction import extract_triples
 
@@ -73,8 +73,10 @@ def run_pipeline(
     cfg = config or PipelineConfig()
 
     if warehouse is not None:
+        # kg_canon is the incremental store and the resume key: a
+        # conversation present there is done and is never recomputed.
         conversations = kgio.resume_filter(
-            conversations, spark, warehouse, "kg_triples"
+            conversations, spark, warehouse, "kg_canon"
         )
 
     documents = assemble_documents(
@@ -85,11 +87,41 @@ def run_pipeline(
     )
     chunks = chunk_documents(documents, max_chunks=cfg.max_chunks)
     triples = extract_triples(spark, chunks, index, fuse=True)
-    facts = triples.filter(F.col("part") == "facts").drop("part")
+
+    if warehouse is not None:
+        # materialize extraction once (it feeds three outputs) — no
+        # pandas-UDF re-execution for downstream projections
+        mode = "append" if kgio.stage_exists(spark, warehouse, "triples") else "overwrite"
+        kgio.write_stage(triples, warehouse, "triples", run_id, mode=mode)
+        triples = kgio.read_stage(spark, warehouse, "triples")
+        # the triples table may hold conversations finished in a prior
+        # run; only canonicalize the pending ones
+        pending = kgio.resume_filter(triples, spark, warehouse, "kg_canon")
+    else:
+        pending = triples
+
+    facts = pending.filter(F.col("part") == "facts").drop("part")
     ontology_rows = triples.filter(F.col("part") == "ontology").drop("part")
 
-    kg_triples = canonicalize_local(facts)
-    mappings = entity_mappings_local(facts)
+    combined = canonicalize_combined(facts)
+    if warehouse is not None:
+        mode = "append" if kgio.stage_exists(spark, warehouse, "kg_canon") else "overwrite"
+        kgio.write_stage(combined, warehouse, "kg_canon", run_id, mode=mode)
+        combined = kgio.read_stage(spark, warehouse, "kg_canon")
+
+    kg_triples = combined.filter(F.col("row_kind") == "triple").select(
+        "conv_id", "doc_iri", "subj", "pred", "obj", "obj_is_literal", "obj_datatype"
+    )
+    mappings = combined.filter(
+        F.col("row_kind").isin("entity_map", "predicate_map")
+    ).select(
+        "conv_id",
+        F.col("subj").alias("original_iri"),
+        F.col("obj").alias("canonical_iri"),
+        F.when(F.col("row_kind") == "entity_map", F.lit("entity"))
+        .otherwise(F.lit("predicate"))
+        .alias("kind"),
+    )
     alignments = dedup_ontology_addendum(ontology_rows)
 
     out = {
@@ -101,9 +133,9 @@ def run_pipeline(
         "ontology_alignments": alignments,
     }
     if warehouse is not None:
-        mode = "append" if kgio.stage_exists(spark, warehouse, "kg_triples") else "overwrite"
-        kgio.write_stage(kg_triples, warehouse, "kg_triples", run_id, mode=mode)
-        kgio.write_stage(mappings, warehouse, "entity_mappings", run_id, mode=mode)
+        # projections of the complete kg_canon store: cheap
+        # parquet-to-parquet rewrites, refreshed whole
+        kgio.write_stage(kg_triples, warehouse, "kg_triples", run_id, mode="overwrite")
         kgio.write_stage(
             alignments, warehouse, "ontology_alignments", run_id, mode="overwrite"
         )

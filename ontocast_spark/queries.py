@@ -435,12 +435,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(query))
         .selectExpr("vec_id", f"{sim} AS sim")
     )
+    # sort+limit compiles to TakeOrderedAndProject (per-partition top-k +
+    # tiny driver merge) — no global-window single-partition shuffle
+    top = scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
     w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 10)
-        .select("vec_id", "sim", "rn")
-    )
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
 
 
 ORACLE_ANN_TOPK = """
