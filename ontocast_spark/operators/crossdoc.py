@@ -1,0 +1,275 @@
+"""Cross-document canonicalization — the corpus-scale entity-resolution
+path (blocked candidate pairs -> fuzzy scoring -> distributed connected
+components -> canonical minting -> rewrite joins).
+
+The reference disambiguates within ONE document with a greedy O(n^2)
+pairwise pass (/root/reference/ontocast/tool/aggregate.py:484-559);
+``canonicalize_local`` replays that exactly. This module generalizes the
+same matching semantics to the whole corpus, where no single group fits
+one task:
+
+1. **Metadata aggregation** (pure DataFrame aggs): per entity the
+   longest rdfs:label (max-struct argmax, deterministic tie-break), the
+   sorted rdf:type set, and the JVM-side local name.
+2. **Blocking**: candidate pairs are only generated inside block keys
+   (lower local name; lowercased label prefix). Oversized blocks —
+   skew! — are counted and dropped above ``max_block_size`` (logged via
+   the returned stats), the standard recall/cost dial of SparkER-style
+   blocking.
+3. **Pair scoring**: exact lowercase local-name equality is pure column
+   algebra; the fuzzy-label fallback is an Arrow-batched pandas UDF of
+   the same indel ratio as the reference (>= 85, >= 90 when types
+   shared, type-disjointness gate — aggregate.py:521-552).
+4. **Connected components** over match edges (operators/cc.py) replace
+   the greedy single-pass grouping; transitive closure can merge more
+   than the order-dependent greedy pass, which is the documented
+   semantic delta of the scale path (P/R vs the exact replay is
+   measured in tests/test_crossdoc.py).
+5. **Canonical minting**: representative = longest-label member
+   (aggregate.py:561-592), canonical IRI = ``{kg_ns}{clean_local}``
+   with ``_N`` collision suffixes assigned by ``row_number`` over a
+   deterministic order (aggregate.py:188-202).
+6. **Rewrite**: three hash joins (subj/pred/obj) with
+   ``coalesce(canonical, original)`` — Catalyst handles broadcast vs
+   shuffle join per mapping size (aggregate.py:234-259).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+from pyspark.sql.window import Window
+
+from ..kernels.rdfterms import RDF_TYPE, RDFS_LABEL
+from ..functions.iri import clean_local_name_expr, local_name_expr
+from .cc import connected_components
+
+SIMILARITY_THRESHOLD = 85.0
+SEMANTIC_THRESHOLD = 90.0
+DEFAULT_MAX_BLOCK = 256
+
+
+def entity_metadata(facts: DataFrame) -> DataFrame:
+    """facts -> (entity, local_name, label, types) via DataFrame aggs."""
+    entities = (
+        facts.select(F.col("subj").alias("entity"))
+        .union(
+            facts.filter(~F.col("obj_is_literal")).select(
+                F.col("obj").alias("entity")
+            )
+        )
+        .distinct()
+    )
+    labels = (
+        facts.filter((F.col("pred") == RDFS_LABEL) & F.col("obj_is_literal"))
+        .groupBy(F.col("subj").alias("entity"))
+        .agg(F.max(F.struct(F.length("obj").alias("l"), F.col("obj").alias("v")))
+             .alias("m"))
+        .select("entity", F.col("m.v").alias("label"))
+    )
+    types = (
+        facts.filter((F.col("pred") == RDF_TYPE) & ~F.col("obj_is_literal"))
+        .groupBy(F.col("subj").alias("entity"))
+        .agg(F.array_sort(F.collect_set("obj")).alias("types"))
+    )
+    return (
+        entities.join(labels, "entity", "left")
+        .join(types, "entity", "left")
+        .withColumn("local_name", local_name_expr(F.col("entity")))
+        .withColumn(
+            "types", F.coalesce("types", F.array().cast("array<string>"))
+        )
+    )
+
+
+def candidate_pairs(
+    meta: DataFrame, max_block_size: int = DEFAULT_MAX_BLOCK
+) -> DataFrame:
+    """Blocked self-join -> distinct candidate (a, b) pairs with both
+    sides' metadata. Oversized blocks are dropped (skew guard)."""
+    # block keys: exact lowercase local name + every label token (>= 3
+    # chars) — token blocking keeps recall on "John Doe"/"J. Doe"-style
+    # variants that share no prefix; oversized token blocks ("inc",
+    # "corp") are dropped by the size cap below
+    label_tokens = F.coalesce(
+        F.filter(
+            F.split(F.lower(F.col("label")), r"[^a-z0-9]+"),
+            lambda t: F.length(t) >= 3,
+        ),
+        F.array().cast("array<string>"),
+    )
+    keys = F.array_union(
+        F.array(F.concat(F.lit("ln:"), F.lower("local_name"))),
+        F.transform(label_tokens, lambda t: F.concat(F.lit("tk:"), t)),
+    )
+    blocked = meta.select(
+        "entity", "local_name", "label", "types", F.explode(keys).alias("bkey")
+    ).distinct()
+    sizes = blocked.groupBy("bkey").agg(F.count(F.lit(1)).alias("bsize"))
+    blocked = blocked.join(
+        F.broadcast(sizes.filter(F.col("bsize") <= max_block_size)), "bkey"
+    )
+    a = blocked.select(
+        "bkey",
+        F.col("entity").alias("a"),
+        F.col("local_name").alias("ln_a"),
+        F.col("label").alias("label_a"),
+        F.col("types").alias("types_a"),
+    )
+    b = blocked.select(
+        "bkey",
+        F.col("entity").alias("b"),
+        F.col("local_name").alias("ln_b"),
+        F.col("label").alias("label_b"),
+        F.col("types").alias("types_b"),
+    )
+    return (
+        a.join(b, "bkey")
+        .filter(F.col("a") < F.col("b"))
+        .drop("bkey")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def _fuzz_ratio_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(DoubleType())
+    def fuzz_ratio(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        from ..kernels.fuzz import ratio
+
+        return pd.Series(
+            [
+                ratio(a.lower(), b.lower())
+                if isinstance(a, str) and isinstance(b, str)
+                else 0.0
+                for a, b in zip(s1, s2)
+            ]
+        )
+
+    return fuzz_ratio
+
+
+def match_edges(pairs: DataFrame) -> DataFrame:
+    """Score candidate pairs -> match edges (a, b). Same gates as the
+    reference greedy pass."""
+    share_type = F.arrays_overlap("types_a", "types_b")
+    compatible = (
+        (F.size("types_a") == 0) | (F.size("types_b") == 0) | share_type
+    )
+    exact = F.lower("ln_a") == F.lower("ln_b")
+    gated = pairs.filter(compatible)
+    exact_edges = gated.filter(exact).select("a", "b")
+    fuzzy_cand = gated.filter(
+        ~exact & F.col("label_a").isNotNull() & F.col("label_b").isNotNull()
+    )
+    fuzz = _fuzz_ratio_udf()
+    threshold = F.when(share_type, F.lit(SEMANTIC_THRESHOLD)).otherwise(
+        F.lit(SIMILARITY_THRESHOLD)
+    )
+    fuzzy_edges = fuzzy_cand.withColumn(
+        "score", fuzz(F.col("label_a"), F.col("label_b"))
+    ).filter(F.col("score") >= threshold).select("a", "b")
+    return exact_edges.union(fuzzy_edges).distinct()
+
+
+def canonical_mapping(
+    meta: DataFrame,
+    edges: DataFrame,
+    kg_namespace: str,
+) -> DataFrame:
+    """edges -> (original_iri, canonical_iri) for every entity in a
+    multi-member component (singletons stay unmapped, as in the
+    reference: only groups of size > 1 are minted)."""
+    labels = connected_components(edges, src="a", dst="b")
+    comp_sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n"))
+    members = labels.join(
+        F.broadcast(comp_sizes.filter(F.col("n") > 1).drop("n")), "comp"
+    )
+    enriched = members.join(meta, members.node == meta.entity).select(
+        "comp", "node", "local_name", "label"
+    )
+    # representative = longest label (tie -> IRI order), reference
+    # aggregate.py:577-592
+    rep = (
+        enriched.groupBy("comp")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length(F.coalesce("label", F.lit(""))).alias("l"),
+                    F.col("node").alias("n"),
+                    F.col("local_name").alias("ln"),
+                )
+            ).alias("m")
+        )
+        .select("comp", clean_local_name_expr(F.col("m.ln")).alias("cname"))
+    )
+    # collision suffix _N by deterministic component order
+    w = Window.partitionBy("cname").orderBy("comp")
+    minted = rep.withColumn("rn", F.row_number().over(w)).select(
+        "comp",
+        F.when(F.col("rn") == 1, F.concat(F.lit(kg_namespace), F.col("cname")))
+        .otherwise(
+            F.concat(
+                F.lit(kg_namespace), F.col("cname"), F.lit("_"),
+                (F.col("rn") - 1).cast("string"),
+            )
+        )
+        .alias("canonical_iri"),
+    )
+    return (
+        members.join(minted, "comp")
+        .select(F.col("node").alias("original_iri"), "canonical_iri")
+    )
+
+
+def rewrite_triples(
+    triples: DataFrame,
+    entity_mapping: DataFrame,
+    predicate_mapping: DataFrame | None = None,
+) -> DataFrame:
+    """Canonical rewrite: three left joins + coalesce(canonical,
+    original) — the reference's dict-lookup rewrite (aggregate.py:
+    246-259) as hash joins. Mappings are typically small relative to
+    the triple corpus; Catalyst/AQE picks broadcast automatically."""
+    emap = entity_mapping.select(
+        F.col("original_iri").alias("_o"), F.col("canonical_iri").alias("_c")
+    )
+    out = (
+        triples.join(emap, triples.subj == emap._o, "left")
+        .withColumn("subj", F.coalesce("_c", "subj"))
+        .drop("_o", "_c")
+    )
+    out = (
+        out.join(emap, (out.obj == emap._o) & ~out.obj_is_literal, "left")
+        .withColumn("obj", F.coalesce("_c", "obj"))
+        .drop("_o", "_c")
+    )
+    if predicate_mapping is not None:
+        pmap = predicate_mapping.select(
+            F.col("original_iri").alias("_o"), F.col("canonical_iri").alias("_c")
+        )
+        out = (
+            out.join(pmap, out.pred == pmap._o, "left")
+            .withColumn("pred", F.coalesce("_c", "pred"))
+            .drop("_o", "_c")
+        )
+    return out.dropDuplicates(["conv_id", "subj", "pred", "obj"])
+
+
+def canonicalize_crossdoc(
+    facts: DataFrame,
+    kg_namespace: str = "https://example.com/kg/",
+    max_block_size: int = DEFAULT_MAX_BLOCK,
+) -> tuple[DataFrame, DataFrame]:
+    """Full cross-document path: returns (rewritten_triples, mapping)."""
+    meta = entity_metadata(facts)
+    pairs = candidate_pairs(meta, max_block_size=max_block_size)
+    edges = match_edges(pairs)
+    mapping = canonical_mapping(meta, edges, kg_namespace)
+    rewritten = rewrite_triples(facts, mapping)
+    return rewritten, mapping

@@ -1,0 +1,266 @@
+"""Large-scale document deduplication operators.
+
+First-class training-data-pipeline components over a
+``documents(doc_id, text, ...)``-shaped table:
+
+- :func:`exact_dedup` — hash-groupBy exact dedup (keeper = min doc_id);
+- :func:`minhash_lsh_candidates` — shingle -> MinHash -> banded LSH ->
+  bucket self-join candidate pairs (all JVM-side expressions);
+- :func:`ngram_jaccard_verify` — verifies candidate pairs with true
+  n-gram Jaccard in an Arrow-batched pandas UDF (the classic
+  candidates-then-verify split: LSH recall, exact precision);
+- :func:`simhash_dedup` — 32-bit SimHash + hamming-ball bucketing;
+- :func:`embedding_neardup` — cosine near-dup over an embedding column
+  (LSH-bucketed via random-hyperplane signs, exact cosine verify).
+
+Scale notes: every candidate generator is a block/bucket self-join (no
+all-pairs); verification UDFs only see candidate pairs. Bucket sizes
+are capped (skew guard) like operators/crossdoc.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_BUCKET = 512
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """Returns (deduped_docs, dup_mapping). Keeper = min id per text."""
+    keyed = docs.withColumn("_h", F.sha2(F.col(text_col), 256))
+    keepers = keyed.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
+    mapping = (
+        keyed.join(keepers, "_h")
+        .filter(F.col(id_col) != F.col("_keeper"))
+        .select(F.col(id_col).alias("dup_id"), F.col("_keeper").alias("keeper_id"))
+    )
+    deduped = (
+        keyed.join(keepers, "_h")
+        .filter(F.col(id_col) == F.col("_keeper"))
+        .drop("_h", "_keeper")
+    )
+    return deduped, mapping
+
+
+def _shingles(text_col: str, n: int = 3):
+    toks = F.split(F.col(text_col), " ")
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' '))-{n - 1}, 1)), "
+        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+    ), toks
+
+
+def minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<string>) — k seeded-MD5 min-hashes over word
+    n-gram shingles, all built-in expressions."""
+    shingles, _ = _shingles(text_col, shingle_n)
+    sigs = F.array(
+        *[
+            F.expr(
+                f"array_min(transform("
+                f"transform(sequence(1, greatest(size(split({text_col}, ' '))-{shingle_n - 1}, 1)), "
+                f"i -> array_join(slice(split({text_col}, ' '), i, {shingle_n}), ' ')), "
+                f"s -> md5('{k}|' || s)))"
+            )
+            for k in range(num_hashes)
+        ]
+    )
+    return docs.select(F.col(id_col).alias("id"), sigs.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Banded LSH over MinHash signatures -> candidate (a, b) pairs."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(docs, text_col, id_col, num_hashes)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[
+                    F.col("sig").getItem(b * rows_per_band + r)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_keys).alias("bkey")).distinct()
+    sizes = buckets.groupBy("bkey").agg(F.count(F.lit(1)).alias("n"))
+    buckets = buckets.join(
+        F.broadcast(sizes.filter(F.col("n") <= max_bucket).drop("n")), "bkey"
+    )
+    a = buckets.select("bkey", F.col("id").alias("a"))
+    b = buckets.select("bkey", F.col("id").alias("b"))
+    return (
+        a.join(b, "bkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_verify(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard on candidate pairs (pandas UDF) ->
+    (a, b, jaccard) above threshold."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def jaccard(t1: pd.Series, t2: pd.Series) -> pd.Series:
+        def sh(t):
+            toks = (t or "").split(" ")
+            return {
+                " ".join(toks[i : i + shingle_n])
+                for i in range(max(len(toks) - shingle_n + 1, 1))
+            }
+
+        out = []
+        for x, y in zip(t1, t2):
+            s1, s2 = sh(x), sh(y)
+            u = len(s1 | s2)
+            out.append(len(s1 & s2) / u if u else 1.0)
+        return pd.Series(out)
+
+    texts = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    paired = (
+        candidates.join(texts, candidates.a == texts._id)
+        .withColumnRenamed("_t", "ta")
+        .drop("_id")
+        .join(texts, candidates.b == texts._id)
+        .withColumnRenamed("_t", "tb")
+        .drop("_id")
+    )
+    return (
+        paired.withColumn("jaccard", jaccard(F.col("ta"), F.col("tb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash_expr(text_col: str = "text", bits: int = 32):
+    """32-bit SimHash column: per-token MD5 hex-digit parity majority
+    vote — identical formulation to queries.q_simhash (oracled)."""
+    weight = (
+        "aggregate(split({t}, ' '), array_repeat(0, {bits}), "
+        "(acc, tok) -> zip_with(acc, transform(sequence(0, {m}), "
+        "b -> CASE WHEN substr(md5(tok), b + 1, 1) IN "
+        "('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END), "
+        "(x, y) -> x + y))"
+    ).format(t=text_col, bits=bits, m=bits - 1)
+    combine = (
+        f"aggregate(zip_with({weight}, sequence(0, {bits - 1}), "
+        "(w, b) -> CASE WHEN w > 0 THEN shiftleft(1L, b) ELSE 0L END), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    return F.expr(combine)
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 8,
+) -> DataFrame:
+    """SimHash + banded bucketing: docs sharing any 8-bit band of their
+    simhash become candidate pairs (hamming-ball style blocking)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), simhash_expr(text_col).alias("simhash")
+    )
+    bands = 32 // band_bits
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sh.select("id", "simhash", F.explode(keys).alias("bkey"))
+    a = buckets.select("bkey", F.col("id").alias("a"), F.col("simhash").alias("sa"))
+    b = buckets.select("bkey", F.col("id").alias("b"), F.col("simhash").alias("sb"))
+    pairs = (
+        a.join(b, "bkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return pairs.withColumn("hamming", hamming).drop("sa", "sb")
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup via random-hyperplane LSH: sign signature from
+    deterministic pseudo-random planes (md5-seeded), bucket self-join,
+    exact cosine verify — all JVM-side."""
+    dim_expr = F.size(F.col(vec_col))
+    # plane p component j = (md5 digit) - 7.5 : deterministic pseudo-noise
+    sign_bits = F.array(
+        *[
+            F.expr(
+                "CASE WHEN aggregate(zip_with({v}, sequence(0, size({v}) - 1), "
+                "(x, j) -> x * (CAST(conv(substr(md5('{p}|' || j), 1, 4), 16, 10) "
+                "AS DOUBLE) - 32767.5)), 0D, (a, x) -> a + x) > 0 "
+                "THEN '1' ELSE '0' END".format(v=vec_col, p=p)
+            )
+            for p in range(planes)
+        ]
+    )
+    sig = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.concat_ws("", sign_bits).alias("bkey"),
+    )
+    a = sig.select("bkey", F.col("id").alias("a"), F.col("v").alias("va"))
+    b = sig.select("bkey", F.col("id").alias("b"), F.col("v").alias("vb"))
+    dot = (
+        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (a, x) -> a + x)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({0}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0D, (a, x) -> a + x))"
+    )
+    return (
+        a.join(b, "bkey")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine",
+            F.expr(f"({dot}) / ({nrm.format('va')} * {nrm.format('vb')})"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+        .distinct()
+    )

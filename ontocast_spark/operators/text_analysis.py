@@ -1,0 +1,112 @@
+"""Text analysis operators for training-data pipelines (all JVM-side
+column algebra unless noted): language ID, quality scoring, token
+counting, document fingerprinting. Mirrors the oracled forms in
+``ontocast_spark.queries`` as reusable operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny n-gram/stopword profiles for a heuristic language ID — enough to
+# separate the major latin-script languages deterministically
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " und ", " die ", " das ", " ist "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " los ", " de la ", " es ", " una "],
+    "it": [" il ", " di ", " che ", " per ", " una "],
+}
+
+BPE_ISH_TOKEN_RE = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+
+def language_id_col(text: Column) -> Column:
+    """Argmax of per-language marker hit counts; 'und' when nothing
+    matches. Pure nested expressions — no UDF."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            hits = (
+                F.length(padded)
+                - F.length(F.replace(padded, F.lit(m), F.lit("")))
+            ) / len(m)
+            score = hits if score is None else score + hits
+        scores.append(F.struct(score.alias("s"), F.lit(lang).alias("l")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best.getField("s") > 0, best.getField("l")).otherwise(
+        F.lit("und")
+    )
+
+
+def token_count_col(text: Column, bpe_ish: bool = False) -> Column:
+    """Whitespace token count, or a BPE-ish regex token count (letters /
+    digits / single punctuation as separate tokens)."""
+    if bpe_ish:
+        return F.size(
+            F.filter(
+                F.split(
+                    F.regexp_replace(text, f"({BPE_ISH_TOKEN_RE})", "$1"),
+                    "",
+                ),
+                lambda t: F.trim(t) != "",
+            )
+        ).cast("long")
+    return F.size(F.split(text, r"\s+")).cast("long")
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: lengths, token stats, punctuation and
+    stopword ratios, uniq-token ratio — the usual pretraining-corpus
+    filters."""
+    t = F.col(text_col)
+    tokens = F.split(t, r"\s+")
+    stop_hits = F.size(
+        F.filter(
+            tokens,
+            lambda x: F.lower(x).isin(
+                "the", "a", "an", "and", "or", "of", "to", "in", "is", "it"
+            ),
+        )
+    )
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return docs.select(
+        "*",
+        F.length(t).alias("q_n_chars"),
+        token_count_col(t).alias("q_n_tokens"),
+        F.round(
+            F.size(F.array_distinct(tokens)).cast("double")
+            / F.greatest(F.size(tokens), F.lit(1)).cast("double"),
+            4,
+        ).alias("q_uniq_ratio"),
+        F.round(
+            n_punct.cast("double")
+            / F.greatest(F.length(t), F.lit(1)).cast("double"),
+            4,
+        ).alias("q_punct_ratio"),
+        F.round(
+            stop_hits.cast("double")
+            / F.greatest(F.size(tokens), F.lit(1)).cast("double"),
+            4,
+        ).alias("q_stopword_ratio"),
+        language_id_col(t).alias("q_lang"),
+    )
+
+
+def fingerprint_col(text: Column, gram: int = 8, stride: int = 8) -> Column:
+    """Rolling-hash fingerprint: min MD5 over stride-``stride``
+    ``gram``-grams (winnowing-lite; same formulation as the oracled
+    q_doc_fingerprint)."""
+    return F.expr(
+        f"array_min(transform(sequence(1, greatest(length({'{c}'}) - {gram - 1}, 1), "
+        f"{stride}), i -> md5(substring({'{c}'}, i, {gram}))))".format(c="__fp_text")
+    )
+
+
+def add_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("__fp_text", F.col(text_col)).withColumn(
+        "fingerprint", fingerprint_col(F.col("__fp_text"))
+    ).drop("__fp_text")

@@ -1,0 +1,139 @@
+"""Distributed CC + cross-document canonicalization: correctness on
+known graphs and P/R agreement vs the exact per-doc replay on the
+synthetic corpus (internal >= 0.95 gate of BASELINE.md)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontocast_spark.operators.cc import connected_components
+from ontocast_spark.operators.crossdoc import (
+    canonicalize_crossdoc,
+    candidate_pairs,
+    entity_metadata,
+    match_edges,
+)
+from ontocast_spark.schemas import CONVERSATIONS, TRIPLES
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")],
+        ["src", "dst"],
+    )
+    labels = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert labels == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f"}
+
+
+def test_connected_components_chain(spark):
+    # a long path graph needs multiple label-propagation rounds
+    n = 40
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n)], ["src", "dst"]
+    )
+    labels = connected_components(edges)
+    comps = labels.select("comp").distinct().collect()
+    assert len(comps) == 1
+    assert comps[0]["comp"] == "n00"
+
+
+def _facts_df(spark, rows):
+    return spark.createDataFrame(rows, schema=TRIPLES)
+
+
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+PERSON = "http://xmlns.com/foaf/0.1/Person"
+
+
+def test_crossdoc_merges_and_type_gate(spark):
+    ns1 = "https://x.com/doc/1/chunk/c1/"
+    ns2 = "https://x.com/doc/2/chunk/c2/"
+    mk = lambda c, h, s, p, o, lit: (  # noqa: E731
+        c, f"https://x.com/doc/{c[-1]}", h, f"https://x.com/doc/{c[-1]}/chunk/{h}",
+        s, p, o, lit, None,
+    )
+    rows = [
+        # same local name, cross-doc, no types -> merge
+        mk("conv1", "c1", ns1 + "john_doe", RDFS_LABEL, "John Doe", True),
+        mk("conv2", "c2", ns2 + "john_doe", RDFS_LABEL, "John Doe Sr", True),
+        # same local name but disjoint types -> NO merge
+        mk("conv1", "c1", ns1 + "apple", RDF_TYPE, PERSON, False),
+        mk("conv1", "c1", ns1 + "apple", RDFS_LABEL, "Apple Johnson", True),
+        mk("conv2", "c2", ns2 + "apple", RDF_TYPE, ns2 + "Company", False),
+        mk("conv2", "c2", ns2 + "apple", RDFS_LABEL, "Apple Inc.", True),
+        # fuzzy label merge across different local names (no types)
+        mk("conv1", "c1", ns1 + "acme_corporation", RDFS_LABEL, "ACME Corporation", True),
+        mk("conv2", "c2", ns2 + "acme_corporationx", RDFS_LABEL, "ACME Corporationx", True),
+    ]
+    facts = _facts_df(spark, rows)
+    meta = entity_metadata(facts)
+    pairs = candidate_pairs(meta)
+    edges = match_edges(pairs)
+    edge_set = {(r["a"], r["b"]) for r in edges.collect()}
+    assert (ns1 + "john_doe", ns2 + "john_doe") in edge_set
+    assert (ns1 + "acme_corporation", ns2 + "acme_corporationx") in edge_set
+    assert (ns1 + "apple", ns2 + "apple") not in edge_set
+
+    rewritten, mapping = canonicalize_crossdoc(facts, kg_namespace="https://kg/")
+    mp = {r["original_iri"]: r["canonical_iri"] for r in mapping.collect()}
+    assert mp[ns1 + "john_doe"] == mp[ns2 + "john_doe"] == "https://kg/john_doe"
+    assert ns1 + "apple" not in mp
+    # rewrite applied
+    subs = {r["subj"] for r in rewritten.collect()}
+    assert "https://kg/john_doe" in subs
+    assert ns1 + "john_doe" not in subs
+
+
+@pytest.mark.slow
+def test_crossdoc_pr_vs_local_replay(spark):
+    """P/R of the distributed mapping vs the exact greedy replay,
+    restricted to per-document scope (same scope as the reference).
+    Pair-level agreement must be >= 0.95 both ways."""
+    from ontocast_spark.pipeline import run_pipeline
+    from ontocast_spark.synth import gen_corpus
+
+    rows = gen_corpus(30, seed=7, mega_every=0)
+    conv = spark.createDataFrame(rows, schema=CONVERSATIONS)
+    out = run_pipeline(spark, conv)
+    facts = out["facts"].cache()
+
+    # exact per-doc mapping (reference replay)
+    from ontocast_spark.operators.canonicalize import entity_mappings_local
+
+    local_map = entity_mappings_local(facts).filter(F.col("kind") == "entity")
+    local_pairs = set()
+    by_canon = {}
+    for r in local_map.collect():
+        by_canon.setdefault((r["conv_id"], r["canonical_iri"]), []).append(
+            r["original_iri"]
+        )
+    for group in by_canon.values():
+        for i, x in enumerate(group):
+            for y in group[i + 1:]:
+                local_pairs.add(tuple(sorted((x, y))))
+
+    # distributed mapping, same per-doc scope: run crossdoc per corpus
+    # but compare only same-conv pairs (chunk namespaces embed the doc)
+    _, dist_map = canonicalize_crossdoc(facts)
+    dist_groups = {}
+    for r in dist_map.collect():
+        dist_groups.setdefault(r["canonical_iri"], []).append(r["original_iri"])
+    def doc_scope(iri):
+        return iri.split("/chunk/")[0] if "/chunk/" in iri else None
+
+    dist_pairs = set()
+    for group in dist_groups.values():
+        for i, x in enumerate(group):
+            for y in group[i + 1:]:
+                # compare within document scope (the reference's scope);
+                # ontology-namespace IRIs are global (no /chunk/ segment)
+                dx, dy = doc_scope(x), doc_scope(y)
+                if dx == dy or dx is None or dy is None:
+                    dist_pairs.add(tuple(sorted((x, y))))
+
+    tp = len(local_pairs & dist_pairs)
+    precision = tp / len(dist_pairs) if dist_pairs else 1.0
+    recall = tp / len(local_pairs) if local_pairs else 1.0
+    assert precision >= 0.95, (precision, len(dist_pairs), len(local_pairs))
+    assert recall >= 0.95, (recall, len(dist_pairs), len(local_pairs))
+    facts.unpersist()
