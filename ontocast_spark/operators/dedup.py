@@ -20,6 +20,7 @@ are capped (skew guard) like operators/crossdoc.py.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -124,7 +125,6 @@ def ngram_jaccard_verify(
 ) -> DataFrame:
     """Exact word-n-gram Jaccard on candidate pairs (pandas UDF) ->
     (a, b, jaccard) above threshold."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 

@@ -1,0 +1,149 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing, critique scorers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontocast_spark.operators.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_verify,
+    simhash_dedup,
+)
+from ontocast_spark.operators.similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    ivf_topk,
+)
+from ontocast_spark.operators.text_analysis import add_fingerprint, quality_features
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # add a couple of known near-dup rows
+    extra = spark.createDataFrame(
+        [
+            (90001, "the quick brown fox jumps over the lazy dog again and again", "en", "srcX", 60),
+            (90002, "the quick brown fox jumps over the lazy dog again and again", "en", "srcX", 60),
+            (90003, "the quick brown fox jumps over the lazy dog again and once more", "en", "srcX", 63),
+        ],
+        base.schema,
+    )
+    return base.union(extra)
+
+
+def test_exact_dedup(spark, docs):
+    deduped, mapping = exact_dedup(docs)
+    assert deduped.count() + mapping.count() == docs.count()
+    m = {r["dup_id"]: r["keeper_id"] for r in mapping.collect()}
+    assert m.get(90002) == 90001
+
+
+def test_minhash_lsh_and_jaccard(spark, docs):
+    cands = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    pairs = {(r["a"], r["b"]) for r in cands.collect()}
+    assert (90001, 90002) in pairs  # identical docs always collide
+    verified = ngram_jaccard_verify(docs, cands, threshold=0.5)
+    v = {(r["a"], r["b"]): r["jaccard"] for r in verified.collect()}
+    assert v.get((90001, 90002)) == 1.0
+    if (90001, 90003) in v:
+        assert 0.5 <= v[(90001, 90003)] < 1.0
+
+
+def test_simhash_dedup(spark, docs):
+    pairs = simhash_dedup(docs)
+    p = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    assert p.get((90001, 90002)) == 0
+
+
+def test_embedding_neardup_and_ann(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # append an exact duplicate of vec 0
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(99999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    emb2 = emb.select("vec_id", "embedding", "label").union(dup)
+    nd = embedding_neardup(emb2, threshold=0.999)
+    pairs = {(r["a"], r["b"]) for r in nd.collect()}
+    assert (0, 99999) in pairs
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    assert exact.count() == 15
+    top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in exact.filter(F.col("rank") == 1).collect()
+    }
+    assert top1 == {0: 0, 1: 1, 2: 2}  # self is nearest
+
+    centroids, assignments = build_ivf_index(emb, ncells=8)
+    assert assignments.count() == emb.count()
+    approx = ivf_topk(emb, centroids, assignments, queries, k=5, nprobe=3)
+    # recall@5 of IVF vs exact should be decent even with tiny cells
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.5
+
+
+def test_quality_and_fingerprint(spark, docs):
+    q = quality_features(docs.filter((F.col("doc_id") < 40) | (F.col("doc_id") >= 90000)))
+    row = q.filter(F.col("doc_id") == 90001).collect()[0]
+    assert row["q_n_tokens"] == 12
+    assert row["q_lang"] == "en"
+    assert 0 < row["q_uniq_ratio"] <= 1.0
+    fp = add_fingerprint(docs.limit(20))
+    assert fp.filter(F.col("fingerprint").isNull()).count() == 0
+
+
+def test_multimodal_plumbing(spark):
+    from ontocast_spark.operators.multimodal import extract_media_features
+
+    media = spark.createDataFrame(
+        [
+            ("m1", "image", bytearray(b"\x89PNG fake bytes")),
+            ("m2", "audio", bytearray(b"RIFF fake bytes")),
+            ("m3", "image", None),
+        ],
+        "media_id string, kind string, payload binary",
+    )
+    feats = extract_media_features(media).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id) == 3
+    assert len(by_id["m1"]["feature"]) == 32
+    assert by_id["m3"]["n_bytes"] == 0
+    # deterministic: same payload -> same feature
+    feats2 = extract_media_features(media).collect()
+    assert {r["media_id"]: r["feature"] for r in feats2} == {
+        r["media_id"]: r["feature"] for r in feats
+    }
+
+
+def test_critique_scores(spark):
+    from ontocast_spark.operators.critique import score_facts, score_ontology_addendum
+    from ontocast_spark.pipeline import run_pipeline
+    from ontocast_spark.schemas import CONVERSATIONS
+    from ontocast_spark.synth import gen_corpus
+
+    conv = spark.createDataFrame(gen_corpus(6, seed=3, mega_every=0), CONVERSATIONS)
+    out = run_pipeline(spark, conv)
+    fs = score_facts(out["facts"])
+    rows = fs.collect()
+    assert rows and all(0.0 <= r["score"] <= 100.0 for r in rows)
+    onto = out["ontology_alignments"]
+    # score addendum per chunk needs chunk cols; use the raw part rows
+    from ontocast_spark.operators.extraction import extract_triples
+    from ontocast_spark.ontology import builtin_ontology_index
+
+    triples = extract_triples(
+        spark, out["chunks"], builtin_ontology_index(), fuse=True
+    )
+    os_ = score_ontology_addendum(triples.filter(F.col("part") == "ontology"))
+    orows = os_.collect()
+    assert orows and all(0.0 <= r["score"] <= 100.0 for r in orows)
+    assert onto.count() > 0
