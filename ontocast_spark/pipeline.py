@@ -45,6 +45,11 @@ class PipelineConfig:
     max_turns: int | None = 100_000  # mega-conversation cap (skew guard)
     max_chunks: int | None = None  # reference AgentState.max_chunks analog
     bucket_size: int = 1024
+    # fused per-document pass (operators/fused.py): identical rows to the
+    # staged path, but no canonicalize shuffle and no intermediate Arrow
+    # crossings — the production default. Staged mode materializes the
+    # per-chunk triples table as a diagnostic.
+    fused: bool = True
 
 
 def dedup_ontology_addendum(onto: DataFrame) -> DataFrame:
@@ -85,29 +90,61 @@ def run_pipeline(
         bucket_size=cfg.bucket_size,
         max_turns=cfg.max_turns,
     )
-    chunks = chunk_documents(documents, max_chunks=cfg.max_chunks)
-    triples = extract_triples(spark, chunks, index, fuse=True)
 
-    if warehouse is not None:
-        # materialize extraction once (it feeds three outputs) — no
-        # pandas-UDF re-execution for downstream projections
-        mode = "append" if kgio.stage_exists(spark, warehouse, "triples") else "overwrite"
-        kgio.write_stage(triples, warehouse, "triples", run_id, mode=mode)
-        triples = kgio.read_stage(spark, warehouse, "triples")
-        # the triples table may hold conversations finished in a prior
-        # run; only canonicalize the pending ones
-        pending = kgio.resume_filter(triples, spark, warehouse, "kg_canon")
+    facts = None
+    chunks = None
+    if cfg.fused:
+        from .operators.fused import kg_construct_fused
+
+        combined = kg_construct_fused(
+            spark, documents, index, max_chunks=cfg.max_chunks
+        )
+        ontology_rows = combined.filter(F.col("row_kind") == "ontology").drop(
+            "row_kind"
+        )
+        if warehouse is not None:
+            mode = (
+                "append"
+                if kgio.stage_exists(spark, warehouse, "kg_canon")
+                else "overwrite"
+            )
+            kgio.write_stage(combined, warehouse, "kg_canon", run_id, mode=mode)
+            combined = kgio.read_stage(spark, warehouse, "kg_canon")
+            ontology_rows = combined.filter(
+                F.col("row_kind") == "ontology"
+            ).drop("row_kind")
     else:
-        pending = triples
+        chunks = chunk_documents(documents, max_chunks=cfg.max_chunks)
+        triples = extract_triples(spark, chunks, index, fuse=True)
 
-    facts = pending.filter(F.col("part") == "facts").drop("part")
-    ontology_rows = triples.filter(F.col("part") == "ontology").drop("part")
+        if warehouse is not None:
+            # materialize extraction once (it feeds three outputs) — no
+            # pandas-UDF re-execution for downstream projections
+            mode = (
+                "append"
+                if kgio.stage_exists(spark, warehouse, "triples")
+                else "overwrite"
+            )
+            kgio.write_stage(triples, warehouse, "triples", run_id, mode=mode)
+            triples = kgio.read_stage(spark, warehouse, "triples")
+            # the triples table may hold conversations finished in a
+            # prior run; only canonicalize the pending ones
+            pending = kgio.resume_filter(triples, spark, warehouse, "kg_canon")
+        else:
+            pending = triples
 
-    combined = canonicalize_combined(facts)
-    if warehouse is not None:
-        mode = "append" if kgio.stage_exists(spark, warehouse, "kg_canon") else "overwrite"
-        kgio.write_stage(combined, warehouse, "kg_canon", run_id, mode=mode)
-        combined = kgio.read_stage(spark, warehouse, "kg_canon")
+        facts = pending.filter(F.col("part") == "facts").drop("part")
+        ontology_rows = triples.filter(F.col("part") == "ontology").drop("part")
+
+        combined = canonicalize_combined(facts)
+        if warehouse is not None:
+            mode = (
+                "append"
+                if kgio.stage_exists(spark, warehouse, "kg_canon")
+                else "overwrite"
+            )
+            kgio.write_stage(combined, warehouse, "kg_canon", run_id, mode=mode)
+            combined = kgio.read_stage(spark, warehouse, "kg_canon")
 
     kg_triples = combined.filter(F.col("row_kind") == "triple").select(
         "conv_id", "doc_iri", "subj", "pred", "obj", "obj_is_literal", "obj_datatype"
@@ -126,12 +163,14 @@ def run_pipeline(
 
     out = {
         "documents": documents,
-        "chunks": chunks,
-        "facts": facts,
         "kg_triples": kg_triples,
         "entity_mappings": mappings,
         "ontology_alignments": alignments,
     }
+    if chunks is not None:
+        out["chunks"] = chunks
+    if facts is not None:
+        out["facts"] = facts
     if warehouse is not None:
         # projections of the complete kg_canon store: cheap
         # parquet-to-parquet rewrites, refreshed whole

@@ -36,6 +36,12 @@ def build_spark(
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # CPU-bound pandas-UDF stages follow these shuffles: coalescing
+        # by byte size would starve them of parallelism (triple/doc rows
+        # are tiny but cost real Python CPU) — keep the coalesce floor
+        # low so post-shuffle task count stays near the core count
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

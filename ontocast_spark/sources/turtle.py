@@ -1,0 +1,193 @@
+"""Minimal Turtle (TTL) parser + serializer (stdlib only).
+
+The reference stores ontologies and facts as Turtle files via rdflib
+(/root/reference/ontocast/tool/triple_manager/filesystem_manager.py:60-143);
+rdflib is not available here, so this module implements the Turtle
+subset those files actually use:
+
+- ``@prefix p: <iri> .`` declarations,
+- prefixed names and ``<full-iri>`` terms,
+- ``a`` as ``rdf:type``,
+- string literals (quoted, triple-quoted) with ``@lang`` and
+  ``^^datatype``, plus bare numeric/boolean literals,
+- predicate lists (``;``), object lists (``,``), comments (``#``).
+
+Parse output is the engine's plain triple model
+``(s, p, o, o_is_literal, o_datatype)``; serialization emits prefixed,
+sorted, deterministic Turtle. Round-trip is tested in
+tests/test_turtle.py. Blank nodes and collections are not supported
+(the reference fixtures don't use them); encountering one raises.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..kernels.rdfterms import RDF_TYPE, XSD_NS
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<comment>\#[^\n]*)
+  | (?P<ws>\s+)
+  | (?P<prefix_decl>@prefix)
+  | (?P<base_decl>@base)
+  | (?P<iri><[^>]*>)
+  | (?P<triple_quote>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\")
+  | (?P<string>"(?:[^"\\\n]|\\.)*")
+  | (?P<langtag>@[a-zA-Z][a-zA-Z0-9-]*)
+  | (?P<dtype>\^\^)
+  | (?P<punct>[;,.\[\]()])
+  | (?P<a_kw>\ba\b)
+  | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<boolean>\btrue\b|\bfalse\b)
+  | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.%\-\u00C0-\uFFFF]*)
+""",
+    re.VERBOSE,
+)
+
+_ESCAPES = {"\\n": "\n", "\\t": "\t", "\\r": "\r", '\\"': '"', "\\\\": "\\"}
+
+
+def _unescape(s: str) -> str:
+    out = s
+    for k, v in _ESCAPES.items():
+        out = out.replace(k, v)
+    return out
+
+
+def _tokenize(text: str):
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise ValueError(f"turtle: cannot tokenize at {text[pos:pos + 40]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("comment", "ws"):
+            continue
+        if kind == "local":  # pname match ends on the local group
+            yield ("pname", (m.group("pname") or "", m.group("local")))
+        else:
+            yield (kind, m.group(0))
+
+
+def parse_turtle(text: str) -> tuple[list[tuple], dict[str, str]]:
+    """Returns (triples, prefixes). Triples use full IRIs."""
+    tokens = list(_tokenize(text))
+    prefixes: dict[str, str] = {}
+    triples: list[tuple] = []
+    i = 0
+
+    def resolve(tok) -> str:
+        kind, val = tok
+        if kind == "iri":
+            return val[1:-1]
+        if kind == "pname":
+            p, local = val
+            if p not in prefixes:
+                raise ValueError(f"turtle: unknown prefix {p!r}")
+            return prefixes[p] + local
+        if kind == "a_kw":
+            return RDF_TYPE
+        raise ValueError(f"turtle: expected IRI, got {tok}")
+
+    def read_object(j):
+        kind, val = tokens[j]
+        if kind in ("iri", "pname"):
+            return (resolve(tokens[j]), False, None), j + 1
+        if kind in ("string", "triple_quote"):
+            raw = val[3:-3] if kind == "triple_quote" else val[1:-1]
+            lex = _unescape(raw)
+            dt = None
+            if j + 1 < len(tokens) and tokens[j + 1][0] == "langtag":
+                j += 1  # language tags carried in datatype slot? no — drop
+                dt = None
+            elif j + 1 < len(tokens) and tokens[j + 1][0] == "dtype":
+                dt = resolve(tokens[j + 2])
+                j += 2
+            return (lex, True, dt), j + 1
+        if kind == "number":
+            dt = XSD_NS + ("decimal" if ("." in val or "e" in val.lower()) else "integer")
+            return (val, True, dt), j + 1
+        if kind == "boolean":
+            return (val, True, XSD_NS + "boolean"), j + 1
+        raise ValueError(f"turtle: unsupported object token {tokens[j]}")
+
+    while i < len(tokens):
+        kind, val = tokens[i]
+        if kind == "prefix_decl":
+            p = tokens[i + 1][1][0] if tokens[i + 1][0] == "pname" else None
+            if p is None:
+                raise ValueError("turtle: malformed @prefix")
+            iri = tokens[i + 2][1][1:-1]
+            prefixes[p] = iri
+            if tokens[i + 3] != ("punct", "."):
+                raise ValueError("turtle: @prefix missing '.'")
+            i += 4
+            continue
+        subj = resolve(tokens[i])
+        i += 1
+        while True:
+            pred = resolve(tokens[i])
+            i += 1
+            while True:
+                (obj, lit, dt), i = read_object(i)
+                triples.append((subj, pred, obj, lit, dt))
+                if i < len(tokens) and tokens[i] == ("punct", ","):
+                    i += 1
+                    continue
+                break
+            if i < len(tokens) and tokens[i] == ("punct", ";"):
+                i += 1
+                if i < len(tokens) and tokens[i] == ("punct", "."):
+                    i += 1
+                    break
+                continue
+            if i < len(tokens) and tokens[i] == ("punct", "."):
+                i += 1
+                break
+            raise ValueError(f"turtle: expected ';' or '.' near {tokens[i - 1]}")
+    return triples, prefixes
+
+
+def serialize_turtle(
+    triples, prefixes: dict[str, str] | None = None
+) -> str:
+    """Deterministic Turtle: sorted prefixes, sorted triples, predicate
+    grouping with ';'. Full IRIs are shortened when a prefix matches."""
+    prefixes = dict(prefixes or {})
+
+    def shorten(iri: str) -> str:
+        best_p, best_ns = None, ""
+        for p, ns in prefixes.items():
+            if iri.startswith(ns) and len(ns) > len(best_ns):
+                rest = iri[len(ns):]
+                if re.fullmatch(r"[\w.\-\u00C0-\uFFFF]*", rest) and rest:
+                    best_p, best_ns = p, ns
+        if best_p is not None:
+            return f"{best_p}:{iri[len(best_ns):]}"
+        return f"<{iri}>"
+
+    def fmt_obj(o, lit, dt):
+        if not lit:
+            return shorten(o)
+        esc = o.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        if dt:
+            return f'"{esc}"^^{shorten(dt)}'
+        return f'"{esc}"'
+
+    lines = [
+        f"@prefix {p}: <{ns}> ." for p, ns in sorted(prefixes.items())
+    ]
+    if lines:
+        lines.append("")
+    by_subj: dict[str, list] = {}
+    for s, p, o, lit, dt in sorted(set(map(tuple, triples))):
+        by_subj.setdefault(s, []).append((p, o, lit, dt))
+    for s in sorted(by_subj):
+        parts = [
+            f"{shorten(p)} {fmt_obj(o, lit, dt)}"
+            for p, o, lit, dt in by_subj[s]
+        ]
+        lines.append(f"{shorten(s)} " + " ;\n    ".join(parts) + " .")
+    return "\n".join(lines) + "\n"

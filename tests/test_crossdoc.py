@@ -89,12 +89,12 @@ def test_crossdoc_pr_vs_local_replay(spark):
     """P/R of the distributed mapping vs the exact greedy replay,
     restricted to per-document scope (same scope as the reference).
     Pair-level agreement must be >= 0.95 both ways."""
-    from ontocast_spark.pipeline import run_pipeline
+    from ontocast_spark.pipeline import PipelineConfig, run_pipeline
     from ontocast_spark.synth import gen_corpus
 
     rows = gen_corpus(30, seed=7, mega_every=0)
     conv = spark.createDataFrame(rows, schema=CONVERSATIONS)
-    out = run_pipeline(spark, conv)
+    out = run_pipeline(spark, conv, config=PipelineConfig(fused=False))
     facts = out["facts"].cache()
 
     # exact per-doc mapping (reference replay)

@@ -49,4 +49,4 @@ def test_resume_no_recompute(spark, tmp_path):
     # lineage checkpoints exist for every persisted stage
     ckpt = spark.read.parquet(os.path.join(warehouse, "checkpoints"))
     stages = {r["stage"] for r in ckpt.select("stage").distinct().collect()}
-    assert {"triples", "kg_canon", "kg_triples"} <= stages
+    assert {"kg_canon", "kg_triples"} <= stages

@@ -130,8 +130,10 @@ def test_critique_scores(spark):
     from ontocast_spark.schemas import CONVERSATIONS
     from ontocast_spark.synth import gen_corpus
 
+    from ontocast_spark.pipeline import PipelineConfig
+
     conv = spark.createDataFrame(gen_corpus(6, seed=3, mega_every=0), CONVERSATIONS)
-    out = run_pipeline(spark, conv)
+    out = run_pipeline(spark, conv, config=PipelineConfig(fused=False))
     fs = score_facts(out["facts"])
     rows = fs.collect()
     assert rows and all(0.0 <= r["score"] <= 100.0 for r in rows)
