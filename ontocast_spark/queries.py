@@ -135,6 +135,24 @@ SELECT count(*) AS total_docs, count(DISTINCT text) AS distinct_docs FROM docume
 """
 
 
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup mapping (dup -> keeper = min doc_id per text)."""
+    from .operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    _, mapping = exact_dedup(docs)
+    return mapping
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT d.doc_id AS dup_id, k.keeper_id
+FROM documents d
+JOIN (SELECT text, min(doc_id) AS keeper_id FROM documents GROUP BY text) k
+  ON d.text = k.text
+WHERE d.doc_id != k.keeper_id
+"""
+
+
 # ---------------------------------------------------------------- hash ids
 def q_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sha256(text)[:12] doc ids — bit-exact vs the reference hash."""
@@ -492,6 +510,7 @@ QUERIES = {
     "q_sublimate_filter": q_sublimate_filter,
     "q_mapping_rewrite": q_mapping_rewrite,
     "q_dedup_counts": q_dedup_counts,
+    "q_exact_dedup": q_exact_dedup,
     "q_hash_ids": q_hash_ids,
     "q_prefer_longer": q_prefer_longer,
     "q_type_collect": q_type_collect,
@@ -514,6 +533,7 @@ ORACLES = {
     "q_sublimate_filter": ORACLE_SUBLIMATE_FILTER,
     "q_mapping_rewrite": ORACLE_MAPPING_REWRITE,
     "q_dedup_counts": ORACLE_DEDUP_COUNTS,
+    "q_exact_dedup": ORACLE_EXACT_DEDUP,
     "q_hash_ids": ORACLE_HASH_IDS,
     "q_prefer_longer": ORACLE_PREFER_LONGER,
     "q_type_collect": ORACLE_TYPE_COLLECT,
