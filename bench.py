@@ -125,34 +125,57 @@ def bench_default() -> dict:
     }
 
 
-def bench_scaling(n_convs: int) -> dict:
+def kg_run_once(cores: int, n_convs: int) -> dict:
+    """One pinned measurement: local[cores] with warmup + best-of-2
+    steady-state runs (the first big run pays JIT/codegen/heap growth)."""
     from ontocast_spark.session import build_spark
 
+    spark = build_spark(
+        app_name=f"bench-scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    run_kg_job(spark, max(n_convs // 4, 10))
+    elapsed, n_turns, n_triples = run_kg_job(spark, n_convs)
+    e2, _, _ = run_kg_job(spark, n_convs)
+    elapsed = min(elapsed, e2)
+    spark.stop()
+    return {
+        "elapsed_sec": round(elapsed, 3),
+        "turns": n_turns,
+        "triples": n_triples,
+        "turns_per_sec": round(n_turns / elapsed, 1),
+    }
+
+
+def bench_scaling(n_convs: int) -> dict:
+    """Run the identical job at 8 and 32 cores. Each level runs in a
+    subprocess pinned with taskset to exactly that many physical CPUs --
+    otherwise the JVM's GC/shuffle threads and the Python workers of the
+    'small cluster' silently use all 32 cores and inflate its baseline
+    (a real N-executor cluster has no such spillover)."""
+    import shutil
+    import subprocess
+
     results = {}
+    have_taskset = shutil.which("taskset") is not None
     for cores in (8, 32):
-        spark = build_spark(
-            app_name=f"bench-scaling-{cores}",
-            master=f"local[{cores}]",
-            shuffle_partitions=cores,
-        )
-        spark.sparkContext.setLogLevel("WARN")
-        # full-size warmup: the first large run pays JIT/codegen, Python
-        # worker spawn and JVM heap growth; steady-state = best of 2
-        # measured runs after warmup
-        run_kg_job(spark, max(n_convs // 4, 10))
-        elapsed, n_turns, n_triples = run_kg_job(spark, n_convs)
-        e2, _, _ = run_kg_job(spark, n_convs)
-        elapsed = min(elapsed, e2)
-        results[cores] = {
-            "elapsed_sec": round(elapsed, 3),
-            "turns": n_turns,
-            "triples": n_triples,
-            "turns_per_sec": round(n_turns / elapsed, 1),
-        }
-        spark.stop()
+        cmd = []
+        if have_taskset:
+            cmd += ["taskset", "-c", f"0-{cores - 1}"]
+        cmd += [
+            sys.executable, os.path.abspath(__file__),
+            "--kg-run", "--cores", str(cores), "--n-convs", str(n_convs),
+        ]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, check=True
+        ).stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(out)
     eff = results[32]["turns_per_sec"] / results[8]["turns_per_sec"] / 4.0
     return {
         "n_convs": n_convs,
+        "cpu_pinned": have_taskset,
         "local8": results[8],
         "local32": results[32],
         "scaling_efficiency": round(eff, 3),
@@ -162,10 +185,14 @@ def bench_scaling(n_convs: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--kg-run", action="store_true", help="internal: one pinned run")
+    ap.add_argument("--cores", type=int, default=CPUS)
     ap.add_argument("--write-md", action="store_true")
     ap.add_argument("--n-convs", type=int, default=N_CONVS)
     args = ap.parse_args()
-    if args.scaling:
+    if args.kg_run:
+        print(json.dumps(kg_run_once(args.cores, args.n_convs)))
+    elif args.scaling:
         res = bench_scaling(args.n_convs)
         print(json.dumps(res))
         if args.write_md:

@@ -140,35 +140,55 @@ def find_similar_entities(
 ) -> list[list[str]]:
     """Greedy single-pass grouping (aggregate.py:484-559): type-gate,
     then exact lowercase local-name match, then label fuzz >= threshold
-    (90 when types shared, else 85)."""
+    (90 when types shared, else 85).
+
+    Pure-speedup shortcuts (identical decisions): strings are lowered
+    once, ratio values are memoized per label pair (synthetic corpora
+    repeat labels heavily), and pairs whose length skew already bounds
+    the ratio below the lower threshold skip the LCS entirely
+    (LCS <= min(la, lb), so ratio <= 200*min/(la+lb))."""
     groups: list[list[str]] = []
     processed: set[str] = set()
     entities_list = list(entities.keys())
+    ln_lower = {e: m.local_name.lower() for e, m in entities.items()}
+    lb_lower = {
+        e: (m.label.lower() if m.label is not None else "")
+        for e, m in entities.items()
+    }
+    memo: dict[tuple[str, str], float] = {}
     for i, e1 in enumerate(entities_list):
         if e1 in processed:
             continue
         group = [e1]
-        info1 = entities[e1]
+        ln1 = ln_lower[e1]
+        label1 = lb_lower[e1]
+        l1 = len(label1)
         types1 = entity_types.get(e1, set())
+        has_types1 = bool(types1)
         processed.add(e1)
         for e2 in entities_list[i + 1 :]:
             if e2 in processed:
                 continue
-            info2 = entities[e2]
             types2 = entity_types.get(e2, set())
-            if types1 and types2 and not (types1 & types2):
+            shared = types1 & types2 if (has_types1 and types2) else set()
+            if has_types1 and types2 and not shared:
                 continue  # conflicting type info
-            if info1.local_name.lower() == info2.local_name.lower():
+            if ln1 == ln_lower[e2]:
                 group.append(e2)
                 processed.add(e2)
                 continue
-            label1 = info1.label.lower() if info1.label is not None else ""
-            label2 = info2.label.lower() if info2.label is not None else ""
+            label2 = lb_lower[e2]
             if label1 and label2:
-                threshold = (
-                    SEMANTIC_THRESHOLD if types1 & types2 else SIMILARITY_THRESHOLD
-                )
-                if ratio(label1, label2) >= threshold:
+                threshold = SEMANTIC_THRESHOLD if shared else SIMILARITY_THRESHOLD
+                l2 = len(label2)
+                if 200.0 * min(l1, l2) < threshold * (l1 + l2):
+                    continue  # ratio upper bound below threshold
+                key = (label1, label2)
+                r = memo.get(key)
+                if r is None:
+                    r = ratio(label1, label2)
+                    memo[key] = r
+                if r >= threshold:
                     group.append(e2)
                     processed.add(e2)
         if len(group) > 1:
@@ -190,25 +210,42 @@ def find_similar_predicates(
     groups: list[list[str]] = []
     processed: set[str] = set()
     preds_list = list(predicates.keys())
+    ln_lower = {p: m.local_name.lower() for p, m in predicates.items()}
+    lb_lower = {
+        p: (m.label.lower() if m.label is not None else None)
+        for p, m in predicates.items()
+    }
+    memo: dict[tuple[str, str], float] = {}
     for i, p1 in enumerate(preds_list):
         if p1 in processed:
             continue
         group = [p1]
         info1 = predicates[p1]
+        ln1 = ln_lower[p1]
+        label1 = lb_lower[p1]
         processed.add(p1)
         for p2 in preds_list[i + 1 :]:
             if p2 in processed:
                 continue
             info2 = predicates[p2]
-            if info1.local_name.lower() == info2.local_name.lower():
+            if ln1 == ln_lower[p2]:
                 if _domain_range_compatible(info1, info2):
                     group.append(p2)
                     processed.add(p2)
                 continue
-            if info1.label is not None and info2.label is not None:
-                if ratio(
-                    info1.label.lower(), info2.label.lower()
-                ) >= SIMILARITY_THRESHOLD and _domain_range_compatible(info1, info2):
+            label2 = lb_lower[p2]
+            if label1 is not None and label2 is not None:
+                l1, l2 = len(label1), len(label2)
+                if 200.0 * min(l1, l2) < SIMILARITY_THRESHOLD * (l1 + l2):
+                    continue
+                key = (label1, label2)
+                r = memo.get(key)
+                if r is None:
+                    r = ratio(label1, label2)
+                    memo[key] = r
+                if r >= SIMILARITY_THRESHOLD and _domain_range_compatible(
+                    info1, info2
+                ):
                     group.append(p2)
                     processed.add(p2)
         if len(group) > 1:
