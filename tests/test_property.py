@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the pure kernels."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ontocast_spark.kernels.fuzz import lcs_len, ratio
+from ontocast_spark.kernels.rdfterms import (
+    clean_local_name,
+    derive_ontology_id,
+    render_text_hash,
+)
+from ontocast_spark.sources.turtle import parse_turtle, serialize_turtle
+
+short_text = st.text(
+    alphabet=st.characters(codec="ascii", categories=["L", "N", "Zs"]),
+    max_size=40,
+)
+
+
+def lcs_dp(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    dp = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m):
+        for j in range(n):
+            dp[i + 1][j + 1] = (
+                dp[i][j] + 1 if a[i] == b[j] else max(dp[i][j + 1], dp[i + 1][j])
+            )
+    return dp[m][n]
+
+
+@given(short_text, short_text)
+@settings(max_examples=300)
+def test_lcs_matches_dp(a, b):
+    assert lcs_len(a, b) == lcs_dp(a, b)
+
+
+@given(short_text, short_text)
+def test_ratio_bounds_and_symmetry(a, b):
+    r = ratio(a, b)
+    assert 0.0 <= r <= 100.0
+    assert ratio(a, b) == ratio(b, a)
+    assert ratio(a, a) == 100.0
+
+
+@given(st.text(max_size=200))
+def test_hash_id_shape(t):
+    h = render_text_hash(t)
+    assert len(h) == 12 and all(c in "0123456789abcdef" for c in h)
+
+
+@given(st.text(max_size=80))
+def test_clean_local_name_is_iri_safe(t):
+    c = clean_local_name(t)
+    assert c
+    assert "__" not in c
+    assert not c.startswith("_") and not c.endswith("_")
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=100))
+def test_derive_ontology_id_never_raises(t):
+    out = derive_ontology_id(t)
+    assert isinstance(out, str) and out
+
+
+iri_st = st.from_regex(r"https://ex\.com/[a-z]{1,8}(#[A-Za-z]{1,8}|/[a-z]{1,8})", fullmatch=True)
+lit_st = st.text(
+    alphabet=st.characters(codec="ascii", categories=["L", "N", "Zs", "P"]),
+    max_size=30,
+).filter(lambda s: "\r" not in s)
+
+
+@given(
+    st.lists(
+        st.tuples(iri_st, iri_st, st.one_of(iri_st, lit_st), st.booleans()),
+        max_size=20,
+    )
+)
+@settings(max_examples=100)
+def test_turtle_roundtrip_random(rows):
+    triples = [
+        (s, p, (o if lit or "://" in str(o) else "https://ex.com/o"), bool(lit), None)
+        for s, p, o, lit in rows
+    ]
+    ttl = serialize_turtle(triples, {"ex": "https://ex.com/"})
+    parsed, _ = parse_turtle(ttl)
+    assert set(parsed) == set(map(tuple, triples))
