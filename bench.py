@@ -149,7 +149,7 @@ def kg_run_once(cores: int, n_convs: int) -> dict:
     }
 
 
-def bench_scaling(n_convs: int) -> dict:
+def bench_scaling(n_convs: int, small: int = 8, large: int = 32) -> dict:
     """Run the identical job at 8 and 32 cores. Each level runs in a
     subprocess pinned with taskset to exactly that many physical CPUs --
     otherwise the JVM's GC/shuffle threads and the Python workers of the
@@ -160,7 +160,7 @@ def bench_scaling(n_convs: int) -> dict:
 
     results = {}
     have_taskset = shutil.which("taskset") is not None
-    for cores in (8, 32):
+    for cores in (small, large):
         cmd = []
         if have_taskset:
             cmd += ["taskset", "-c", f"0-{cores - 1}"]
@@ -172,12 +172,14 @@ def bench_scaling(n_convs: int) -> dict:
             cmd, capture_output=True, text=True, check=True
         ).stdout.strip().splitlines()[-1]
         results[cores] = json.loads(out)
-    eff = results[32]["turns_per_sec"] / results[8]["turns_per_sec"] / 4.0
+    factor = large / small
+    eff = results[large]["turns_per_sec"] / results[small]["turns_per_sec"] / factor
     return {
         "n_convs": n_convs,
         "cpu_pinned": have_taskset,
-        "local8": results[8],
-        "local32": results[32],
+        f"local{small}": results[small],
+        f"local{large}": results[large],
+        "scale_factor": factor,
         "scaling_efficiency": round(eff, 3),
     }
 
@@ -189,24 +191,26 @@ def main():
     ap.add_argument("--cores", type=int, default=CPUS)
     ap.add_argument("--write-md", action="store_true")
     ap.add_argument("--n-convs", type=int, default=N_CONVS)
+    ap.add_argument("--cores-small", type=int, default=8)
+    ap.add_argument("--cores-large", type=int, default=32)
     args = ap.parse_args()
     if args.kg_run:
         print(json.dumps(kg_run_once(args.cores, args.n_convs)))
     elif args.scaling:
-        res = bench_scaling(args.n_convs)
+        res = bench_scaling(args.n_convs, args.cores_small, args.cores_large)
         print(json.dumps(res))
         if args.write_md:
             md = (
                 "\n## Measured scaling evidence (bench.py --scaling)\n\n"
                 f"KG pipeline over {res['n_convs']} synthetic conversations "
-                f"({res['local32']['turns']} turns), identical input, "
+                f"({res[f'local{args.cores_large}']['turns']} turns), identical input, "
                 "identical job:\n\n"
                 "| cores | elapsed (s) | turns/sec |\n|---|---|---|\n"
-                f"| local[8] | {res['local8']['elapsed_sec']} | "
-                f"{res['local8']['turns_per_sec']} |\n"
-                f"| local[32] | {res['local32']['elapsed_sec']} | "
-                f"{res['local32']['turns_per_sec']} |\n\n"
-                f"Scaling efficiency (T32/T8)/4 = "
+                f"| local[{args.cores_small}] | {res[f'local{args.cores_small}']['elapsed_sec']} | "
+                f"{res[f'local{args.cores_small}']['turns_per_sec']} |\n"
+                f"| local[{args.cores_large}] | {res[f'local{args.cores_large}']['elapsed_sec']} | "
+                f"{res[f'local{args.cores_large}']['turns_per_sec']} |\n\n"
+                f"Scaling efficiency (T_large/T_small)/{res['scale_factor']:.0f} = "
                 f"**{res['scaling_efficiency']}** (target >= 0.8).\n"
             )
             os.makedirs("BENCH", exist_ok=True)
