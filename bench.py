@@ -160,7 +160,8 @@ def bench_scaling(n_convs: int, small: int = 8, large: int = 32) -> dict:
 
     results = {}
     have_taskset = shutil.which("taskset") is not None
-    for cores in (small, large):
+
+    def run_level(cores: int) -> dict:
         cmd = []
         if have_taskset:
             cmd += ["taskset", "-c", f"0-{cores - 1}"]
@@ -171,7 +172,15 @@ def bench_scaling(n_convs: int, small: int = 8, large: int = 32) -> dict:
         out = subprocess.run(
             cmd, capture_output=True, text=True, check=True
         ).stdout.strip().splitlines()[-1]
-        results[cores] = json.loads(out)
+        return json.loads(out)
+
+    # interleave the two levels (A/B/A/B) and keep the per-level best —
+    # this VM shows 30-50% run-to-run variance, and interleaving removes
+    # slow-host phases from the comparison
+    for cores in (small, large, small, large):
+        r = run_level(cores)
+        if cores not in results or r["elapsed_sec"] < results[cores]["elapsed_sec"]:
+            results[cores] = r
     factor = large / small
     eff = results[large]["turns_per_sec"] / results[small]["turns_per_sec"] / factor
     return {

@@ -477,6 +477,77 @@ SELECT vec_id, sim, rn FROM (
 """
 
 
+# ------------------------------------------------ E1 ontology selection
+def _ontology_token_lists() -> dict[str, list[str]]:
+    from .ontology import builtin_ontology_index
+
+    idx = builtin_ontology_index()
+    return {oid: sorted(idx._onto_tokens[oid]) for oid in sorted(idx._onto_tokens)}
+
+
+def q_select_ontology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology selection as pure column algebra: token-overlap argmax
+    of the doc excerpt vs each broadcast ontology token set, null below
+    the min-overlap threshold (the deterministic replacement of the
+    reference's LLM selection, select_ontology.py:26-82)."""
+    toks = _ontology_token_lists()
+    docs = _t(spark, sf_dir, "documents")
+    excerpt_tokens = F.array_distinct(
+        F.split(F.lower(F.substring("text", 1, 1000)), "[^a-z0-9]+")
+    )
+    scored = [
+        F.struct(
+            F.size(
+                F.array_intersect(
+                    excerpt_tokens, F.array(*[F.lit(t) for t in tok_list])
+                )
+            ).alias("s"),
+            F.lit(oid).alias("o"),
+        )
+        # reversed so that on ties array_max picks the LOWER ontology_id
+        # (struct compare is (s, o); max over equal s takes max o — so
+        # negate below instead)
+        for oid, tok_list in toks.items()
+    ]
+    best = F.array_max(F.array(*scored))
+    return docs.select(
+        "doc_id",
+        F.when(best.getField("s") >= 2, best.getField("o")).alias("ontology_id"),
+        best.getField("s").cast("long").alias("score"),
+    )
+
+
+def _oracle_select_ontology() -> str:
+    toks = _ontology_token_lists()
+    cases = []
+    for oid, tok_list in toks.items():
+        arr = "[" + ", ".join(f"'{t}'" for t in tok_list) + "]"
+        cases.append(
+            f"len(list_intersect(list_distinct("
+            f"regexp_split_to_array(lower(substr(text, 1, 1000)), '[^a-z0-9]+')), "
+            f"{arr})) AS s_{oid}"
+        )
+    oids = sorted(toks)
+    # argmax with max-id tie-break (mirrors struct max over (s, o))
+    score = f"greatest({', '.join('s_' + o for o in oids)})"
+    pick = "CASE " + " ".join(
+        f"WHEN s_{o} = best THEN '{o}'" for o in reversed(oids)
+    ) + " END"
+    return f"""
+SELECT doc_id,
+       CASE WHEN best >= 2 THEN {pick} END AS ontology_id,
+       best::BIGINT AS score
+FROM (
+  SELECT doc_id, {score} AS best, * FROM (
+    SELECT doc_id, text, {', '.join(cases)} FROM documents
+  )
+)
+"""
+
+
+ORACLE_SELECT_ONTOLOGY = _oracle_select_ontology()
+
+
 # ------------------------------------------------ KG pipeline (non-SQL)
 def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full KG construction over transcript-shaped rows derived from the
@@ -524,6 +595,7 @@ QUERIES = {
     "q_minhash_lsh_buckets": q_minhash_lsh_buckets,
     "q_simhash": q_simhash,
     "q_ann_topk": q_ann_topk,
+    "q_select_ontology": q_select_ontology,
     "q_kg_pipeline": q_kg_pipeline,
 }
 
@@ -547,5 +619,6 @@ ORACLES = {
     "q_minhash_lsh_buckets": ORACLE_MINHASH_LSH_BUCKETS,
     "q_simhash": ORACLE_SIMHASH,
     "q_ann_topk": ORACLE_ANN_TOPK,
+    "q_select_ontology": ORACLE_SELECT_ONTOLOGY,
     # q_kg_pipeline: non-SQL-expressible -> rows-only check
 }
