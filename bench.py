@@ -29,7 +29,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # synthetic KG corpus size for the throughput benchmark
-N_CONVS = int(os.environ.get("BENCH_KG_CONVS", "2000"))
+N_CONVS = int(os.environ.get("BENCH_KG_CONVS", "20000"))
 
 HEADLINE = [
     "q_kg_pipeline",
@@ -102,6 +102,7 @@ def bench_default() -> dict:
     for name in HEADLINE:
         t0 = time.perf_counter()
         if name == "q_kg_pipeline":
+            run_kg_job(spark, max(N_CONVS // 10, 10))  # JIT/codegen warmup
             elapsed, n_turns, n_triples = run_kg_job(spark, N_CONVS)
             queries[name] = round(elapsed, 3)
             kg_stats = {
@@ -110,6 +111,8 @@ def bench_default() -> dict:
                 "kg_turns_per_sec": round(n_turns / elapsed, 1),
             }
         else:
+            _count(QUERIES[name](spark, SF_DIR))  # codegen/JIT warmup
+            t0 = time.perf_counter()
             _count(QUERIES[name](spark, SF_DIR))
             queries[name] = round(time.perf_counter() - t0, 3)
         total += queries[name]
