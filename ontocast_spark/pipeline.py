@@ -108,7 +108,12 @@ def run_pipeline(
                 if kgio.stage_exists(spark, warehouse, "kg_canon")
                 else "overwrite"
             )
-            kgio.write_stage(combined, warehouse, "kg_canon", run_id, mode=mode)
+            # partition by row_kind: downstream row_kind filters become
+            # partition pruning instead of data scans
+            kgio.write_stage(
+                combined, warehouse, "kg_canon", run_id, mode=mode,
+                partition_by=("row_kind",),
+            )
             combined = kgio.read_stage(spark, warehouse, "kg_canon")
             ontology_rows = combined.filter(
                 F.col("row_kind") == "ontology"
