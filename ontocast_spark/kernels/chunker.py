@@ -117,7 +117,11 @@ def chunk_document(
     max_chunk_size: int = MAX_CHUNK_SIZE,
 ) -> list[str]:
     """Full chunking: split + bounded recursive re-chunk of oversized
-    pieces with trailing-minichunk merge (chunker.py:51-71)."""
+    pieces with trailing-minichunk merge (chunker.py:51-71). An
+    empty/whitespace document yields no chunks (the reference routes
+    such documents to NO_CHUNKS_TO_PROCESS, check_chunks.py)."""
+    if not text or not text.strip():
+        return []
     docs = [text]
     while True:
         if all(len(d) < max_chunk_size for d in docs):

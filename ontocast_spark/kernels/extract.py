@@ -55,10 +55,10 @@ from .rdfterms import (
     clean_local_name,
 )
 
-EXTRACTOR_VERSION = 1
+EXTRACTOR_VERSION = 2  # v2: unicode-aware mention detection
 
 SENT_SPLIT_RE = re.compile(r"(?<=[.?!])\s+")
-MENTION_RE = re.compile(r"\b[A-Z][A-Za-z0-9&.'-]*(?:\s+[A-Z][A-Za-z0-9&.'-]*)*")
+_WORDTOK_RE = re.compile(r"[\w&.'-]+", re.UNICODE)
 NUMBER_RE = re.compile(r"(\$\s?\d[\d,]*(?:\.\d+)?|\d[\d,]*(?:\.\d+)?\s?%|\b\d[\d,]*(?:\.\d+)?\b)")
 DATE_RE = re.compile(r"\b(\d{4}-\d{2}-\d{2})\b")
 _WORD_RE = re.compile(r"[a-z]+")
@@ -89,9 +89,34 @@ def _trim_mention(mention: str) -> str:
         # ("Inc.") or a single-initial ("D." as in "John D.")
         if last.endswith(".") and last.lower() not in _KEEP_DOT and len(last) > 2:
             tokens[-1] = last.rstrip(".")
-    if len(tokens) == 1 and re.fullmatch(r"[A-Z]\.?", tokens[0]):
+    if len(tokens) == 1 and len(tokens[0].rstrip(".")) == 1:
         return ""  # lone initial is noise, not an entity
     return " ".join(tokens)
+
+
+def _find_mentions(sentence: str):
+    """Capitalized-token runs: consecutive tokens (whitespace-separated
+    only) whose first character is an uppercase letter. Unicode-aware
+    ("Müller", "Ünïcode"); yields (phrase, start, end)."""
+    runs: list[list[tuple[str, int, int]]] = []
+    cur: list[tuple[str, int, int]] = []
+    for m in _WORDTOK_RE.finditer(sentence):
+        tok = m.group(0)
+        if tok[0].isupper():
+            if cur and sentence[cur[-1][2]:m.start()].strip() == "":
+                cur.append((tok, m.start(), m.end()))
+            else:
+                if cur:
+                    runs.append(cur)
+                cur = [(tok, m.start(), m.end())]
+        else:
+            if cur:
+                runs.append(cur)
+                cur = []
+    if cur:
+        runs.append(cur)
+    for run in runs:
+        yield " ".join(t for t, _, _ in run), run[0][1], run[-1][2]
 
 
 def _slug(phrase: str) -> str:
@@ -123,12 +148,12 @@ def extract_chunk_triples(
         if not sentence.strip():
             continue
         mentions: list[tuple[str, int, int, str]] = []  # (phrase, start, end, iri)
-        for m in MENTION_RE.finditer(sentence):
-            phrase = _trim_mention(m.group(0))
+        for raw_phrase, m_start, m_end in _find_mentions(sentence):
+            phrase = _trim_mention(raw_phrase)
             if not phrase or len(phrase) < 2:
                 continue
             iri = chunk_ns + _slug(phrase)
-            mentions.append((phrase, m.start(), m.end(), iri))
+            mentions.append((phrase, m_start, m_end, iri))
             add(iri, RDFS_LABEL, phrase, lit=True)
             term = ontology.class_by_phrase.get(phrase.lower())
             if term is None:

@@ -1,0 +1,54 @@
+"""Edge-case hardening: nulls, empties, unicode, degenerate shapes."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from ontocast_spark.kernels.chunker import chunk_document, split_text
+from ontocast_spark.kernels.extract import extract_chunk_triples
+from ontocast_spark.ontology import builtin_ontology_index
+from ontocast_spark.pipeline import run_pipeline
+from ontocast_spark.schemas import CONVERSATIONS
+
+TS = datetime(2024, 1, 1)
+
+
+def test_pipeline_survives_nulls_and_empties(spark):
+    rows = [
+        ("c_empty", 0, "user", "", None, TS),
+        ("c_null", 0, "user", None, None, TS),
+        ("c_one", 0, "user", "Acme Corp employs Dana Fox.", None, TS),
+        ("c_uni", 0, "user", "Café Müller acquired Søren & Brütal GmbH.", None, TS),
+        ("c_uni", 1, "assistant", "The café owner works at Café Müller.", None, TS),
+        ("c_dupidx", 0, "user", "Stark Industries issued a security.", None, TS),
+        ("c_dupidx", 0, "tool", "Stark Industries issued a security.", "search", TS),
+    ]
+    conv = spark.createDataFrame(rows, CONVERSATIONS)
+    out = run_pipeline(spark, conv)
+    kg = out["kg_triples"].collect()
+    convs = {r["conv_id"] for r in kg}
+    assert "c_one" in convs
+    assert "c_uni" in convs  # unicode survives end-to-end
+    assert all(r["subj"] is not None and r["obj"] is not None for r in kg)
+    # degenerate conversations don't crash and produce no phantom triples
+    assert out["kg_triples"].filter(F.col("conv_id") == "c_null").count() == 0
+
+
+def test_chunker_degenerate_inputs():
+    assert chunk_document("") == []
+    assert chunk_document("   \n\n  ") == []
+    assert chunk_document("one sentence only") == ["one sentence only"]
+    assert split_text("") == []
+    # a giant single sentence cannot be split below max: loop terminates
+    giant = "word " * 6000  # 30k chars, no sentence boundaries
+    out = chunk_document(giant.strip())
+    assert len(out) >= 1
+
+
+def test_extractor_degenerate_inputs():
+    idx = builtin_ontology_index()
+    ns = "https://x/doc/1/chunk/2/"
+    assert extract_chunk_triples("", ns, idx, None) == []
+    assert extract_chunk_triples("no capitals here.", ns, idx, "fin") == []
+    t = extract_chunk_triples("Ünïcode Näme works at Acme Corp.", ns, idx, "fin")
+    assert any(o == "Ünïcode Näme" for _, _, o, lit, _ in t if lit)
