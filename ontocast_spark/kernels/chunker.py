@@ -39,11 +39,29 @@ EMBED_DIM = 64
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 
 
+# token -> bucket memo; vocabulary is tiny relative to token volume, so
+# this turns the per-token crc32+encode into a dict hit. Bounded so a
+# long-lived executor worker cannot grow it without limit.
+_BUCKET_CACHE: dict[str, int] = {}
+_BUCKET_CACHE_MAX = 1 << 16
+
+
 def hash_embed(text: str, dim: int = EMBED_DIM) -> np.ndarray:
     """Deterministic bag-of-hashed-tokens embedding (crc32 buckets)."""
     vec = np.zeros(dim, dtype=np.float64)
-    for tok in _TOKEN_RE.findall(text.lower()):
-        vec[zlib.crc32(tok.encode()) % dim] += 1.0
+    if dim == EMBED_DIM:
+        cache = _BUCKET_CACHE
+        get = cache.get
+        for tok in _TOKEN_RE.findall(text.lower()):
+            b = get(tok)
+            if b is None:
+                b = zlib.crc32(tok.encode()) % dim
+                if len(cache) < _BUCKET_CACHE_MAX:
+                    cache[tok] = b
+            vec[b] += 1.0
+    else:
+        for tok in _TOKEN_RE.findall(text.lower()):
+            vec[zlib.crc32(tok.encode()) % dim] += 1.0
     if not vec.any():
         vec[:] = 1.0
     return vec
