@@ -152,7 +152,7 @@ def kg_run_once(cores: int, n_convs: int) -> dict:
     }
 
 
-def bench_scaling(n_convs: int, small: int = 8, large: int = 32) -> dict:
+def bench_scaling(n_convs: int, small: int = 8, large: int = 32, repeats: int = 2) -> dict:
     """Run the identical job at 8 and 32 cores. Each level runs in a
     subprocess pinned with taskset to exactly that many physical CPUs --
     otherwise the JVM's GC/shuffle threads and the Python workers of the
@@ -180,7 +180,7 @@ def bench_scaling(n_convs: int, small: int = 8, large: int = 32) -> dict:
     # interleave the two levels (A/B/A/B) and keep the per-level best —
     # this VM shows 30-50% run-to-run variance, and interleaving removes
     # slow-host phases from the comparison
-    for cores in (small, large, small, large):
+    for cores in (small, large) * repeats:
         r = run_level(cores)
         if cores not in results or r["elapsed_sec"] < results[cores]["elapsed_sec"]:
             results[cores] = r
@@ -205,11 +205,12 @@ def main():
     ap.add_argument("--n-convs", type=int, default=N_CONVS)
     ap.add_argument("--cores-small", type=int, default=8)
     ap.add_argument("--cores-large", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
     if args.kg_run:
         print(json.dumps(kg_run_once(args.cores, args.n_convs)))
     elif args.scaling:
-        res = bench_scaling(args.n_convs, args.cores_small, args.cores_large)
+        res = bench_scaling(args.n_convs, args.cores_small, args.cores_large, args.repeats)
         print(json.dumps(res))
         if args.write_md:
             md = (
