@@ -40,8 +40,14 @@ def write_stage(
     spark = df.sparkSession
     path = os.path.join(warehouse, stage)
     if _use_iceberg(spark):
+        from pyspark.sql import functions as F_  # local alias
+
         writer = df.writeTo(f"kg.{stage}")
         if mode == "overwrite":
+            # bucket the store by conv_id so per-conversation reads and
+            # the resume anti-join are partition-pruned at cluster scale
+            if "conv_id" in df.columns:
+                writer = writer.partitionedBy(F_.bucket(64, F_.col("conv_id")))
             writer.createOrReplace()
         else:
             writer.append()

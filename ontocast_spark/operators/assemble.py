@@ -16,8 +16,12 @@ Scale design (10^12 turns, skewed conversations):
   executor. Assembly is therefore hierarchical: turns first combine
   within fixed-size ``turn_idx`` buckets (bounded buffers, map-side
   partial aggregation applies), then the few bucket rows per
-  conversation concatenate in bucket order. Output is byte-identical to
-  the single-level concat because buckets are contiguous index ranges.
+  conversation concatenate in bucket order. The bucket id is exactly a
+  *deterministic salt* on the grouping key — this is the "salted
+  repartition by conv_id with skew-aware splitting of
+  mega-conversations" of the north rule, expressed so the salt is
+  derivable (contiguous index ranges) and the output byte-identical to
+  the single-level concat.
 - A hard ``max_turns`` cap (the analog of the reference's
   ``max_chunks`` head-limit, /root/reference/ontocast/agent/
   chunk_text.py:34-35) drops turn_idx >= cap before any shuffle, so a
