@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from functools import lru_cache
 from urllib.parse import urlparse
 
 # --- Namespaces (cf. /root/reference/ontocast/onto.py:88-101) ---
@@ -117,8 +118,10 @@ def _clean_derived_id(value: str) -> str:
     return _CLEAN_ID_RE.sub("", value).lower() or ONTOLOGY_NULL_ID
 
 
+@lru_cache(maxsize=1 << 16)
 def derive_ontology_id(iri: str) -> str:
-    """Local-name / ontology-id derivation.
+    """Local-name / ontology-id derivation (pure; memoized — IRIs repeat
+    heavily within a task).
 
     Behavior notes (faithful to the reference): the URL fragment is
     dropped by ``urlparse`` (so ``.../fsec#Document`` derives ``fsec``),
