@@ -548,6 +548,28 @@ FROM (
 ORACLE_SELECT_ONTOLOGY = _oracle_select_ontology()
 
 
+# ------------------------------------------ cross-doc canonicalization
+def q_crossdoc_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level entity resolution (token blocking -> fuzzy scoring ->
+    distributed connected components -> canonical minting) over
+    document-derived entities; non-SQL-expressible (iterative CC),
+    rows-only driver check. Deterministic: same input -> same mapping."""
+    from .operators.crossdoc import canonicalize_crossdoc
+
+    docs = _t(spark, sf_dir, "documents")
+    label = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
+    facts = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.concat(F.lit("https://kg/e/"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit("http://www.w3.org/2000/01/rdf-schema#label").alias("pred"),
+        label.alias("obj"),
+        F.lit(True).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    ).filter(F.length("obj") > 0)
+    _, mapping = canonicalize_crossdoc(facts, kg_namespace="https://kg/canon/")
+    return mapping.select("original_iri", "canonical_iri")
+
+
 # ------------------------------------------------ KG pipeline (non-SQL)
 def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full KG construction over transcript-shaped rows derived from the
@@ -597,6 +619,7 @@ QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_select_ontology": q_select_ontology,
     "q_kg_pipeline": q_kg_pipeline,
+    "q_crossdoc_canon": q_crossdoc_canon,
 }
 
 ORACLES = {
