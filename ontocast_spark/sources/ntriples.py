@@ -63,10 +63,13 @@ def read_ntriples(spark, path: str) -> DataFrame:
         "value", r'^<[^>]*> <[^>]*> "(?:[^"\\]|\\.)*"\^\^<([^>]*)> \.$', 1
     )
     is_lit = iri_obj == ""
-    unescape = lit_obj
-    for esc, raw in (("\\\\t", "\t"), ("\\\\r", "\r"), ("\\\\n", "\n"),
-                     ('\\\\"', '"'), ("\\\\\\\\", "\\\\")):
-        unescape = F.regexp_replace(unescape, esc, raw)
+    # single-pass-safe unescape: park escaped backslashes in a sentinel
+    # first (sequential replacement otherwise corrupts "\\" + "t" etc.)
+    sentinel = "\x01"  # cannot appear in spec-conforming NT literal text
+    unescape = F.replace(lit_obj, F.lit("\\\\"), F.lit(sentinel))
+    for esc, raw in (("\\t", "\t"), ("\\r", "\r"), ("\\n", "\n"), ('\\"', '"')):
+        unescape = F.replace(unescape, F.lit(esc), F.lit(raw))
+    unescape = F.replace(unescape, F.lit(sentinel), F.lit("\\"))
     return lines.select(
         F.regexp_extract("value", r"^<([^>]*)>", 1).alias("subj"),
         F.regexp_extract("value", r"^<[^>]*> <([^>]*)>", 1).alias("pred"),

@@ -45,14 +45,16 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-_ESCAPES = {"\\n": "\n", "\\t": "\t", "\\r": "\r", '\\"': '"', "\\\\": "\\"}
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}
+_UNESCAPE_RE = re.compile(r"\\(.)", re.DOTALL)
 
 
 def _unescape(s: str) -> str:
-    out = s
-    for k, v in _ESCAPES.items():
-        out = out.replace(k, v)
-    return out
+    # single left-to-right pass — sequential str.replace mis-handles a
+    # literal backslash followed by n/t/r (escape-order bug)
+    return _UNESCAPE_RE.sub(
+        lambda m: _ESCAPES.get(m.group(1), m.group(1)), s
+    )
 
 
 def _tokenize(text: str):

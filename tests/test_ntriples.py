@@ -35,6 +35,9 @@ def test_ntriples_roundtrip(spark, tmp_path):
 def test_ntriples_escaping(spark, tmp_path):
     rows = [
         ("https://x/s", "https://x/p", 'he said "hi"\nnewline\ttab\\slash', True, None),
+        # escape-order traps: literal backslash followed by r/n/t
+        ("https://x/s", "https://x/p", "\\r", True, None),
+        ("https://x/s", "https://x/p", "\\n\\t\\\\", True, None),
         ("https://x/s", "https://x/p", "https://x/o", False, None),
     ]
     df = spark.createDataFrame(
@@ -45,3 +48,5 @@ def test_ntriples_escaping(spark, tmp_path):
     back = read_ntriples(spark, out)
     objs = {r["obj"] for r in back.filter("obj_is_literal").collect()}
     assert 'he said "hi"\nnewline\ttab\\slash' in objs
+    assert "\\r" in objs
+    assert "\\n\\t\\\\" in objs
