@@ -288,7 +288,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SESSIONIZE = """
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events FROM (
   SELECT user_id,
          CASE WHEN prev_ts IS NULL
                    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000

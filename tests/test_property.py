@@ -1,6 +1,6 @@
 """Property-based tests (hypothesis) for the pure kernels."""
 
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from ontocast_spark.kernels.fuzz import lcs_len, ratio
@@ -62,11 +62,14 @@ def test_derive_ontology_id_never_raises(t):
     assert isinstance(out, str) and out
 
 
-iri_st = st.from_regex(r"https://ex\.com/[a-z]{1,8}(#[A-Za-z]{1,8}|/[a-z]{1,8})", fullmatch=True)
-lit_st = st.text(
-    alphabet=st.characters(codec="ascii", categories=["L", "N", "Zs", "P"]),
-    max_size=30,
-).filter(lambda s: "\r" not in s)
+# Bounded alphabets (no character-category lookups, no regex strategies, no
+# .filter rejections) — keeps generation fast even on a Spark-loaded box; see
+# VERDICT.md round 1 "What's wrong" #2 (hypothesis FailedHealthCheck flake).
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=8)
+iri_st = st.builds(
+    lambda a, sep, b: f"https://ex.com/{a}{sep}{b}", _word, st.sampled_from("#/"), _word
+)
+lit_st = st.text(alphabet='abc XYZ019.,;!"\\\n\t', max_size=30)
 
 
 @given(
@@ -75,7 +78,11 @@ lit_st = st.text(
         max_size=20,
     )
 )
-@settings(max_examples=100)
+@settings(
+    max_examples=100,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
 def test_turtle_roundtrip_random(rows):
     triples = [
         (s, p, (o if lit or "://" in str(o) else "https://ex.com/o"), bool(lit), None)
