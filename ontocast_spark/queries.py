@@ -570,15 +570,11 @@ def q_crossdoc_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapping.select("original_iri", "canonical_iri")
 
 
-# ------------------------------------------------ KG pipeline (non-SQL)
-def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full KG construction over transcript-shaped rows derived from the
-    events table (non-SQL-expressible: chunker + extractor + greedy
-    canonicalization kernels; rows-only driver check)."""
-    from .pipeline import PipelineConfig, run_pipeline
-
-    events = _t(spark, sf_dir, "events")
-    conv = events.select(
+def _kg_conv(events: DataFrame) -> DataFrame:
+    """The transcript-shaped input q_kg_pipeline consumes — factored out
+    so the oracled invariant query (q_kg_doc_invariant) pins the exact
+    same derivation."""
+    return events.select(
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
         F.col("event_id").cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
@@ -593,8 +589,156 @@ def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("tool"),
         F.col("ts"),
     )
-    out = run_pipeline(spark, conv, config=PipelineConfig(max_turns=200))
+
+
+# ------------------------------------------------ KG pipeline (non-SQL)
+def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KG construction over transcript-shaped rows derived from the
+    events table (non-SQL-expressible: chunker + extractor + greedy
+    canonicalization kernels; rows-only driver check — the document-
+    assembly stage it consumes is pinned by the oracled
+    q_kg_doc_invariant below)."""
+    from .pipeline import PipelineConfig, run_pipeline
+
+    events = _t(spark, sf_dir, "events")
+    out = run_pipeline(
+        spark, _kg_conv(events), config=PipelineConfig(max_turns=200)
+    )
     return out["kg_triples"]
+
+
+# -------------------------------- KG pipeline input invariant (oracled)
+def q_kg_doc_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled invariant projection of q_kg_pipeline's input stage: the
+    exact per-conversation document (doc_hid, n_turns, full text) the
+    pipeline's mapInPandas stage consumes, produced by the REAL
+    hierarchical assembly operator over the REAL q_kg_pipeline input
+    derivation (_kg_conv, max_turns=200). The value-hash over the raw
+    text column is the per-turn text-equality invariant of the north
+    rule, checked end-to-end against DuckDB."""
+    from .operators.assemble import assemble_documents
+
+    conv = _kg_conv(_t(spark, sf_dir, "events"))
+    docs = assemble_documents(conv, max_turns=200)
+    return docs.select("conv_id", "doc_hid", "n_turns", "text")
+
+
+ORACLE_KG_DOC_INVARIANT = """
+SELECT conv_id, substr(sha256(text), 1, 12) AS doc_hid, n_turns, text
+FROM (
+  SELECT 'u' || user_id::VARCHAR AS conv_id,
+         string_agg(txt, chr(10) || chr(10) ORDER BY turn_idx) AS text,
+         count(*)::BIGINT AS n_turns
+  FROM (
+    SELECT user_id, event_id::INT AS turn_idx,
+           'User Account reported revenue of $' || round(value, 2)::VARCHAR
+             || ' million after the ' || event_type
+             || ' event. Acme Corp employs Dana Fox.' AS txt
+    FROM events
+    WHERE event_id::INT < 200
+  )
+  GROUP BY user_id
+)
+"""
+
+
+# ---------------------- cross-doc canonicalization, exact-match variant
+def q_crossdoc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled invariant projection of the cross-document
+    canonicalization path: the exact-lowercase-local-name sub-semantics
+    (no fuzzy pandas-UDF edges) run through the REAL operators —
+    entity_metadata -> blocked candidate_pairs -> match_edges ->
+    distributed connected components -> canonical minting with _N
+    collision suffixes — which DuckDB replicates with window functions.
+    Block cap is lifted (1e9) so the capped-recall dial doesn't enter
+    the oracle; the capped scale path is covered by tests/test_crossdoc
+    P/R >= 0.95."""
+    from .operators.crossdoc import (
+        canonical_mapping,
+        candidate_pairs,
+        entity_metadata,
+        match_edges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    tok = F.regexp_replace(F.element_at(words, 1), r"[^a-zA-Z0-9_\-]", "")
+    label = F.array_join(F.slice(words, 1, 3), " ")
+    facts = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.concat(
+            F.lit("https://kg/d"), F.col("doc_id").cast("string"),
+            F.lit("/"), tok,
+        ).alias("subj"),
+        F.lit("http://www.w3.org/2000/01/rdf-schema#label").alias("pred"),
+        label.alias("obj"),
+        F.lit(True).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        tok.alias("_tok"),
+    ).filter((F.length("_tok") > 0) & (F.length("obj") > 0)).drop("_tok")
+    meta = entity_metadata(facts)
+    pairs = candidate_pairs(meta, max_block_size=1_000_000_000)
+    edges = match_edges(pairs, exact_only=True)
+    mapping = canonical_mapping(meta, edges, "https://kg/canon/")
+    return mapping.select("original_iri", "canonical_iri")
+
+
+ORACLE_CROSSDOC_EXACT = """
+WITH ents AS (
+  SELECT 'https://kg/d' || doc_id::VARCHAR || '/' || tok AS entity,
+         lower(tok) AS ln,
+         label
+  FROM (
+    SELECT doc_id,
+           regexp_replace(split_part(text, ' ', 1), '[^a-zA-Z0-9_-]', '', 'g') AS tok,
+           array_to_string(string_split(text, ' ')[1:3], ' ') AS label
+    FROM documents
+  )
+  WHERE length(tok) > 0 AND length(label) > 0
+),
+comps AS (  -- exact-equality components; comp id = min member IRI
+  SELECT entity, ln, label,
+         min(entity) OVER (PARTITION BY ln) AS comp,
+         count(*) OVER (PARTITION BY ln) AS n
+  FROM ents
+),
+members AS (SELECT * FROM comps WHERE n > 1),
+rep AS (    -- representative = longest label, tie -> max IRI
+  SELECT comp, ln FROM (
+    SELECT comp, ln,
+           row_number() OVER (
+             PARTITION BY comp
+             ORDER BY length(coalesce(label, '')) DESC, entity DESC
+           ) AS rn
+    FROM members
+  ) WHERE rn = 1
+),
+minted AS ( -- clean_local_name + _N collision suffix by comp order
+  SELECT comp,
+         CASE WHEN rn = 1 THEN 'https://kg/canon/' || cname
+              ELSE 'https://kg/canon/' || cname || '_' || (rn - 1)::VARCHAR
+         END AS canonical_iri
+  FROM (
+    SELECT comp, cname,
+           row_number() OVER (PARTITION BY cname ORDER BY comp) AS rn
+    FROM (
+      SELECT comp,
+             CASE WHEN c3 = '' THEN 'entity' ELSE c3 END AS cname
+      FROM (
+        SELECT comp,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(ln, '[^a-zA-Z0-9_\\-.]', '_', 'g'),
+                   '_+', '_', 'g'),
+                 '^_+|_+$', '', 'g') AS c3
+        FROM rep
+      )
+    )
+  )
+)
+SELECT m.entity AS original_iri, t.canonical_iri
+FROM members m JOIN minted t USING (comp)
+"""
 
 
 QUERIES = {
@@ -619,7 +763,9 @@ QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_select_ontology": q_select_ontology,
     "q_kg_pipeline": q_kg_pipeline,
+    "q_kg_doc_invariant": q_kg_doc_invariant,
     "q_crossdoc_canon": q_crossdoc_canon,
+    "q_crossdoc_exact": q_crossdoc_exact,
 }
 
 ORACLES = {
@@ -643,5 +789,9 @@ ORACLES = {
     "q_simhash": ORACLE_SIMHASH,
     "q_ann_topk": ORACLE_ANN_TOPK,
     "q_select_ontology": ORACLE_SELECT_ONTOLOGY,
-    # q_kg_pipeline: non-SQL-expressible -> rows-only check
+    # q_kg_pipeline / q_crossdoc_canon: non-SQL-expressible (mapInPandas
+    # kernels / iterative fuzzy CC) -> rows-only check; their
+    # SQL-expressible invariant projections ARE oracled:
+    "q_kg_doc_invariant": ORACLE_KG_DOC_INVARIANT,
+    "q_crossdoc_exact": ORACLE_CROSSDOC_EXACT,
 }
