@@ -92,3 +92,133 @@ def connectivity_report(facts: DataFrame) -> DataFrame:
             "is_fully_connected boolean"
         ),
     )
+
+
+# -------------------------------------------------- V4: predicate usage
+def predicate_stats(triples: DataFrame) -> DataFrame:
+    """One-row predicate statistics, cf. ``predicate_stats`` in the
+    reference's validate_predicates (/root/reference/ontocast/tool/
+    validate.py:157-186). Counts are per-predicate (a predicate with
+    two labels counts once), which fixes the reference's per-triple
+    increment quirk; ``has_required_properties`` /
+    ``domain_range_consistent`` match the reference booleans."""
+    from pyspark.sql import functions as F
+
+    from ..kernels.rdfterms import RDFS_DOMAIN, RDFS_LABEL, RDFS_RANGE
+
+    used = triples.select("pred").distinct()
+    meta = triples.filter(
+        F.col("pred").isin(RDFS_LABEL, RDFS_DOMAIN, RDFS_RANGE)
+    ).select(F.col("subj").alias("p"), F.col("pred").alias("mpred"))
+    flags = (
+        used.join(F.broadcast(meta), used.pred == meta.p, "left")
+        .groupBy("pred")
+        .agg(
+            F.max((F.col("mpred") == RDFS_LABEL).cast("int")).alias("has_label"),
+            F.max((F.col("mpred") == RDFS_DOMAIN).cast("int")).alias("has_domain"),
+            F.max((F.col("mpred") == RDFS_RANGE).cast("int")).alias("has_range"),
+        )
+    )
+    viol = predicate_violations(triples)
+    n_viol = viol.filter(F.col("kind") != "missing_label").count()
+    return flags.agg(
+        F.count(F.lit(1)).alias("total_predicates"),
+        F.sum(F.coalesce("has_label", F.lit(0))).alias("with_labels"),
+        F.sum(F.coalesce("has_domain", F.lit(0))).alias("with_domains"),
+        F.sum(F.coalesce("has_range", F.lit(0))).alias("with_ranges"),
+        (F.min(F.coalesce("has_label", F.lit(0))) == 1).alias(
+            "has_required_properties"
+        ),
+    ).withColumn("domain_range_consistent", F.lit(n_viol == 0))
+
+
+def predicate_violations(triples: DataFrame) -> DataFrame:
+    """Diagnostics rows for predicate misuse, cf. ``missing_labels`` and
+    ``domain_range_violations`` in /root/reference/ontocast/tool/
+    validate.py:157-248, re-expressed as triples-joins-types hash joins
+    (no graph iteration, no UDF):
+
+    - ``missing_label``: a used predicate with no (pred, rdfs:label, _)
+      triple;
+    - ``domain_violation``: a usage row whose subject has >= 1 declared
+      rdf:type and the predicate's rdfs:domain is not among them
+      (reference checks ``subject_type != domain`` on the FIRST type
+      found — set-iteration-order-dependent; the set-containment form
+      here is the deterministic strengthening);
+    - ``range_violation``: the symmetric check on IRI objects.
+
+    Declared domain/range per predicate = max(obj) for determinism (the
+    reference's last-write-wins over arbitrary set order).
+
+    Columns: (kind, pred, node, expected, actual) — ``actual`` is the
+    sorted comma-joined type set of the offending node.
+    """
+    from pyspark.sql import functions as F
+
+    from ..kernels.rdfterms import (
+        RDF_TYPE,
+        RDFS_DOMAIN,
+        RDFS_LABEL,
+        RDFS_RANGE,
+    )
+
+    used = triples.select("pred").distinct()
+    labeled = (
+        triples.filter(F.col("pred") == RDFS_LABEL)
+        .select(F.col("subj").alias("p"))
+        .distinct()
+    )
+    missing = (
+        used.join(F.broadcast(labeled), used.pred == labeled.p, "left_anti")
+        .select(
+            F.lit("missing_label").alias("kind"),
+            "pred",
+            F.lit(None).cast("string").alias("node"),
+            F.lit(None).cast("string").alias("expected"),
+            F.lit(None).cast("string").alias("actual"),
+        )
+    )
+    domains = (
+        triples.filter((F.col("pred") == RDFS_DOMAIN) & ~F.col("obj_is_literal"))
+        .groupBy(F.col("subj").alias("p"))
+        .agg(F.max("obj").alias("domain"))
+    )
+    ranges = (
+        triples.filter((F.col("pred") == RDFS_RANGE) & ~F.col("obj_is_literal"))
+        .groupBy(F.col("subj").alias("p"))
+        .agg(F.max("obj").alias("rng"))
+    )
+    types = (
+        triples.filter((F.col("pred") == RDF_TYPE) & ~F.col("obj_is_literal"))
+        .groupBy(F.col("subj").alias("node"))
+        .agg(F.array_sort(F.collect_set("obj")).alias("types"))
+    )
+    usage = triples.select("subj", "pred", "obj", "obj_is_literal")
+    dom_v = (
+        usage.join(F.broadcast(domains), usage.pred == domains.p)
+        .join(types, usage.subj == types.node)
+        .filter(~F.array_contains("types", F.col("domain")))
+        .select(
+            F.lit("domain_violation").alias("kind"),
+            "pred",
+            F.col("subj").alias("node"),
+            F.col("domain").alias("expected"),
+            F.array_join("types", ",").alias("actual"),
+        )
+        .distinct()
+    )
+    rng_v = (
+        usage.filter(~F.col("obj_is_literal"))
+        .join(F.broadcast(ranges), usage.pred == ranges.p)
+        .join(types, usage.obj == types.node)
+        .filter(~F.array_contains("types", F.col("rng")))
+        .select(
+            F.lit("range_violation").alias("kind"),
+            "pred",
+            F.col("obj").alias("node"),
+            F.col("rng").alias("expected"),
+            F.array_join("types", ",").alias("actual"),
+        )
+        .distinct()
+    )
+    return missing.union(dom_v).union(rng_v)

@@ -683,6 +683,107 @@ def q_crossdoc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapping.select("original_iri", "canonical_iri")
 
 
+# ------------------------------- V4: predicate usage validation (oracled)
+def q_validate_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-usage validation diagnostics (reference
+    /root/reference/ontocast/tool/validate.py:157-248) over a KG derived
+    from the documents table: per-doc entities typed by language, usage
+    edges doc->doc+1, and a small declared ontology (labels + domain/
+    range for two predicates). Emits (kind, pred, node, expected,
+    actual) violation rows via triples-joins-types hash joins."""
+    from .kernels.rdfterms import RDF_TYPE, RDFS_DOMAIN, RDFS_LABEL, RDFS_RANGE
+    from .operators.validation import predicate_violations
+
+    docs = _t(spark, sf_dir, "documents")
+    ent = lambda c: F.concat(F.lit("https://kg/e/"), c.cast("string"))  # noqa: E731
+    type_triples = docs.select(
+        ent(F.col("doc_id")).alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.concat(F.lit("https://kg/t/"), F.col("lang")).alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    usage = docs.select(
+        ent(F.col("doc_id")).alias("subj"),
+        F.concat(
+            F.lit("https://kg/p/"), (F.col("doc_id") % 3).cast("string")
+        ).alias("pred"),
+        ent(F.col("doc_id") + 1).alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    meta = spark.createDataFrame(
+        [
+            ("https://kg/p/0", RDFS_LABEL, "relation zero", True),
+            ("https://kg/p/0", RDFS_DOMAIN, "https://kg/t/en", False),
+            ("https://kg/p/0", RDFS_RANGE, "https://kg/t/en", False),
+            ("https://kg/p/1", RDFS_LABEL, "relation one", True),
+            ("https://kg/p/1", RDFS_DOMAIN, "https://kg/t/de", False),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    return predicate_violations(type_triples.union(usage).union(meta))
+
+
+ORACLE_VALIDATE_PREDICATES = """
+WITH type_t AS (
+  SELECT 'https://kg/e/' || doc_id::VARCHAR AS subj,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'https://kg/t/' || lang AS obj, FALSE AS lit
+  FROM documents
+),
+usage_t AS (
+  SELECT 'https://kg/e/' || doc_id::VARCHAR AS subj,
+         'https://kg/p/' || (doc_id % 3)::VARCHAR AS pred,
+         'https://kg/e/' || (doc_id + 1)::VARCHAR AS obj, FALSE AS lit
+  FROM documents
+),
+meta_t AS (
+  SELECT * FROM (VALUES
+    ('https://kg/p/0', 'http://www.w3.org/2000/01/rdf-schema#label', 'relation zero', TRUE),
+    ('https://kg/p/0', 'http://www.w3.org/2000/01/rdf-schema#domain', 'https://kg/t/en', FALSE),
+    ('https://kg/p/0', 'http://www.w3.org/2000/01/rdf-schema#range', 'https://kg/t/en', FALSE),
+    ('https://kg/p/1', 'http://www.w3.org/2000/01/rdf-schema#label', 'relation one', TRUE),
+    ('https://kg/p/1', 'http://www.w3.org/2000/01/rdf-schema#domain', 'https://kg/t/de', FALSE)
+  ) AS v(subj, pred, obj, lit)
+),
+triples AS (
+  SELECT * FROM type_t UNION ALL SELECT * FROM usage_t UNION ALL SELECT * FROM meta_t
+),
+used AS (SELECT DISTINCT pred FROM triples),
+labeled AS (
+  SELECT DISTINCT subj AS p FROM triples
+  WHERE pred = 'http://www.w3.org/2000/01/rdf-schema#label'
+),
+domains AS (
+  SELECT subj AS p, max(obj) AS dom FROM triples
+  WHERE pred = 'http://www.w3.org/2000/01/rdf-schema#domain' AND NOT lit
+  GROUP BY subj
+),
+ranges AS (
+  SELECT subj AS p, max(obj) AS rng FROM triples
+  WHERE pred = 'http://www.w3.org/2000/01/rdf-schema#range' AND NOT lit
+  GROUP BY subj
+),
+types AS (
+  SELECT subj AS node, list_sort(list(DISTINCT obj)) AS tys FROM triples
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AND NOT lit
+  GROUP BY subj
+)
+SELECT 'missing_label' AS kind, pred,
+       NULL::VARCHAR AS node, NULL::VARCHAR AS expected, NULL::VARCHAR AS actual
+FROM used WHERE pred NOT IN (SELECT p FROM labeled)
+UNION ALL
+SELECT DISTINCT 'domain_violation', u.pred, u.subj, d.dom,
+       array_to_string(t.tys, ',')
+FROM triples u JOIN domains d ON u.pred = d.p JOIN types t ON u.subj = t.node
+WHERE NOT list_contains(t.tys, d.dom)
+UNION ALL
+SELECT DISTINCT 'range_violation', u.pred, u.obj, r.rng,
+       array_to_string(t.tys, ',')
+FROM triples u JOIN ranges r ON u.pred = r.p JOIN types t ON u.obj = t.node
+WHERE NOT u.lit AND NOT list_contains(t.tys, r.rng)
+"""
+
+
 ORACLE_CROSSDOC_EXACT = """
 WITH ents AS (
   SELECT 'https://kg/d' || doc_id::VARCHAR || '/' || tok AS entity,
@@ -766,6 +867,7 @@ QUERIES = {
     "q_kg_doc_invariant": q_kg_doc_invariant,
     "q_crossdoc_canon": q_crossdoc_canon,
     "q_crossdoc_exact": q_crossdoc_exact,
+    "q_validate_predicates": q_validate_predicates,
 }
 
 ORACLES = {
@@ -794,4 +896,5 @@ ORACLES = {
     # SQL-expressible invariant projections ARE oracled:
     "q_kg_doc_invariant": ORACLE_KG_DOC_INVARIANT,
     "q_crossdoc_exact": ORACLE_CROSSDOC_EXACT,
+    "q_validate_predicates": ORACLE_VALIDATE_PREDICATES,
 }
