@@ -33,6 +33,7 @@ PROV_NS = "http://www.w3.org/ns/prov#"
 SCHEMA_NS = "https://schema.org/"
 
 RDF_TYPE = RDF_NS + "type"
+RDF_LANGSTRING = RDF_NS + "langString"
 RDF_PROPERTY = RDF_NS + "Property"
 RDFS_LABEL = RDFS_NS + "label"
 RDFS_COMMENT = RDFS_NS + "comment"

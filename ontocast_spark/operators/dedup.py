@@ -60,20 +60,24 @@ def minhash_signature(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, sig array<string>) — k seeded-MD5 min-hashes over word
-    n-gram shingles, all built-in expressions."""
+    n-gram shingles, all built-in expressions.
+
+    Single-projection form (round-1 VERDICT perf nit #5): the shingle
+    array is the first argument of ONE outer ``transform`` so it is
+    evaluated once per row; per shingle the k seeded hashes are emitted
+    together and folded to the element-wise minimum with
+    ``aggregate``/``zip_with`` — md5 runs n_shingles x k times (the
+    actual work) instead of the shingle split/slice chain running k
+    times."""
     shingles, _ = _shingles(text_col, shingle_n)
-    sigs = F.array(
-        *[
-            F.expr(
-                f"array_min(transform("
-                f"transform(sequence(1, greatest(size(split({text_col}, ' '))-{shingle_n - 1}, 1)), "
-                f"i -> array_join(slice(split({text_col}, ' '), i, {shingle_n}), ' ')), "
-                f"s -> md5('{k}|' || s)))"
-            )
-            for k in range(num_hashes)
-        ]
+    sig = F.expr(
+        f"aggregate("
+        f"transform({shingles}, s -> transform(sequence(0, {num_hashes - 1}), "
+        f"h -> md5(cast(h as string) || '|' || s))), "
+        f"array_repeat('zz', {num_hashes}), "  # > any md5 hex digest
+        f"(acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))"
     )
-    return docs.select(F.col(id_col).alias("id"), sigs.alias("sig"))
+    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from . import io as kgio
 from .ontology import OntologyIndex, builtin_ontology_index
+from .schemas import split_lang_columns
 from .operators.assemble import assemble_documents
 from .operators.canonicalize import canonicalize_combined
 from .operators.chunking import chunk_documents
@@ -151,8 +152,11 @@ def run_pipeline(
             kgio.write_stage(combined, warehouse, "kg_canon", run_id, mode=mode)
             combined = kgio.read_stage(spark, warehouse, "kg_canon")
 
-    kg_triples = combined.filter(F.col("row_kind") == "triple").select(
-        "conv_id", "doc_iri", "subj", "pred", "obj", "obj_is_literal", "obj_datatype"
+    kg_triples = split_lang_columns(
+        combined.filter(F.col("row_kind") == "triple").select(
+            "conv_id", "doc_iri", "subj", "pred", "obj",
+            "obj_is_literal", "obj_datatype",
+        )
     )
     mappings = combined.filter(
         F.col("row_kind").isin("entity_map", "predicate_map")
@@ -164,7 +168,7 @@ def run_pipeline(
         .otherwise(F.lit("predicate"))
         .alias("kind"),
     )
-    alignments = dedup_ontology_addendum(ontology_rows)
+    alignments = split_lang_columns(dedup_ontology_addendum(ontology_rows))
 
     out = {
         "documents": documents,

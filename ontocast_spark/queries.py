@@ -362,11 +362,21 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     via seeded MD5) — the candidate-generation half of MinHash-LSH
     dedup."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = [
-        f"array_min(transform({_SPARK_SHINGLES}, s -> md5('{k}|' || s))) AS sig{k}"
-        for k in range(_MINHASH_K)
-    ]
-    return docs.selectExpr("doc_id", *sigs)
+    # single-projection shingles: one outer transform evaluates the
+    # shingle array once, aggregate/zip_with folds the per-shingle
+    # seeded hashes to the element-wise min (operators/dedup.py has the
+    # same shape); the intermediate alias is non-cheap and multiply
+    # referenced, so CollapseProject keeps it materialized per row
+    arr = (
+        f"aggregate("
+        f"transform({_SPARK_SHINGLES}, s -> transform(sequence(0, {_MINHASH_K - 1}), "
+        f"h -> md5(cast(h as string) || '|' || s))), "
+        f"array_repeat('zz', {_MINHASH_K}), "
+        f"(acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))"
+    )
+    return docs.selectExpr("doc_id", f"{arr} AS _sigs").selectExpr(
+        "doc_id", *[f"_sigs[{k}] AS sig{k}" for k in range(_MINHASH_K)]
+    )
 
 
 ORACLE_MINHASH_SIG = "SELECT doc_id, " + ", ".join(

@@ -95,3 +95,43 @@ CHECKPOINTS = StructType([
     StructField("conv_count", LongType(), True),
     StructField("run_id", StringType(), False),
 ])
+
+
+def split_lang_columns(df):
+    """Public-boundary form of the triple model: splits the ``"@tag"``
+    language-tag sentinel carried in ``obj_datatype`` (see
+    sources/turtle.py) into an explicit nullable ``obj_lang`` column,
+    normalizing the datatype of lang-tagged literals to RDF 1.1
+    ``rdf:langString`` — the SURVEY §1.1 triple schema with language
+    round-trip (reference keeps tags via rdflib Literal.language)."""
+    from pyspark.sql import functions as F
+
+    from .kernels.rdfterms import RDF_LANGSTRING
+
+    is_lang = F.coalesce(
+        F.col("obj_datatype").startswith("@"), F.lit(False)
+    )
+    return df.withColumn(
+        "obj_lang",
+        F.when(is_lang, F.expr("substring(obj_datatype, 2)")),
+    ).withColumn(
+        "obj_datatype",
+        F.when(is_lang, F.lit(RDF_LANGSTRING)).otherwise(F.col("obj_datatype")),
+    )
+
+
+def merge_lang_expr():
+    """Inverse of :func:`split_lang_columns` for serializers: folds
+    ``obj_lang`` back into the ``"@tag"`` dt-slot sentinel."""
+    from pyspark.sql import functions as F
+
+    from .kernels.rdfterms import RDF_LANGSTRING
+
+    return (
+        F.when(
+            F.col("obj_lang").isNotNull(),
+            F.concat(F.lit("@"), F.col("obj_lang")),
+        )
+        .when(F.col("obj_datatype") == RDF_LANGSTRING, F.lit(None))
+        .otherwise(F.col("obj_datatype"))
+    )

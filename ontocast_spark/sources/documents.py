@@ -130,6 +130,15 @@ def write_facts_turtle(
     os.makedirs(out_dir, exist_ok=True)
     px = prefixes or {}
 
+    if "obj_lang" in kg_triples.columns:
+        # fold the explicit lang column back into the dt-slot sentinel
+        # the Turtle serializer round-trips as '@tag'
+        from ..schemas import merge_lang_expr
+
+        kg_triples = kg_triples.withColumn(
+            "obj_datatype", merge_lang_expr()
+        ).drop("obj_lang")
+
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         conv_id = pdf["conv_id"].iloc[0]
         triples = [

@@ -13,17 +13,26 @@ subset those files actually use:
 - predicate lists (``;``), object lists (``,``), comments (``#``).
 
 Parse output is the engine's plain triple model
-``(s, p, o, o_is_literal, o_datatype)``; serialization emits prefixed,
-sorted, deterministic Turtle. Round-trip is tested in
-tests/test_turtle.py. Blank nodes and collections are not supported
-(the reference fixtures don't use them); encountering one raises.
+``(s, p, o, o_is_literal, o_datatype)``. Language-tagged literals
+carry the tag in the datatype slot as ``"@tag"`` (per RDF 1.1 the
+datatype of a lang-tagged literal is always ``rdf:langString``, so the
+slot is otherwise unused for them); the public DataFrame boundary
+splits it into an explicit ``obj_lang`` column
+(:func:`ontocast_spark.schemas.split_lang_columns`). Serialization
+emits prefixed, sorted, deterministic Turtle with ``@tag`` round-trip.
+Round-trip is tested in tests/test_turtle.py.
+
+Blank nodes ``[...]`` / ``[]`` are skolemized to deterministic IRIs
+(``bnode:`` + content hash scope) rather than rejected, so real-world
+ontologies with OWL restrictions load; collections ``( ... )`` are not
+supported and raise.
 """
 
 from __future__ import annotations
 
 import re
 
-from ..kernels.rdfterms import RDF_TYPE, XSD_NS
+from ..kernels.rdfterms import RDF_TYPE, XSD_NS, render_text_hash
 
 _TOKEN_RE = re.compile(
     r"""
@@ -79,6 +88,10 @@ def parse_turtle(text: str) -> tuple[list[tuple], dict[str, str]]:
     prefixes: dict[str, str] = {}
     triples: list[tuple] = []
     i = 0
+    # deterministic skolemization scope: same file content -> same IRIs;
+    # distinct files -> distinct IRIs (no accidental cross-file merges)
+    _skolem_scope = render_text_hash(text)
+    _skolem_n = [0]
 
     def resolve(tok) -> str:
         kind, val = tok
@@ -93,8 +106,38 @@ def parse_turtle(text: str) -> tuple[list[tuple], dict[str, str]]:
             return RDF_TYPE
         raise ValueError(f"turtle: expected IRI, got {tok}")
 
+    def parse_bnode(j):
+        """``[ pred obj ; ... ]`` -> skolem IRI + emitted triples.
+        tokens[j] must be '['. Returns (iri, next_j)."""
+        iri = f"urn:skolem:{_skolem_scope}:b{_skolem_n[0]}"
+        _skolem_n[0] += 1
+        j += 1
+        if j < len(tokens) and tokens[j] == ("punct", "]"):
+            return iri, j + 1
+        while True:
+            pred = resolve(tokens[j])
+            j += 1
+            while True:
+                (obj, lit, dt), j = read_object(j)
+                triples.append((iri, pred, obj, lit, dt))
+                if j < len(tokens) and tokens[j] == ("punct", ","):
+                    j += 1
+                    continue
+                break
+            if j < len(tokens) and tokens[j] == ("punct", ";"):
+                j += 1
+                if j < len(tokens) and tokens[j] == ("punct", "]"):
+                    return iri, j + 1
+                continue
+            if j < len(tokens) and tokens[j] == ("punct", "]"):
+                return iri, j + 1
+            raise ValueError("turtle: expected ';' or ']' in blank node")
+
     def read_object(j):
         kind, val = tokens[j]
+        if kind == "punct" and val == "[":
+            iri, j = parse_bnode(j)
+            return (iri, False, None), j
         if kind in ("iri", "pname"):
             return (resolve(tokens[j]), False, None), j + 1
         if kind in ("string", "triple_quote"):
@@ -102,8 +145,8 @@ def parse_turtle(text: str) -> tuple[list[tuple], dict[str, str]]:
             lex = _unescape(raw)
             dt = None
             if j + 1 < len(tokens) and tokens[j + 1][0] == "langtag":
-                j += 1  # language tags carried in datatype slot? no — drop
-                dt = None
+                dt = tokens[j + 1][1]  # "@tag" sentinel in the dt slot
+                j += 1
             elif j + 1 < len(tokens) and tokens[j + 1][0] == "dtype":
                 dt = resolve(tokens[j + 2])
                 j += 2
@@ -127,8 +170,14 @@ def parse_turtle(text: str) -> tuple[list[tuple], dict[str, str]]:
                 raise ValueError("turtle: @prefix missing '.'")
             i += 4
             continue
-        subj = resolve(tokens[i])
-        i += 1
+        if tokens[i] == ("punct", "["):
+            subj, i = parse_bnode(i)
+            if i < len(tokens) and tokens[i] == ("punct", "."):
+                i += 1  # pure anonymous-subject statement: [ ... ] .
+                continue
+        else:
+            subj = resolve(tokens[i])
+            i += 1
         while True:
             pred = resolve(tokens[i])
             i += 1
@@ -173,7 +222,15 @@ def serialize_turtle(
     def fmt_obj(o, lit, dt):
         if not lit:
             return shorten(o)
-        esc = o.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        # Turtle STRING_LITERAL_QUOTE forbids raw '"', '\\', LF and CR
+        esc = (
+            o.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+        )
+        if dt and dt.startswith("@"):
+            return f'"{esc}"{dt}'
         if dt:
             return f'"{esc}"^^{shorten(dt)}'
         return f'"{esc}"'

@@ -4,7 +4,11 @@ import os
 
 from ontocast_spark.pipeline import run_pipeline
 from ontocast_spark.schemas import CONVERSATIONS
-from ontocast_spark.sources.ntriples import read_ntriples, write_ntriples
+from ontocast_spark.sources.ntriples import (
+    read_ntriples,
+    to_ntriples_lines,
+    write_ntriples,
+)
 from ontocast_spark.synth import gen_corpus
 
 
@@ -50,3 +54,41 @@ def test_ntriples_escaping(spark, tmp_path):
     assert 'he said "hi"\nnewline\ttab\\slash' in objs
     assert "\\r" in objs
     assert "\\n\\t\\\\" in objs
+
+
+def test_ntriples_lang_and_unicode_escapes(spark, tmp_path):
+    rows = [
+        ("https://x/s", "https://x/p", "hello", True, "@en"),
+        ("https://x/s", "https://x/p", "ctrl\x01char", True, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_datatype string",
+    )
+    out = os.path.join(str(tmp_path), "nt3")
+    write_ntriples(df, out)
+    back = {
+        (r["obj"], r["obj_datatype"])
+        for r in read_ntriples(spark, out).collect()
+    }
+    assert ("hello", "@en") in back
+    assert ("ctrl\x01char", None) in back  # raw U+0001 survives round-trip
+
+    # externally-produced \uXXXX / \UXXXXXXXX escapes are expanded
+    ext = os.path.join(str(tmp_path), "nt4")
+    os.makedirs(ext)
+    with open(os.path.join(ext, "part-0.txt"), "w") as f:
+        f.write('<https://x/s> <https://x/p> "caf\\u00e9 \\U0001F600" .\n')
+    got = read_ntriples(spark, ext).collect()[0]
+    assert got["obj"] == "café \U0001F600"
+
+
+def test_ntriples_obj_lang_column_merged(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("https://x/s", "https://x/p", "bonjour", True, None, "fr")],
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_datatype string, obj_lang string",
+    )
+    lines = [r["value"] for r in to_ntriples_lines(df).collect()]
+    assert lines == ['<https://x/s> <https://x/p> "bonjour"@fr .']

@@ -115,3 +115,84 @@ def test_write_facts_turtle(spark, tmp_path):
         triples, _ = parse_turtle(open(os.path.join(out_dir, fn)).read())
         total += len(triples)
     assert total == out["kg_triples"].count()
+
+
+# ---------------------------------------------------------------- lang tags
+def test_turtle_lang_tag_roundtrip():
+    from ontocast_spark.sources.turtle import parse_turtle, serialize_turtle
+
+    ttl = (
+        '@prefix ex: <https://ex.com/> .\n'
+        'ex:a ex:label "hello"@en ;\n'
+        '     ex:label "hallo"@de-DE ;\n'
+        '     ex:label "plain" ;\n'
+        '     ex:label "typed"^^<https://ex.com/dt> .\n'
+    )
+    triples, px = parse_turtle(ttl)
+    by_obj = {o: dt for _, _, o, _, dt in triples}
+    assert by_obj["hello"] == "@en"
+    assert by_obj["hallo"] == "@de-DE"
+    assert by_obj["plain"] is None
+    assert by_obj["typed"] == "https://ex.com/dt"
+    back, _ = parse_turtle(serialize_turtle(triples, px))
+    assert set(back) == set(map(tuple, triples))
+
+
+def test_turtle_cr_escaped_on_write():
+    from ontocast_spark.sources.turtle import parse_turtle, serialize_turtle
+
+    triples = [("https://x/s", "https://x/p", "a\rb\nc", True, None)]
+    ttl = serialize_turtle(triples, {})
+    assert "\r" not in ttl  # raw CR is not conforming Turtle
+    back, _ = parse_turtle(ttl)
+    assert back == triples
+
+
+def test_turtle_blank_node_skolemization():
+    from ontocast_spark.sources.turtle import parse_turtle
+
+    # OWL-restriction-style fixture (the shape that used to raise)
+    ttl = (
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix ex: <https://ex.com/> .\n"
+        "ex:Person a owl:Class ;\n"
+        "    rdfs:subClassOf [ a owl:Restriction ;\n"
+        "        owl:onProperty ex:hasName ;\n"
+        "        owl:minCardinality 1 ] .\n"
+        "[] ex:note \"anon subject\" .\n"
+    )
+    triples, _ = parse_turtle(ttl)
+    skolems = {t[0] for t in triples if t[0].startswith("urn:skolem:")}
+    assert len(skolems) == 2  # restriction node + anon subject
+    rest = [t for t in triples if t[1].endswith("#onProperty")]
+    assert rest and rest[0][0].startswith("urn:skolem:")
+    # deterministic: same content -> same skolem IRIs
+    again, _ = parse_turtle(ttl)
+    assert set(again) == set(triples)
+
+
+def test_pipeline_obj_lang_column(spark):
+    from ontocast_spark.pipeline import run_pipeline
+    from ontocast_spark.schemas import split_lang_columns
+
+    conv = spark.createDataFrame(
+        [("c1", 0, "user", "Acme Corp employs Dana Fox.", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = run_pipeline(spark, conv)
+    assert "obj_lang" in out["kg_triples"].columns
+    assert "obj_lang" in out["ontology_alignments"].columns
+    # sentinel split: '@en' dt becomes obj_lang='en' + rdf:langString
+    df = spark.createDataFrame(
+        [("s", "p", "hello", True, "@en"), ("s", "p", "x", True, None)],
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_datatype string",
+    )
+    rows = {r.obj: (r.obj_lang, r.obj_datatype)
+            for r in split_lang_columns(df).collect()}
+    assert rows["hello"] == (
+        "en", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    )
+    assert rows["x"] == (None, None)
