@@ -173,9 +173,11 @@ def predicate_violations(triples: DataFrame) -> DataFrame:
         .select(
             F.lit("missing_label").alias("kind"),
             "pred",
-            F.lit(None).cast("string").alias("node"),
-            F.lit(None).cast("string").alias("expected"),
-            F.lit(None).cast("string").alias("actual"),
+            # empty strings, not NULLs: violation rows sort/hash
+            # identically across engines (driver value-hash contract)
+            F.lit("").alias("node"),
+            F.lit("").alias("expected"),
+            F.lit("").alias("actual"),
         )
     )
     domains = (

@@ -779,7 +779,7 @@ types AS (
   GROUP BY subj
 )
 SELECT 'missing_label' AS kind, pred,
-       NULL::VARCHAR AS node, NULL::VARCHAR AS expected, NULL::VARCHAR AS actual
+       '' AS node, '' AS expected, '' AS actual
 FROM used WHERE pred NOT IN (SELECT p FROM labeled)
 UNION ALL
 SELECT DISTINCT 'domain_violation', u.pred, u.subj, d.dom,

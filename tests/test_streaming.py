@@ -77,3 +77,67 @@ def test_turn_rate_monitor_plan(spark, tmp_path):
     agg = turn_rate_monitor(stream)
     assert agg.isStreaming
     assert set(agg.columns) == {"window_start", "role", "n_turns"}
+
+
+def test_quiet_for_gate_assembles_split_conversations(spark, tmp_path):
+    """A conversation whose turns span micro-batches must be assembled
+    from ALL its turns (the completeness gate), not frozen at the first
+    batch (round-2 ADVICE, high)."""
+    import datetime
+
+    in_dir = str(tmp_path / "turns_gate")
+    warehouse = str(tmp_path / "wh_gate")
+    ckpt = str(tmp_path / "ckpt_gate")
+    os.makedirs(in_dir)
+
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+
+    def turn(conv, idx, text, minutes):
+        return (conv, idx, "user", text,
+                None, t0 + datetime.timedelta(minutes=minutes))
+
+    # conv A splits across two drops; conv B advances stream time later
+    drop1 = [turn("convA", 0, "Acme Corp employs Dana Fox.", 0)]
+    drop2 = [
+        turn("convA", 1, "Beta Inc employs Alice Reed.", 1),
+        turn("convB", 0, "Gamma LLC employs Bob Stone.", 60),
+    ]
+    spark.createDataFrame(drop1, CONVERSATIONS).write.mode("append").parquet(in_dir)
+
+    stream = stream_conversations_from_files(spark, in_dir, CONVERSATIONS)
+    q = start_incremental_kg(
+        stream, warehouse, ckpt, trigger_seconds=1, quiet_for_seconds=600
+    )
+    try:
+        # first batch: stream time = 10:00, gate = 09:50 -> nothing ready
+        deadline = time.time() + 60
+        while time.time() < deadline and not os.path.exists(
+            os.path.join(warehouse, "turn_buffer_g0")
+        ):
+            time.sleep(1)
+        assert not kgio.stage_exists(spark, warehouse, "kg_canon")
+
+        spark.createDataFrame(drop2, CONVERSATIONS).write.mode("append").parquet(in_dir)
+        # second batch: stream time = 11:00, gate = 10:50 -> convA ready
+        # (newest turn 10:01), convB still pending
+        deadline = time.time() + 120
+        done = set()
+        while time.time() < deadline:
+            if kgio.stage_exists(spark, warehouse, "kg_canon"):
+                done = {
+                    r["conv_id"]
+                    for r in kgio.read_stage(spark, warehouse, "kg_canon")
+                    .select("conv_id").distinct().collect()
+                }
+                if "convA" in done:
+                    break
+            time.sleep(2)
+    finally:
+        q.stop()
+
+    assert "convA" in done
+    assert "convB" not in done  # still gated (quiet window not elapsed)
+    canon = kgio.read_stage(spark, warehouse, "kg_canon")
+    objs = {r["obj"] for r in canon.filter("conv_id = 'convA'").collect()}
+    # triples from BOTH turns present -> document assembled complete
+    assert "Dana Fox" in objs and "Alice Reed" in objs
