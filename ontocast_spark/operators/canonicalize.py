@@ -35,10 +35,22 @@ from .sublimate import split_facts_ontology  # noqa: F401  (re-export for API pa
 
 
 def _group_chunks(pdf: pd.DataFrame) -> list[ChunkGraph]:
-    chunks: list[ChunkGraph] = []
-    for (chunk_hid, chunk_iri), cpdf in sorted(
-        pdf.groupby(["chunk_hid", "chunk_iri"], sort=False), key=lambda kv: kv[0]
+    """Rebuild per-chunk graphs in DOCUMENT order (``chunk_idx``) when
+    the column is present — greedy disambiguation and first-seen
+    metadata are chunk-order-sensitive, and both the reference
+    aggregator and the fused path (fused.py) process chunks in document
+    order; content-hash order is only the fallback for callers that
+    dropped the index (round-2 ADVICE, medium)."""
+    has_idx = "chunk_idx" in pdf.columns
+    keyed: list[tuple] = []
+    for (chunk_hid, chunk_iri), cpdf in pdf.groupby(
+        ["chunk_hid", "chunk_iri"], sort=False
     ):
+        key = (
+            (int(cpdf["chunk_idx"].iloc[0]), chunk_hid)
+            if has_idx
+            else (chunk_hid,)
+        )
         triples = [
             (s, p, o, bool(lit), None if dt is None or pd.isna(dt) else dt)
             for s, p, o, lit, dt in zip(
@@ -46,8 +58,8 @@ def _group_chunks(pdf: pd.DataFrame) -> list[ChunkGraph]:
                 cpdf["obj_is_literal"], cpdf["obj_datatype"],
             )
         ]
-        chunks.append(ChunkGraph(chunk_hid, chunk_iri, triples))
-    return chunks
+        keyed.append((key, ChunkGraph(chunk_hid, chunk_iri, triples)))
+    return [g for _, g in sorted(keyed, key=lambda kv: kv[0])]
 
 
 def canonicalize_local(facts: DataFrame) -> DataFrame:

@@ -44,12 +44,16 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return deduped, mapping
 
 
-def _shingles(text_col: str, n: int = 3):
-    toks = F.split(F.col(text_col), " ")
-    return F.expr(
+def _shingles_sql(text_col: str, n: int = 3) -> str:
+    return (
         f"transform(sequence(1, greatest(size(split({text_col}, ' '))-{n - 1}, 1)), "
         f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
-    ), toks
+    )
+
+
+def _shingles(text_col: str, n: int = 3):
+    toks = F.split(F.col(text_col), " ")
+    return F.expr(_shingles_sql(text_col, n)), toks
 
 
 def minhash_signature(
@@ -69,7 +73,7 @@ def minhash_signature(
     ``aggregate``/``zip_with`` — md5 runs n_shingles x k times (the
     actual work) instead of the shingle split/slice chain running k
     times."""
-    shingles, _ = _shingles(text_col, shingle_n)
+    shingles = _shingles_sql(text_col, shingle_n)
     sig = F.expr(
         f"aggregate("
         f"transform({shingles}, s -> transform(sequence(0, {num_hashes - 1}), "

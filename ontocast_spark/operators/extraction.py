@@ -27,7 +27,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from ..kernels.extract import extract_chunk_triples
 from ..kernels.graphs import connect_via_hub
@@ -35,8 +35,15 @@ from ..kernels.rdfterms import iri2namespace
 from ..ontology import OntologyIndex
 from ..schemas import TRIPLES
 
+# chunk_idx rides along so the canonicalize groupBy can replay chunks
+# in DOCUMENT order (the reference aggregator's and the fused path's
+# order — greedy disambiguation is chunk-order-sensitive)
 TRIPLES_WITH_PART = StructType(
-    list(TRIPLES.fields) + [StructField("part", StringType(), False)]
+    list(TRIPLES.fields)
+    + [
+        StructField("chunk_idx", IntegerType(), False),
+        StructField("part", StringType(), False),
+    ]
 )
 
 
@@ -54,12 +61,13 @@ def extract_triples(
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx: OntologyIndex = bc_index.value
-        cols = ("conv_id", "doc_iri", "chunk_hid", "chunk_iri",
-                "subj", "pred", "obj", "obj_is_literal", "obj_datatype", "part")
+        cols = ("conv_id", "doc_iri", "chunk_hid", "chunk_iri", "subj",
+                "pred", "obj", "obj_is_literal", "obj_datatype",
+                "chunk_idx", "part")
         for pdf in batches:
             out = {k: [] for k in cols}
 
-            def emit(conv_id, doc_iri, hid, chunk_iri, triples, part):
+            def emit(conv_id, doc_iri, hid, chunk_iri, cidx, triples, part):
                 for s, p, o, lit, dt in triples:
                     out["conv_id"].append(conv_id)
                     out["doc_iri"].append(doc_iri)
@@ -70,11 +78,12 @@ def extract_triples(
                     out["obj"].append(o)
                     out["obj_is_literal"].append(lit)
                     out["obj_datatype"].append(dt)
+                    out["chunk_idx"].append(cidx)
                     out["part"].append(part)
 
-            for conv_id, doc_iri, hid, chunk_iri, text in zip(
+            for conv_id, doc_iri, hid, chunk_iri, cidx, text in zip(
                 pdf["conv_id"], pdf["doc_iri"], pdf["chunk_hid"],
-                pdf["chunk_iri"], pdf["text"],
+                pdf["chunk_iri"], pdf["chunk_idx"], pdf["text"],
             ):
                 chunk_ns = iri2namespace(chunk_iri)
                 ontology_id = idx.select_ontology(text or "")
@@ -82,7 +91,7 @@ def extract_triples(
                     text or "", chunk_ns, idx, ontology_id
                 )
                 if not fuse:
-                    emit(conv_id, doc_iri, hid, chunk_iri, triples, "raw")
+                    emit(conv_id, doc_iri, hid, chunk_iri, cidx, triples, "raw")
                     continue
                 # sublimation split (the SPARQL STRSTARTS predicate,
                 # /root/reference/ontocast/agent/sublimate_ontology.py:31-72)
@@ -96,10 +105,10 @@ def extract_triples(
                     )
                     (facts if in_cd else onto).append(t)
                 facts = sorted(connect_via_hub(facts, chunk_iri))
-                emit(conv_id, doc_iri, hid, chunk_iri, facts, "facts")
-                emit(conv_id, doc_iri, hid, chunk_iri, onto, "ontology")
+                emit(conv_id, doc_iri, hid, chunk_iri, cidx, facts, "facts")
+                emit(conv_id, doc_iri, hid, chunk_iri, cidx, onto, "ontology")
             yield pd.DataFrame(out, columns=list(cols))
 
     return chunks.select(
-        "conv_id", "doc_iri", "chunk_hid", "chunk_iri", "text"
+        "conv_id", "doc_iri", "chunk_hid", "chunk_iri", "chunk_idx", "text"
     ).mapInPandas(extract_batches, schema=TRIPLES_WITH_PART)
