@@ -80,10 +80,15 @@ def retry_failed_chunks(
     max_visits: int = MAX_VISITS,
 ) -> DataFrame:
     """Bounded recompute of failed chunks (E6). Each round re-extracts
-    only chunks whose facts score is below threshold; rounds after the
-    first use progressively relaxed matching (documented extractor
-    profiles). Returns triples with an ``attempt`` column and a
-    ``counts_exceeded`` flag on rows that never passed."""
+    only chunks whose facts score is below threshold. The reference
+    retries an LLM whose output varies between calls; this extractor is
+    deterministic, so a retry round whose output is row-identical to the
+    previous round's proves no further round can make progress — the
+    loop then short-circuits straight to the terminal
+    ``counts_exceeded`` flag instead of burning the remaining
+    ``max_visits`` recompute rounds. Returns triples with an
+    ``attempt`` column and a ``counts_exceeded`` flag on rows that
+    never passed."""
     from .extraction import extract_triples
 
     facts = triples.filter(F.col("part") == "facts")
@@ -91,18 +96,29 @@ def retry_failed_chunks(
     result = triples.withColumn("attempt", F.lit(1))
     failed_keys = scores.filter(~F.col("success")).select("conv_id", "chunk_hid")
     attempt = 1
+    cmp_cols = [c for c in triples.columns if c != "attempt"]
     while attempt < max_visits:
         n_failed = failed_keys.limit(1).count()
         if n_failed == 0:
             break
         attempt += 1
         failed_chunks = chunks.join(failed_keys, ["conv_id", "chunk_hid"], "semi")
+        prev_rows = result.join(
+            failed_keys, ["conv_id", "chunk_hid"], "semi"
+        ).select(cmp_cols)
         retried = extract_triples(spark, failed_chunks, index, fuse=True).withColumn(
             "attempt", F.lit(attempt)
         )
         result = result.join(
             failed_keys, ["conv_id", "chunk_hid"], "left_anti"
         ).unionByName(retried)
+        changed = (
+            retried.select(cmp_cols).exceptAll(prev_rows).limit(1).count()
+            + prev_rows.exceptAll(retried.select(cmp_cols)).limit(1).count()
+        )
+        if changed == 0:
+            # fixed point: scores and failed_keys cannot change either
+            break
         scores = score_facts(result.filter(F.col("part") == "facts"))
         failed_keys = scores.filter(~F.col("success")).select("conv_id", "chunk_hid")
     # terminal: chunks still failing are forced through, flagged

@@ -1,0 +1,116 @@
+"""S2: binary-document conversion source (PDF/DOCX/PPTX -> text).
+
+The reference converts binary documents with docling
+(/root/reference/ontocast/tool/converter.py:42-58: DocumentConverter
+-> markdown export) before chunking. docling is not available in this
+environment, so — exactly like the media codec boundary in
+operators/multimodal.py — the Spark-side plumbing is real and tested
+(distributed ``binaryFile`` source, Arrow-batched ``mapInPandas`` with
+a batch re-chunk so large blobs can't blow executor memory, typed
+output schema feeding straight into the pipeline's ``documents``
+shape) while the codec itself is pluggable: plain text/markdown/JSON
+payloads decode for real, and binary formats route to a clearly-marked
+converter hook that raises ``NotImplementedError`` unless a converter
+callable is supplied.
+
+Scale notes: ``binaryFile`` gives one task per file (no driver-side
+reads); conversion is CPU-bound per document and embarrassingly
+parallel, so it scales with executors; the 2 GB java byte-array limit
+per file is inherited from the source (split giant archives upstream).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CONVERTED_DOCS = "doc_path string, fmt string, n_bytes long, text string"
+
+_TEXT_FORMATS = {".txt", ".md", ".markdown"}
+_BINARY_FORMATS = {".pdf", ".docx", ".pptx", ".html"}
+
+
+def read_binary_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed binary-document scan: (path, length, content)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*")
+        .load(path)
+        .select(
+            F.col("path").alias("doc_path"),
+            F.col("length").alias("n_bytes"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+
+def _decode_payload(
+    doc_path: str, payload: bytes, converter: Callable | None
+) -> tuple[str, str]:
+    """Returns (fmt, text). The docling boundary lives here."""
+    ext = os.path.splitext(doc_path)[1].lower()
+    raw = bytes(payload) if payload is not None else b""
+    if ext == ".json":
+        # the reference's {"text": ...} payload (convert_document.py:48-53)
+        return "json", json.loads(raw.decode("utf-8")).get("text", "")
+    if ext in _TEXT_FORMATS:
+        return ext.lstrip("."), raw.decode("utf-8", errors="replace")
+    if converter is not None:
+        return ext.lstrip("."), converter(ext, raw)
+    raise NotImplementedError(
+        f"binary document conversion for {ext!r} requires a converter "
+        "(the reference uses docling, unavailable here); pass "
+        "convert_documents(..., converter=fn) with fn(ext, bytes) -> str "
+        "and keep the same batch contract"
+    )
+
+
+def convert_documents(
+    binary_docs: DataFrame,
+    converter: Callable | None = None,
+    batch_limit: int = 64,
+) -> DataFrame:
+    """(doc_path, n_bytes, payload) -> (doc_path, fmt, n_bytes, text)
+    via mapInPandas. ``batch_limit`` re-chunks Arrow batches so a batch
+    of large binaries cannot blow executor memory."""
+
+    def convert_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                part = pdf.iloc[start : start + batch_limit]
+                fmts, texts = [], []
+                for doc_path, payload in zip(part["doc_path"], part["payload"]):
+                    fmt, text = _decode_payload(doc_path, payload, converter)
+                    fmts.append(fmt)
+                    texts.append(text)
+                yield pd.DataFrame(
+                    {
+                        "doc_path": part["doc_path"].tolist(),
+                        "fmt": fmts,
+                        "n_bytes": part["n_bytes"].tolist(),
+                        "text": texts,
+                    }
+                )
+
+    return binary_docs.select("doc_path", "n_bytes", "payload").mapInPandas(
+        convert_batches, schema=CONVERTED_DOCS
+    )
+
+
+def converted_to_conversations(converted: DataFrame) -> DataFrame:
+    """Adapt converted documents to the pipeline's transcript input
+    shape (one single-turn conversation per document — the reference's
+    one-file-one-document ingest)."""
+    return converted.select(
+        F.col("doc_path").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("document").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )

@@ -196,3 +196,47 @@ def test_pipeline_obj_lang_column(spark):
         "en", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
     )
     assert rows["x"] == (None, None)
+
+
+# ------------------------------------------------- S2: binary conversion
+def test_convert_documents_plumbing(spark, tmp_path):
+    """binaryFile source + mapInPandas conversion: text/md/json decode
+    for real; binary formats route to the pluggable converter hook."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from ontocast_spark.sources.convert import (
+        convert_documents,
+        converted_to_conversations,
+        read_binary_documents,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.txt").write_text("plain text doc")
+    (d / "b.md").write_text("# heading\nbody")
+    (d / "c.json").write_text(_json.dumps({"text": "json payload"}))
+    (d / "d.pdf").write_bytes(b"%PDF-1.4 fake")
+
+    bins = read_binary_documents(spark, str(d))
+
+    # without a converter, the pdf row hits the documented codec boundary
+    with _pytest.raises(Exception) as ei:
+        convert_documents(bins).collect()
+    assert "NotImplementedError" in str(ei.value) or "converter" in str(ei.value)
+
+    # with a stub converter the whole batch flows
+    out = convert_documents(
+        bins, converter=lambda ext, raw: f"converted:{ext}:{len(raw)}"
+    )
+    rows = {r["doc_path"].split("/")[-1]: r for r in out.collect()}
+    assert rows["a.txt"]["text"] == "plain text doc"
+    assert rows["b.md"]["text"] == "# heading\nbody"
+    assert rows["c.json"]["text"] == "json payload"
+    assert rows["d.pdf"]["text"].startswith("converted:.pdf:")
+    assert rows["d.pdf"]["fmt"] == "pdf"
+
+    conv = converted_to_conversations(out)
+    assert set(conv.columns) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+    assert conv.count() == 4
