@@ -137,3 +137,49 @@ def test_crossdoc_pr_vs_local_replay(spark):
     assert precision >= 0.95, (precision, len(dist_pairs), len(local_pairs))
     assert recall >= 0.95, (recall, len(dist_pairs), len(local_pairs))
     facts.unpersist()
+
+
+def test_crossdoc_single_facts_scan(spark, tmp_path):
+    """The multi-consumer DataFrames (meta, blocked, mapping) are
+    persisted, so the rewritten-triples plan scans the facts parquet at
+    most twice (the rewrite join's own probe side + nothing re-derived
+    per consumer), instead of once per consumer (round-1 VERDICT #4)."""
+    import os
+
+    ns = "https://x.com/doc/1/chunk/c1/"
+    rows = [
+        ("conv1", "https://x.com/doc/1", "c1", ns, ns + "john_doe",
+         RDFS_LABEL, "John Doe", True, None),
+        ("conv1", "https://x.com/doc/1", "c1", ns, ns + "jane_roe",
+         RDFS_LABEL, "Jane Roe", True, None),
+    ]
+    path = os.path.join(str(tmp_path), "facts")
+    _facts_df(spark, rows).write.parquet(path)
+    facts = spark.read.parquet(path)
+    rewritten, mapping = canonicalize_crossdoc(facts)
+    mapping.count()  # materialize the persisted mapping
+    plan = rewritten._jdf.queryExecution().executedPlan().toString()
+
+    # InMemoryTableScan PRINTS its cached child plan (display-only, not
+    # re-executed) — drop those subtrees before counting live scans
+    def live_scans(plan_str: str) -> int:
+        n, skip_indent = 0, None
+        for line in plan_str.splitlines():
+            indent = len(line) - len(line.lstrip(" :+-"))
+            if skip_indent is not None:
+                if indent > skip_indent:
+                    continue
+                skip_indent = None
+            if "InMemoryTableScan" in line:
+                skip_indent = indent
+                continue
+            if "FileScan parquet" in line:
+                n += 1
+        return n
+
+    n_scans = live_scans(plan)
+    # facts flows through the two chained rewrite joins as ONE scan; the
+    # mapping build sides come from the persisted cache, and meta /
+    # blocked never re-derive from parquet
+    assert n_scans <= 2, f"facts parquet scanned {n_scans}x live:\n{plan[:2000]}"
+    assert plan.count("InMemoryTableScan") >= 2
