@@ -74,47 +74,59 @@ def load_ontology_dir(path: str) -> OntologyIndex:
     for ttl_path in sorted(glob.glob(os.path.join(path, "*.ttl"))):
         with open(ttl_path, encoding="utf-8") as f:
             triples, prefixes = parse_turtle(f.read())
-        by_subj: dict[str, dict] = {}
-        onto_iri = None
-        for s, p, o, lit, dt in triples:
-            if p == RDF_TYPE and o == "http://www.w3.org/2002/07/owl#Ontology":
-                onto_iri = s
-            meta = by_subj.setdefault(s, {})
-            if p == RDF_TYPE and not lit:
-                meta.setdefault("types", set()).add(o)
-            elif p == RDFS_LABEL and lit:
-                meta["label"] = o
-            elif p == RDFS_COMMENT and lit:
-                meta["comment"] = o
-            elif p == RDFS_DOMAIN:
-                meta["domain"] = o
-            elif p == RDFS_RANGE:
-                meta["range"] = o
-        if onto_iri is None:
-            onto_iri = next(iter(prefixes.values()), "https://example.com/onto#")
-        ontology_id = derive_ontology_id(onto_iri)
-        ns = onto_iri if onto_iri.endswith(("#", "/")) else onto_iri + "#"
-        for term_iri, meta in sorted(by_subj.items()):
-            types = meta.get("types", set())
-            if types & OWL_CLASS_IRIS:
-                kind = "class"
-            elif types & PROPERTY_IRIS or "domain" in meta or "range" in meta:
-                kind = "property"
-            else:
-                continue
-            terms.append(
-                OntologyTerm(
-                    ontology_id=ontology_id,
-                    iri=ns,
-                    term_iri=term_iri,
-                    kind=kind,
-                    label=meta.get("label", derive_ontology_id(term_iri)),
-                    comment=meta.get("comment"),
-                    domain=meta.get("domain"),
-                    range=meta.get("range"),
-                )
-            )
+        terms.extend(index_terms_from_triples(triples, prefixes))
     return OntologyIndex(terms=terms)
+
+
+def index_terms_from_triples(
+    triples: list[tuple], prefixes: dict[str, str] | None = None
+) -> list[OntologyTerm]:
+    """One parsed ontology graph -> OntologyTerm rows (shared by the
+    filesystem source above and the Fuseki source,
+    sources/fuseki.py)."""
+    prefixes = prefixes or {}
+    terms: list[OntologyTerm] = []
+    by_subj: dict[str, dict] = {}
+    onto_iri = None
+    for s, p, o, lit, dt in triples:
+        if p == RDF_TYPE and o == "http://www.w3.org/2002/07/owl#Ontology":
+            onto_iri = s
+        meta = by_subj.setdefault(s, {})
+        if p == RDF_TYPE and not lit:
+            meta.setdefault("types", set()).add(o)
+        elif p == RDFS_LABEL and lit:
+            meta["label"] = o
+        elif p == RDFS_COMMENT and lit:
+            meta["comment"] = o
+        elif p == RDFS_DOMAIN:
+            meta["domain"] = o
+        elif p == RDFS_RANGE:
+            meta["range"] = o
+    if onto_iri is None:
+        onto_iri = next(iter(prefixes.values()), "https://example.com/onto#")
+    ontology_id = derive_ontology_id(onto_iri)
+    ns = onto_iri if onto_iri.endswith(("#", "/")) else onto_iri + "#"
+    for term_iri, meta in sorted(by_subj.items()):
+        types = meta.get("types", set())
+        if types & OWL_CLASS_IRIS:
+            kind = "class"
+        elif types & PROPERTY_IRIS or "domain" in meta or "range" in meta:
+            kind = "property"
+        else:
+            continue
+        terms.append(
+            OntologyTerm(
+                ontology_id=ontology_id,
+                iri=ns,
+                term_iri=term_iri,
+                kind=kind,
+                label=meta.get("label", derive_ontology_id(term_iri)),
+                comment=meta.get("comment"),
+                domain=meta.get("domain"),
+                range=meta.get("range"),
+            )
+        )
+    return terms
 
 
 def write_facts_turtle(
