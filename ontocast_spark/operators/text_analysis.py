@@ -46,15 +46,9 @@ def token_count_col(text: Column, bpe_ish: bool = False) -> Column:
     """Whitespace token count, or a BPE-ish regex token count (letters /
     digits / single punctuation as separate tokens)."""
     if bpe_ish:
-        return F.size(
-            F.filter(
-                F.split(
-                    F.regexp_replace(text, f"({BPE_ISH_TOKEN_RE})", "$1"),
-                    "",
-                ),
-                lambda t: F.trim(t) != "",
-            )
-        ).cast("long")
+        # one regexp_count per row (letters-run | digits-run | single
+        # symbol) instead of the replace+split+filter chain
+        return F.regexp_count(text, F.lit(BPE_ISH_TOKEN_RE)).cast("long")
     return F.size(F.split(text, r"\s+")).cast("long")
 
 

@@ -693,6 +693,77 @@ def q_crossdoc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapping.select("original_iri", "canonical_iri")
 
 
+# ---------------------------------------------------------- token stats
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) — the pretraining
+    bookkeeping pass, pure column algebra via the text_analysis
+    operators."""
+    from .operators.text_analysis import token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("ws_tokens"),
+        token_count_col(F.col("text"), bpe_ish=True).alias("bpe_tokens"),
+    )
+
+
+ORACLE_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(string_split_regex(text, '\s+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))::BIGINT
+         AS bpe_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------- n-gram Jaccard verify
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates-only exact word-3-gram Jaccard (the verify half of
+    MinHash-LSH dedup): pairs sharing the (sig0|sig1) LSH band, scored
+    by the real Arrow-batched verify operator."""
+    from .operators.dedup import ngram_jaccard_verify
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = q_minhash_sig(spark, sf_dir)
+    keyed = sig.select(
+        F.concat_ws("|", "sig0", "sig1").alias("band_key"), "doc_id"
+    )
+    a = keyed.select("band_key", F.col("doc_id").alias("a"))
+    b = keyed.select("band_key", F.col("doc_id").alias("b"))
+    cands = (
+        a.join(b, "band_key").filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+    verified = ngram_jaccard_verify(docs, cands, threshold=0.0)
+    return verified.select(
+        "a", "b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+def _oracle_ngram_jaccard() -> str:
+    return f"""
+WITH sigs AS (
+  SELECT doc_id,
+         list_min([md5('0|' || s) for s in {_DUCK_SHINGLES}]) || '|' ||
+         list_min([md5('1|' || s) for s in {_DUCK_SHINGLES}]) AS band_key,
+         list_distinct({_DUCK_SHINGLES}) AS sh
+  FROM documents
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sh AS sha, y.sh AS shb
+  FROM sigs x JOIN sigs y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT a, b,
+       round(len(list_intersect(sha, shb))::DOUBLE
+             / len(list_distinct(list_concat(sha, shb)))::DOUBLE, 6) AS jaccard
+FROM cands
+"""
+
+
+ORACLE_NGRAM_JACCARD = _oracle_ngram_jaccard()
+
+
 # ------------------------------- V4: predicate usage validation (oracled)
 def q_validate_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate-usage validation diagnostics (reference
@@ -878,6 +949,8 @@ QUERIES = {
     "q_crossdoc_canon": q_crossdoc_canon,
     "q_crossdoc_exact": q_crossdoc_exact,
     "q_validate_predicates": q_validate_predicates,
+    "q_token_stats": q_token_stats,
+    "q_ngram_jaccard": q_ngram_jaccard,
 }
 
 ORACLES = {
@@ -907,4 +980,6 @@ ORACLES = {
     "q_kg_doc_invariant": ORACLE_KG_DOC_INVARIANT,
     "q_crossdoc_exact": ORACLE_CROSSDOC_EXACT,
     "q_validate_predicates": ORACLE_VALIDATE_PREDICATES,
+    "q_token_stats": ORACLE_TOKEN_STATS,
+    "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
 }
