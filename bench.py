@@ -128,9 +128,22 @@ def bench_default() -> dict:
     }
 
 
+def _cpu_sample() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — hypervisor noise."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def kg_run_once(cores: int, n_convs: int) -> dict:
     """One pinned measurement: local[cores] with warmup + best-of-2
-    steady-state runs (the first big run pays JIT/codegen/heap growth)."""
+    steady-state runs (the first big run pays JIT/codegen/heap growth).
+    Reports the host steal fraction over the measurement window — the
+    per-run noise context for the scaling-efficiency numbers."""
     from ontocast_spark.session import build_spark
 
     spark = build_spark(
@@ -140,15 +153,19 @@ def kg_run_once(cores: int, n_convs: int) -> dict:
     )
     spark.sparkContext.setLogLevel("WARN")
     run_kg_job(spark, max(n_convs // 4, 10))
+    s0, t0 = _cpu_sample()
     elapsed, n_turns, n_triples = run_kg_job(spark, n_convs)
     e2, _, _ = run_kg_job(spark, n_convs)
+    s1, t1 = _cpu_sample()
     elapsed = min(elapsed, e2)
     spark.stop()
+    steal_pct = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
     return {
         "elapsed_sec": round(elapsed, 3),
         "turns": n_turns,
         "triples": n_triples,
         "turns_per_sec": round(n_turns / elapsed, 1),
+        "steal_pct": steal_pct,
     }
 
 

@@ -764,6 +764,48 @@ FROM cands
 ORACLE_NGRAM_JACCARD = _oracle_ngram_jaccard()
 
 
+# ------------------------------------------- embedding near-dup (LSH)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup over the embeddings table: sign
+    signature from md5-seeded deterministic planes, bucket self-join,
+    exact cosine verify — the real operator, all JVM-side. Threshold
+    0.2 so the synthetic corpus yields pairs to check."""
+    from .operators.dedup import embedding_neardup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup(emb, threshold=0.2)
+
+
+def _oracle_embedding_neardup(planes: int = 8, threshold: float = 0.2) -> str:
+    plane_bits = ", ".join(
+        "CASE WHEN list_sum([v[i] * ((('0x' || substr(md5('{p}|' || (i-1)::VARCHAR), 1, 4))::INT)::DOUBLE - 32767.5) "
+        "for i in range(1, len(v)+1)]) > 0 THEN '1' ELSE '0' END".format(p=p)
+        for p in range(planes)
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         concat_ws('', {plane_bits}) AS bkey
+  FROM embeddings
+),
+pairs AS (
+  SELECT x.id AS a, y.id AS b, x.v AS va, y.v AS vb
+  FROM sig x JOIN sig y ON x.bkey = y.bkey AND x.id < y.id
+)
+SELECT DISTINCT a, b,
+       round(list_inner_product(va, vb)
+             / (sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb))),
+             6) AS cosine
+FROM pairs
+WHERE list_inner_product(va, vb)
+      / (sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb)))
+      >= {threshold}
+"""
+
+
+ORACLE_EMBEDDING_NEARDUP = _oracle_embedding_neardup()
+
+
 # ------------------------------- V4: predicate usage validation (oracled)
 def q_validate_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate-usage validation diagnostics (reference
@@ -951,6 +993,7 @@ QUERIES = {
     "q_validate_predicates": q_validate_predicates,
     "q_token_stats": q_token_stats,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_embedding_neardup": q_embedding_neardup,
 }
 
 ORACLES = {
@@ -982,4 +1025,5 @@ ORACLES = {
     "q_validate_predicates": ORACLE_VALIDATE_PREDICATES,
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "q_embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
 }
