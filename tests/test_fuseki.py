@@ -3,6 +3,7 @@ Graph Store protocol endpoints the reference manager uses (PUT
 /ds/data?graph=, GET /ds/get?graph=, POST /ds/sparql)."""
 
 import json
+import os
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -137,3 +138,40 @@ def test_distributed_facts_sink(spark, fuseki_url):
     assert ("https://example.com/onto",
             "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
             OWL_ONTOLOGY, False, None) in triples
+
+
+def test_neo4j_admin_csv_export(spark, tmp_path):
+    """S6/S8 bulk-load contract: distributed nodes/relationships CSV
+    parts in admin-import shape; literals stay out of the rel file."""
+    import glob
+
+    from ontocast_spark.schemas import TRIPLES
+    from ontocast_spark.sources.neo4j_export import export_neo4j_admin_csv
+
+    L = "http://www.w3.org/2000/01/rdf-schema#label"
+    ns = "https://x/doc/1/chunk/c1/"
+    rows = [
+        ("c1", "https://x/doc/1", "h1", ns, ns + "acme", L, "Acme Corp", True, None),
+        ("c1", "https://x/doc/1", "h1", ns, ns + "acme",
+         "https://ex.com/fin#employs", ns + "dana", False, None),
+        ("c1", "https://x/doc/1", "h1", ns, ns + "dana", L, "Dana Fox", True, None),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES)
+    out = str(tmp_path / "neo4j")
+    nodes_dir, rels_dir = export_neo4j_admin_csv(df, out)
+
+    def read_parts(d):
+        lines = []
+        for p in glob.glob(os.path.join(d, "part-*")):
+            lines += [ln for ln in open(p).read().splitlines() if ln]
+        return lines
+
+    nodes = read_parts(nodes_dir)
+    rels = read_parts(rels_dir)
+    assert f'"{ns}acme","Acme Corp",Resource' in nodes
+    assert f'"{ns}dana","Dana Fox",Resource' in nodes
+    assert len(nodes) == 2
+    assert rels == [
+        f'"{ns}acme","{ns}dana","EMPLOYS","https://ex.com/fin#employs"'
+    ]
+    assert os.path.exists(os.path.join(out, "IMPORT.md"))
