@@ -23,9 +23,11 @@ emits prefixed, sorted, deterministic Turtle with ``@tag`` round-trip.
 Round-trip is tested in tests/test_turtle.py.
 
 Blank nodes ``[...]`` / ``[]`` are skolemized to deterministic IRIs
-(``bnode:`` + content hash scope) rather than rejected, so real-world
-ontologies with OWL restrictions load; collections ``( ... )`` are not
-supported and raise.
+(``urn:skolem:`` + content-hash scope) rather than rejected, so
+real-world ontologies with OWL restrictions load. Collections
+``( a b c )`` expand to the standard rdf:first/rdf:rest/rdf:nil list
+over skolemized list nodes (e.g. ``owl:oneOf`` enumerations in the
+reference's criminal.ttl).
 """
 
 from __future__ import annotations
@@ -133,10 +135,37 @@ def parse_turtle(text: str) -> tuple[list[tuple], dict[str, str]]:
                 return iri, j + 1
             raise ValueError("turtle: expected ';' or ']' in blank node")
 
+    def parse_collection(j):
+        """``( o1 o2 ... )`` -> rdf:first/rdf:rest chain over skolem
+        nodes; returns (head_iri_or_rdf_nil, next_j). tokens[j] == '('."""
+        rdf_ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        j += 1
+        items = []
+        while j < len(tokens) and tokens[j] != ("punct", ")"):
+            (obj, lit, dt), j = read_object(j)
+            items.append((obj, lit, dt))
+        if j >= len(tokens):
+            raise ValueError("turtle: unterminated collection")
+        j += 1  # consume ')'
+        if not items:
+            return rdf_ns + "nil", j
+        nodes = []
+        for _ in items:
+            nodes.append(f"urn:skolem:{_skolem_scope}:b{_skolem_n[0]}")
+            _skolem_n[0] += 1
+        for node, (obj, lit, dt), k in zip(nodes, items, range(len(items))):
+            triples.append((node, rdf_ns + "first", obj, lit, dt))
+            rest = nodes[k + 1] if k + 1 < len(nodes) else rdf_ns + "nil"
+            triples.append((node, rdf_ns + "rest", rest, False, None))
+        return nodes[0], j
+
     def read_object(j):
         kind, val = tokens[j]
         if kind == "punct" and val == "[":
             iri, j = parse_bnode(j)
+            return (iri, False, None), j
+        if kind == "punct" and val == "(":
+            iri, j = parse_collection(j)
             return (iri, False, None), j
         if kind in ("iri", "pname"):
             return (resolve(tokens[j]), False, None), j + 1

@@ -112,3 +112,26 @@ def test_turtle_parser_roundtrips_reference_graphs(name):
         assert set(back) == set(map(tuple, triples))
     if nonempty == 0:
         pytest.skip("fixture state has only empty graphs")
+
+
+def test_reference_ontology_dir_loads():
+    """Both shipped reference ontologies (fin-securities.ttl with
+    OWL axioms, criminal.ttl with an owl:oneOf COLLECTION) parse and
+    index — the S4 source on the reference's real files."""
+    from ontocast_spark.sources.documents import load_ontology_dir
+
+    idx = load_ontology_dir("/root/reference/data/ontologies")
+    ids = {t.ontology_id for t in idx.terms}
+    assert ids == {"fcaont", "fsec"}
+    assert len(idx.terms) >= 30
+
+    ttl = open("/root/reference/data/ontologies/criminal.ttl").read()
+    triples, _ = parse_turtle(ttl)
+    # the owl:oneOf ( ... ) enumeration expands to a 5-element rdf list
+    firsts = [t for t in triples if t[1].endswith("#first")]
+    rests = [t for t in triples if t[1].endswith("#rest")]
+    assert len(firsts) == 5 and len(rests) == 5
+    nil = [t for t in rests if t[2].endswith("#nil")]
+    assert len(nil) == 1  # exactly one chain terminator
+    oneof = [t for t in triples if t[1].endswith("#oneOf")]
+    assert len(oneof) == 1 and oneof[0][2].startswith("urn:skolem:")
