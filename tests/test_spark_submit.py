@@ -1,0 +1,79 @@
+"""North-rule deployment contract: the job runs via
+``spark-submit --py-files pipeline.zip`` (cli.py docstring), writes the
+warehouse stages + lineage checkpoints, and a re-submit resumes from
+the checkpoint without recomputing finished conversations."""
+
+import os
+import re
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(sys.executable))),
+    "lib", "python%d.%d" % sys.version_info[:2],
+    "site-packages", "pyspark", "bin", "spark-submit",
+)
+if not os.path.exists(SPARK_SUBMIT):
+    SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not available"
+)
+def test_spark_submit_py_files_and_resume(spark, tmp_path):
+    # package the library the way the cli docstring prescribes
+    zip_path = str(tmp_path / "pipeline.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _, files in os.walk(os.path.join(REPO, "ontocast_spark")):
+            for name in files:
+                if name.endswith(".py"):
+                    full = os.path.join(root, name)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+    # transcript-shaped input
+    from ontocast_spark.schemas import CONVERSATIONS
+    from ontocast_spark.synth import gen_corpus
+
+    in_path = str(tmp_path / "conv")
+    spark.createDataFrame(
+        gen_corpus(30, seed=11, mega_every=0), CONVERSATIONS
+    ).write.mode("overwrite").parquet(in_path)
+
+    job = str(tmp_path / "job.py")
+    with open(job, "w") as f:
+        f.write("import sys\nfrom ontocast_spark.cli import main\n"
+                "main(sys.argv[1:])\n")
+
+    warehouse = str(tmp_path / "wh")
+    cmd = [
+        SPARK_SUBMIT, "--master", "local[4]",
+        "--conf", "spark.driver.memory=6g",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path, job,
+        "--input", in_path, "--warehouse", warehouse,
+    ]
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+
+    out1 = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=420, env=env
+    )
+    assert out1.returncode == 0, out1.stderr[-2000:]
+    m = re.search(r"kg_triples rows: (\d+)", out1.stdout)
+    assert m and int(m.group(1)) > 0
+    n1 = int(m.group(1))
+    for stage in ("kg_canon", "kg_triples", "checkpoints",
+                  "ontology_alignments"):
+        assert os.path.isdir(os.path.join(warehouse, stage)), stage
+
+    # resume: a second submit over the same warehouse anti-joins every
+    # finished conversation away — identical store, no duplicates
+    out2 = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=420, env=env
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    m2 = re.search(r"kg_triples rows: (\d+)", out2.stdout)
+    assert m2 and int(m2.group(1)) == n1
