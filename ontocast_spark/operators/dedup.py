@@ -21,7 +21,7 @@ are capped (skew guard) like operators/crossdoc.py.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_MAX_BUCKET = 512
@@ -166,6 +166,64 @@ def ngram_jaccard_verify(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end near-duplicate removal — the user-facing composition
+    of the candidates-then-verify-then-cluster chain:
+
+    1. :func:`minhash_lsh_candidates` — banded LSH candidate pairs
+       (bucket self-join, never all-pairs);
+    2. :func:`ngram_jaccard_verify` — exact word-n-gram Jaccard on the
+       candidates only (Arrow-batched UDF), keep pairs ``>= threshold``;
+    3. :func:`~ontocast_spark.operators.cc.connected_components` over
+       the surviving duplicate edges — near-dup similarity is not
+       transitive, so A~B and B~C must collapse A, B, C into ONE
+       cluster or the keeper set still contains near-dups;
+    4. keeper = min ``id_col`` per component (deterministic,
+       rerun-stable).
+
+    Returns ``(deduped_docs, clusters)`` where ``clusters`` has one row
+    per clustered doc: ``(doc_id, keeper_id, cluster_size)`` (keeper
+    rows included, so ``cluster_size`` is checkable downstream) and
+    ``deduped_docs`` is ``docs`` minus the non-keeper cluster members.
+
+    Scale: candidate generation is bucketed with a ``max_bucket`` skew
+    cap; verification touches candidates only; CC is the O(log n)
+    min-label/pointer-jumping loop (one shuffle per round). Edges are
+    a tiny fraction of the corpus, so the CC rounds are cheap relative
+    to the signature scan.
+    """
+    from .cc import connected_components
+
+    cands = minhash_lsh_candidates(
+        docs, text_col, id_col, num_hashes, bands, max_bucket
+    )
+    edges = ngram_jaccard_verify(
+        docs, cands, text_col, id_col, shingle_n, threshold
+    ).select("a", "b")
+    labels = connected_components(edges, src="a", dst="b")
+    clusters = (
+        labels.select(
+            F.col("node").alias(id_col), F.col("comp").alias("keeper_id")
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("keeper_id")),
+        )
+    )
+    dups = clusters.filter(F.col(id_col) != F.col("keeper_id")).select(id_col)
+    deduped = docs.join(dups, id_col, "left_anti")
+    return deduped, clusters
 
 
 def simhash_expr(text_col: str = "text", bits: int = 32):

@@ -764,6 +764,59 @@ FROM cands
 ORACLE_NGRAM_JACCARD = _oracle_ngram_jaccard()
 
 
+# ------------------------------------------- end-to-end dedup cluster
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering through the real
+    :func:`~ontocast_spark.operators.dedup.dedup_corpus` operator:
+    MinHash-LSH candidates (k=4 sigs, 2 bands) -> exact 3-gram Jaccard
+    verify (>= 0.9) -> distributed connected components (min-label +
+    pointer jumping) -> keeper = min doc_id per cluster. One row per
+    clustered doc with its keeper and cluster size — value-level oracle
+    coverage for the CC operator via a DuckDB recursive-CTE transitive
+    closure."""
+    from .operators.dedup import dedup_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    _, clusters = dedup_corpus(docs, threshold=0.9, num_hashes=4, bands=2)
+    return clusters.select("doc_id", "keeper_id", "cluster_size")
+
+
+ORACLE_DEDUP_CLUSTER = f"""
+WITH RECURSIVE sigs AS (
+  SELECT doc_id,
+         list_min([md5('0|' || s) for s in {_DUCK_SHINGLES}]) AS sig0,
+         list_min([md5('1|' || s) for s in {_DUCK_SHINGLES}]) AS sig1,
+         list_min([md5('2|' || s) for s in {_DUCK_SHINGLES}]) AS sig2,
+         list_min([md5('3|' || s) for s in {_DUCK_SHINGLES}]) AS sig3,
+         list_distinct({_DUCK_SHINGLES}) AS sh
+  FROM documents
+),
+bkeys AS (
+  SELECT doc_id, '0|' || sig0 || '|' || sig1 AS bkey, sh FROM sigs
+  UNION ALL
+  SELECT doc_id, '1|' || sig2 || '|' || sig3 AS bkey, sh FROM sigs
+),
+edges AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bkeys x JOIN bkeys y ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+        / len(list_distinct(list_concat(x.sh, y.sh)))::DOUBLE >= 0.9
+),
+sym AS (
+  SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges
+  UNION SELECT a, a AS b FROM edges UNION SELECT b AS a, b FROM edges
+),
+reach(node, m) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON r.m = s.a
+)
+SELECT node AS doc_id, min(m) AS keeper_id,
+       count(*) OVER (PARTITION BY min(m)) AS cluster_size
+FROM reach GROUP BY node
+"""
+
+
 # ------------------------------------------- embedding near-dup (LSH)
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup over the embeddings table: sign
@@ -994,6 +1047,7 @@ QUERIES = {
     "q_token_stats": q_token_stats,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_embedding_neardup": q_embedding_neardup,
+    "q_dedup_cluster": q_dedup_cluster,
 }
 
 ORACLES = {
@@ -1026,4 +1080,5 @@ ORACLES = {
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "q_embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "q_dedup_cluster": ORACLE_DEDUP_CLUSTER,
 }

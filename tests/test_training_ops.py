@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ontocast_spark.operators.dedup import (
+    dedup_corpus,
     embedding_neardup,
     exact_dedup,
     minhash_lsh_candidates,
@@ -52,6 +53,25 @@ def test_minhash_lsh_and_jaccard(spark, docs):
     assert v.get((90001, 90002)) == 1.0
     if (90001, 90003) in v:
         assert 0.5 <= v[(90001, 90003)] < 1.0
+
+
+def test_dedup_corpus_transitive(spark):
+    """A~B and B~C near-dups (A!~C direct is irrelevant) must collapse
+    into ONE cluster with keeper = min id, and the deduped corpus keeps
+    exactly one member per cluster."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (1, base + "one two three four five six seven eight nine ten"),
+        (2, base + "one two three four five six seven eight nine TEN"),
+        (3, base + "one two three four five six seven eight NINE TEN"),
+        (50, "a completely different document about spark physical plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    deduped, clusters = dedup_corpus(docs, threshold=0.8, num_hashes=8, bands=4)
+    got = {r["doc_id"]: (r["keeper_id"], r["cluster_size"]) for r in clusters.collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
+    kept = sorted(r["doc_id"] for r in deduped.collect())
+    assert kept == [1, 50]
 
 
 def test_simhash_dedup(spark, docs):
