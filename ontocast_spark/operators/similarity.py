@@ -60,19 +60,12 @@ def brute_force_topk(
     )
 
 
-def build_ivf_index(
-    corpus: DataFrame,
-    ncells: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """Returns (centroids(cell_id, centroid), assignments(vec_id, cell_id)).
-
-    Centroids = deterministic sample (first ``ncells`` ids by
-    ``md5(id)`` order — seed-free, rerun-stable); assignment = argmax
-    cosine vs broadcast centroids.
-    """
-    centroids = (
+def _seed_centroids(
+    corpus: DataFrame, ncells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic seed centroids: first ``ncells`` ids by
+    ``md5(id)`` order — seed-free, rerun-stable."""
+    return (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid"))
         .withColumn("_o", F.md5(F.col("cid").cast("string")))
         .orderBy("_o")
@@ -84,17 +77,112 @@ def build_ivf_index(
         )
         .select("cell_id", "centroid")
     )
-    scored = (
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("sim", F.expr(_cosine_expr("cv", "centroid")))
+
+
+def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cv) x broadcast centroids -> (vec_id, cell_id): argmax
+    cosine, ties broken toward the lowest cell_id."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim", F.expr(_cosine_expr("cv", "centroid"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell_id"))
-    assignments = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell_id")
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    ncells: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Spherical k-means (Lloyd) centroid training — the distributed
+    iterative refinement of the IVF index's cells.
+
+    Each round: assign every vector to its nearest centroid (one
+    corpus pass against the broadcast centroid table), then recompute
+    each centroid as the L2-normalized per-dimension mean of its
+    members. Empty cells keep their previous centroid.
+
+    Determinism at any parallelism: the per-dimension mean is
+    aggregated as ``DECIMAL(38,15)`` — decimal addition is exact and
+    order-independent, so the centroids are bit-identical regardless
+    of partitioning or shuffle order (a double ``avg`` would drift in
+    the last ulp with aggregation order and could flip argmax
+    assignments between runs).
+
+    Scale: per round, one broadcast-join corpus pass for assignment
+    plus one shuffle of (cell_id, pos) partial means — map-side
+    combine reduces the exploded n x d rows to ncells x d per
+    partition before the exchange. ``localCheckpoint`` truncates the
+    tiny centroid table's lineage each round so the plan stays flat.
+    """
+    vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    centroids = (
+        seed_centroids
+        if seed_centroids is not None
+        else _seed_centroids(corpus, ncells, id_col, vec_col)
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        assigned = _assign(vecs, centroids)
+        comps = (
+            assigned.join(vecs, "vec_id")
+            .select("cell_id", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg(F.col("x").cast("decimal(38,15)")).alias("m"))
+        )
+        new = (
+            comps.groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .withColumn("raw", F.expr("transform(pm, s -> CAST(s.m AS DOUBLE))"))
+            .withColumn("nrm", F.expr(_NORM.format("raw")))
+            .withColumn(
+                "ctr",
+                F.expr(
+                    "CASE WHEN nrm > 0 THEN "
+                    "transform(raw, x -> CAST(x / nrm AS FLOAT)) END"
+                ),
+            )
+            .select("cell_id", "ctr")
+        )
+        centroids = (
+            centroids.join(new, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce(F.col("ctr"), F.col("centroid")).alias("centroid"),
+            )
+            .localCheckpoint()
+        )
+    return centroids
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    ncells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (centroids(cell_id, centroid), assignments(vec_id, cell_id)).
+
+    ``train_iters=0``: centroids are the deterministic md5-ordered
+    sample. ``train_iters>0``: the sample seeds
+    :func:`train_ivf_centroids` (spherical k-means) — tighter cells,
+    better recall at the same nprobe. Assignment = argmax cosine vs
+    broadcast centroids either way.
+    """
+    centroids = _seed_centroids(corpus, ncells, id_col, vec_col)
+    if train_iters > 0:
+        centroids = train_ivf_centroids(
+            corpus, ncells, train_iters, id_col, vec_col, seed_centroids=centroids
+        )
+    vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    assignments = _assign(vecs, centroids)
     return centroids, assignments
 
 

@@ -16,6 +16,7 @@ from ontocast_spark.operators.similarity import (
     brute_force_topk,
     build_ivf_index,
     ivf_topk,
+    train_ivf_centroids,
 )
 from ontocast_spark.operators.text_analysis import add_fingerprint, quality_features
 
@@ -109,6 +110,35 @@ def test_embedding_neardup_and_ann(spark):
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     assert len(e & a) / len(e) >= 0.5
+
+
+def test_ivf_kmeans_training(spark):
+    """Lloyd refinement: (1) centroids are bit-identical across
+    partitionings (decimal-exact means), (2) trained cells give recall
+    >= the sampled seed at the same nprobe (both sides deterministic,
+    so this is a stable comparison, not a flaky stochastic bound)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    c1 = train_ivf_centroids(emb, ncells=8, n_iter=2)
+    c2 = train_ivf_centroids(emb.repartition(37), ncells=8, n_iter=2)
+    r1 = sorted((r["cell_id"], tuple(r["centroid"])) for r in c1.collect())
+    r2 = sorted((r["cell_id"], tuple(r["centroid"])) for r in c2.collect())
+    assert r1 == r2
+
+    queries = emb.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    recalls = {}
+    for iters in (0, 3):
+        cent, asg = build_ivf_index(emb, ncells=8, train_iters=iters)
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(emb, cent, asg, queries, k=10, nprobe=2).collect()
+        }
+        recalls[iters] = len(got & exact) / len(exact)
+    assert recalls[3] >= recalls[0]
+    assert recalls[3] >= 0.5
 
 
 def test_quality_and_fingerprint(spark, docs):
