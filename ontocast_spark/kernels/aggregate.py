@@ -25,7 +25,7 @@ from __future__ import annotations
 from collections import defaultdict
 from dataclasses import dataclass, field
 
-from .fuzz import ratio
+from .fuzz import cached_ratio
 from .rdfterms import (
     PROV_ENTITY,
     PROV_WAS_GENERATED_BY,
@@ -143,8 +143,8 @@ def find_similar_entities(
     (90 when types shared, else 85).
 
     Pure-speedup shortcuts (identical decisions): strings are lowered
-    once, ratio values are memoized per label pair (synthetic corpora
-    repeat labels heavily), and pairs whose length skew already bounds
+    once, ratio values are memoized worker-lifetime (labels repeat
+    across documents; see fuzz.cached_ratio), and pairs whose length skew already bounds
     the ratio below the lower threshold skip the LCS entirely
     (LCS <= min(la, lb), so ratio <= 200*min/(la+lb))."""
     groups: list[list[str]] = []
@@ -155,7 +155,6 @@ def find_similar_entities(
         e: (m.label.lower() if m.label is not None else "")
         for e, m in entities.items()
     }
-    memo: dict[tuple[str, str], float] = {}
     for i, e1 in enumerate(entities_list):
         if e1 in processed:
             continue
@@ -183,11 +182,7 @@ def find_similar_entities(
                 l2 = len(label2)
                 if 200.0 * min(l1, l2) < threshold * (l1 + l2):
                     continue  # ratio upper bound below threshold
-                key = (label1, label2)
-                r = memo.get(key)
-                if r is None:
-                    r = ratio(label1, label2)
-                    memo[key] = r
+                r = cached_ratio(label1, label2)
                 if r >= threshold:
                     group.append(e2)
                     processed.add(e2)
@@ -215,7 +210,6 @@ def find_similar_predicates(
         p: (m.label.lower() if m.label is not None else None)
         for p, m in predicates.items()
     }
-    memo: dict[tuple[str, str], float] = {}
     for i, p1 in enumerate(preds_list):
         if p1 in processed:
             continue
@@ -238,11 +232,7 @@ def find_similar_predicates(
                 l1, l2 = len(label1), len(label2)
                 if 200.0 * min(l1, l2) < SIMILARITY_THRESHOLD * (l1 + l2):
                     continue
-                key = (label1, label2)
-                r = memo.get(key)
-                if r is None:
-                    r = ratio(label1, label2)
-                    memo[key] = r
+                r = cached_ratio(label1, label2)
                 if r >= SIMILARITY_THRESHOLD and _domain_range_compatible(
                     info1, info2
                 ):

@@ -17,6 +17,19 @@ string length in a handful of int ops per character of ``b``.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 15)
+def _char_masks(a: str) -> tuple[dict[str, int], int]:
+    """Per-string Allison–Dix bitmask table, memoized: entity labels
+    recur across chunks and documents inside one long-lived Python
+    worker, so the mask-build loop amortizes to ~zero."""
+    masks: dict[str, int] = {}
+    for i, ch in enumerate(a):
+        masks[ch] = masks.get(ch, 0) | (1 << i)
+    return masks, (1 << len(a)) - 1
+
 
 def lcs_len(a: str, b: str) -> int:
     """Length of the longest common subsequence of ``a`` and ``b``."""
@@ -25,10 +38,7 @@ def lcs_len(a: str, b: str) -> int:
     # Put the shorter string in the bit dimension.
     if len(a) > len(b):
         a, b = b, a
-    masks: dict[str, int] = {}
-    for i, ch in enumerate(a):
-        masks[ch] = masks.get(ch, 0) | (1 << i)
-    full = (1 << len(a)) - 1
+    masks, full = _char_masks(a)
     r = 0
     get = masks.get
     for ch in b:
@@ -43,3 +53,12 @@ def ratio(a: str, b: str) -> float:
     if la + lb == 0:
         return 100.0
     return 200.0 * lcs_len(a, b) / (la + lb)
+
+
+@lru_cache(maxsize=1 << 16)
+def cached_ratio(a: str, b: str) -> float:
+    """Worker-lifetime memo of :func:`ratio`. Label pairs repeat across
+    the many documents one executor processes; the cache is keyed on
+    the exact (a, b) strings so the value is identical to ``ratio`` —
+    a pure speedup, never a semantic change."""
+    return ratio(a, b)
