@@ -33,7 +33,11 @@ stream checkpoint commits batch N; on replay, turn-level
 ``applyInPandasWithState`` operator: the whole batch pipeline (chunker,
 extractor, canonicalizer) is reused unchanged, and state (which convs
 are done) lives in the warehouse, not the state store — surviving
-restarts with the stream checkpoint.
+restarts with the stream checkpoint. The state-store-native session
+gate also exists — ``streaming.stateful.assemble_sessions_stateful``
+(``GroupState`` + event-time timeout, byte-identical document output) —
+for deployments that prefer the built-in state store over a buffer
+table.
 """
 
 from __future__ import annotations

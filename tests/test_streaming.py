@@ -141,3 +141,70 @@ def test_quiet_for_gate_assembles_split_conversations(spark, tmp_path):
     objs = {r["obj"] for r in canon.filter("conv_id = 'convA'").collect()}
     # triples from BOTH turns present -> document assembled complete
     assert "Dana Fox" in objs and "Alice Reed" in objs
+
+
+def test_stateful_session_assembly(spark, tmp_path):
+    """applyInPandasWithState session gate: turns spanning micro-batches
+    buffer in the state store; the event-time timeout (watermark past
+    max(ts)+gap) emits a document byte-identical to the batch
+    assemble_documents operator."""
+    import datetime
+
+    from ontocast_spark.operators.assemble import assemble_documents
+    from ontocast_spark.streaming.stateful import assemble_sessions_stateful
+
+    in_dir = str(tmp_path / "turns_state")
+    ckpt = str(tmp_path / "ckpt_state")
+    os.makedirs(in_dir)
+
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+
+    def turn(conv, idx, text, minutes):
+        return (conv, idx, "user", text,
+                None, t0 + datetime.timedelta(minutes=minutes))
+
+    a_turns = [
+        turn("convA", 0, "Acme Corp employs Dana Fox.", 0),
+        turn("convA", 1, "Beta Inc employs Alice Reed.", 1),
+        turn("convA", 2, "Dana Fox manages Beta Inc.", 2),
+    ]
+    drops = [
+        a_turns[:2],                                   # A split across
+        [a_turns[2], turn("convB", 0, "Gamma LLC.", 30)],  # two batches
+        [turn("convC", 0, "Delta Co.", 60)],
+        [turn("convD", 0, "Omega AG.", 120)],
+    ]
+    spark.createDataFrame(drops[0], CONVERSATIONS).write.mode("append").parquet(in_dir)
+
+    stream = stream_conversations_from_files(
+        spark, in_dir, CONVERSATIONS, watermark="0 seconds"
+    )
+    docs = assemble_sessions_stateful(stream, gap_seconds=60)
+    q = (
+        docs.writeStream.format("memory").queryName("stateful_docs")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+        for d in drops[1:]:
+            spark.createDataFrame(d, CONVERSATIONS).write.mode("append").parquet(in_dir)
+            q.processAllAvailable()
+        got = {
+            r["conv_id"]: r
+            for r in spark.sql("SELECT * FROM stateful_docs").collect()
+        }
+    finally:
+        q.stop()
+
+    # A (quiet since 10:02) and B (10:30) fired; D's gap hasn't elapsed
+    assert "convA" in got and "convB" in got
+    assert "convD" not in got
+    a = got["convA"]
+    assert a["n_turns"] == 3  # state buffered across micro-batches
+
+    batch = assemble_documents(
+        spark.createDataFrame(a_turns, CONVERSATIONS)
+    ).collect()[0]
+    assert a["text"] == batch["text"]
+    assert a["doc_hid"] == batch["doc_hid"]
+    assert a["doc_iri"] == batch["doc_iri"]
