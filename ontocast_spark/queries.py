@@ -764,6 +764,46 @@ FROM cands
 ORACLE_NGRAM_JACCARD = _oracle_ngram_jaccard()
 
 
+# ------------------------------------------------- IVF cell assignment
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build through the real operator: deterministic
+    md5-ordered seed centroids (ncells=8) + argmax-cosine assignment of
+    every vector — the scale path's partitioning step, value-checked
+    end-to-end (each vector's cell is an exact argmax DuckDB can
+    replicate)."""
+    from .operators.similarity import build_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assignments = build_ivf_index(emb, ncells=8)
+    return assignments.select("vec_id", "cell_id")
+
+
+ORACLE_IVF_ASSIGN = """
+WITH ranked AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS ord
+  FROM embeddings
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY cid)::INT AS cell_id, centroid
+  FROM ranked WHERE ord <= 8
+),
+scored AS (
+  SELECT e.vec_id, c.cell_id,
+         list_dot_product(e.embedding::DOUBLE[], c.centroid)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(c.centroid, c.centroid))) AS sim
+  FROM embeddings e CROSS JOIN cent c
+)
+SELECT vec_id, cell_id FROM (
+  SELECT vec_id, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cell_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 # ------------------------------------------- end-to-end dedup cluster
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup clustering through the real
@@ -1048,6 +1088,7 @@ QUERIES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_embedding_neardup": q_embedding_neardup,
     "q_dedup_cluster": q_dedup_cluster,
+    "q_ivf_assign": q_ivf_assign,
 }
 
 ORACLES = {
@@ -1081,4 +1122,5 @@ ORACLES = {
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "q_embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "q_dedup_cluster": ORACLE_DEDUP_CLUSTER,
+    "q_ivf_assign": ORACLE_IVF_ASSIGN,
 }
