@@ -764,6 +764,39 @@ FROM cands
 ORACLE_NGRAM_JACCARD = _oracle_ngram_jaccard()
 
 
+# ------------------------------------------------ dataset split/sample
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment plus a 20%%
+    partition-invariant sample flag, through the real dataset
+    operators — the same doc lands in the same split on any cluster
+    size (salted-hash buckets, no RNG state)."""
+    from .operators.dataset import assign_splits, hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    out = assign_splits(docs, "doc_id", salt="r2")
+    return out.select(
+        "doc_id",
+        "split",
+        (hash_bucket(F.col("doc_id"), "samp") < 2000).alias("in_sample"),
+    )
+
+
+ORACLE_DATASET_SPLIT = """
+SELECT doc_id,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       (('0x' || substr(md5('samp|' || doc_id::VARCHAR), 1, 8))::BIGINT
+        % 10000) < 2000 AS in_sample
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5('r2|' || doc_id::VARCHAR), 1, 8))::BIGINT
+         % 10000 AS b
+  FROM documents
+)
+"""
+
+
 # ------------------------------------------------- IVF cell assignment
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index build through the real operator: deterministic
@@ -1089,6 +1122,7 @@ QUERIES = {
     "q_embedding_neardup": q_embedding_neardup,
     "q_dedup_cluster": q_dedup_cluster,
     "q_ivf_assign": q_ivf_assign,
+    "q_dataset_split": q_dataset_split,
 }
 
 ORACLES = {
@@ -1123,4 +1157,5 @@ ORACLES = {
     "q_embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "q_dedup_cluster": ORACLE_DEDUP_CLUSTER,
     "q_ivf_assign": ORACLE_IVF_ASSIGN,
+    "q_dataset_split": ORACLE_DATASET_SPLIT,
 }

@@ -199,3 +199,35 @@ def test_critique_scores(spark):
     orows = os_.collect()
     assert orows and all(0.0 <= r["score"] <= 100.0 for r in orows)
     assert onto.count() > 0
+
+
+def test_dataset_split_and_sample(spark):
+    """Hash-bucket splits: exhaustive, disjoint, rerun-stable, and the
+    deterministic sample keeps the same keys at any partitioning
+    (unlike df.sample, whose seed is per-partition)."""
+    from ontocast_spark.operators.dataset import (
+        assign_splits,
+        sample_deterministic,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = assign_splits(docs, "doc_id", salt="t")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+    # same doc -> same split regardless of partitioning
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {(r["doc_id"], r["split"])
+         for r in assign_splits(docs.repartition(17), "doc_id", salt="t").collect()}
+    assert a == b
+
+    s1 = {r["doc_id"] for r in
+          sample_deterministic(docs, 0.3, "doc_id").select("doc_id").collect()}
+    s2 = {r["doc_id"] for r in
+          sample_deterministic(docs.repartition(11), 0.3, "doc_id")
+          .select("doc_id").collect()}
+    assert s1 == s2
+    assert 0.15 <= len(s1) / docs.count() <= 0.45
