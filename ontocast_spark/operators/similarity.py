@@ -225,3 +225,51 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
     )
+
+
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """L2-normalize an embedding column (JVM-side; cosine becomes a
+    plain dot product downstream — one reduction instead of three)."""
+    out_col = out_col or vec_col
+    nrm = _NORM.format(vec_col)
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"CASE WHEN {nrm} > 0 THEN "
+            f"transform({vec_col}, x -> CAST(CAST(x AS DOUBLE) / {nrm} AS FLOAT)) "
+            f"ELSE {vec_col} END"
+        ),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q_embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max(|x|)/127,
+    q_i = round(x_i / scale). Emits (q_embedding array<tinyint>,
+    q_scale float) — 4x smaller shuffle/storage for ANN candidate
+    stages; exact scores re-rank on the float column. All column
+    algebra, deterministic, dimension-agnostic."""
+    amax = (
+        f"aggregate({vec_col}, CAST(0 AS DOUBLE), "
+        f"(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+    )
+    return (
+        df.withColumn("_amax", F.expr(amax))
+        .withColumn(
+            "q_scale",
+            F.when(F.col("_amax") > 0, (F.col("_amax") / F.lit(127.0)))
+            .otherwise(F.lit(1.0))
+            .cast("float"),
+        )
+        .withColumn(
+            out_col,
+            F.expr(
+                f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) "
+                f"/ q_scale) AS TINYINT))"
+            ),
+        )
+        .drop("_amax")
+    )

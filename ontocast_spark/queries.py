@@ -764,6 +764,91 @@ FROM cands
 ORACLE_NGRAM_JACCARD = _oracle_ngram_jaccard()
 
 
+# --------------------------------------------- embedding quantization
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization through the real operator (scale =
+    max|x|/127, q = round(x/scale)) projected to scalar invariants —
+    scale, sum, min/max, sum-of-squares of the int8 vector — so the
+    whole quantized array is value-pinned without array-typed output."""
+    from .operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    agg = "aggregate(q_embedding, {z}, (acc, x) -> acc + {f})"
+    return q.select(
+        "vec_id",
+        F.col("q_scale"),
+        F.expr(agg.format(z="0L", f="CAST(x AS BIGINT)")).alias("q_sum"),
+        F.expr(
+            "aggregate(q_embedding, CAST(127 AS TINYINT), "
+            "(acc, x) -> least(acc, x))"
+        ).cast("int").alias("q_min"),
+        F.expr(
+            "aggregate(q_embedding, CAST(-128 AS TINYINT), "
+            "(acc, x) -> greatest(acc, x))"
+        ).cast("int").alias("q_max"),
+        F.expr(agg.format(z="0L", f="CAST(x AS BIGINT) * CAST(x AS BIGINT)"))
+        .alias("q_l2"),
+    )
+
+
+ORACLE_EMBED_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id,
+         [round(x::DOUBLE / sc)::BIGINT for x in embedding] AS q
+  FROM (
+    SELECT vec_id, embedding,
+           CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS sc
+    FROM (
+      SELECT vec_id, embedding,
+             list_max([abs(x::DOUBLE) for x in embedding]) AS amax
+      FROM embeddings
+    )
+  )
+),
+sc AS (
+  SELECT vec_id,
+         CASE WHEN amax > 0 THEN (amax / 127.0)::FLOAT ELSE 1.0::FLOAT END
+           AS q_scale
+  FROM (SELECT vec_id,
+               list_max([abs(x::DOUBLE) for x in embedding]) AS amax
+        FROM embeddings)
+)
+SELECT s.vec_id, sc.q_scale,
+       list_sum(q)::BIGINT AS q_sum,
+       list_min(q)::INT AS q_min,
+       list_max(q)::INT AS q_max,
+       list_sum([x * x for x in q])::BIGINT AS q_l2
+FROM s JOIN sc ON s.vec_id = sc.vec_id
+"""
+
+
+# ---------------------------------------------------- corpus statistics
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics: doc count, mean length, exact
+    p50/p95 length (linear-interpolated percentiles, identical
+    definition in both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length("text")), 6).alias("mean_len"),
+            F.round(F.expr("percentile(length(text), 0.5)"), 6).alias("p50_len"),
+            F.round(F.expr("percentile(length(text), 0.95)"), 6).alias("p95_len"),
+        )
+    )
+
+
+ORACLE_CORPUS_STATS = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(length(text)), 6) AS mean_len,
+       round(quantile_cont(length(text), 0.5), 6) AS p50_len,
+       round(quantile_cont(length(text), 0.95), 6) AS p95_len
+FROM documents GROUP BY lang
+"""
+
+
 # ------------------------------------------------ dataset split/sample
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment plus a 20%%
@@ -1123,6 +1208,8 @@ QUERIES = {
     "q_dedup_cluster": q_dedup_cluster,
     "q_ivf_assign": q_ivf_assign,
     "q_dataset_split": q_dataset_split,
+    "q_embed_quantize": q_embed_quantize,
+    "q_corpus_stats": q_corpus_stats,
 }
 
 ORACLES = {
@@ -1158,4 +1245,6 @@ ORACLES = {
     "q_dedup_cluster": ORACLE_DEDUP_CLUSTER,
     "q_ivf_assign": ORACLE_IVF_ASSIGN,
     "q_dataset_split": ORACLE_DATASET_SPLIT,
+    "q_embed_quantize": ORACLE_EMBED_QUANTIZE,
+    "q_corpus_stats": ORACLE_CORPUS_STATS,
 }

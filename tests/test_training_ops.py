@@ -231,3 +231,41 @@ def test_dataset_split_and_sample(spark):
           .select("doc_id").collect()}
     assert s1 == s2
     assert 0.15 <= len(s1) / docs.count() <= 0.45
+
+
+def test_embedding_normalize_quantize(spark):
+    """L2-normalize then int8-quantize: unit norms, q in [-128, 127],
+    dequantized vector close to the original, and both ops
+    deterministic column algebra (same result under repartition)."""
+    from ontocast_spark.operators.similarity import (
+        normalize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    norm = normalize_embeddings(emb)
+    norms = norm.selectExpr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), "
+        "0D, (a, x) -> a + x)) AS n"
+    ).collect()
+    assert all(abs(r["n"] - 1.0) < 1e-5 for r in norms)
+
+    q = quantize_embeddings(norm)
+    row = q.first()
+    vals = list(row["q_embedding"])
+    assert all(-128 <= v <= 127 for v in vals)
+    assert max(abs(v) for v in vals) == 127  # max component hits full scale
+    # dequantize: error bounded by scale/2 per component
+    orig = list(row["embedding"])
+    sc = row["q_scale"]
+    assert all(abs(o - v * sc) <= sc / 2 + 1e-6 for o, v in zip(orig, vals))
+
+    a = q.selectExpr(
+        "vec_id",
+        "aggregate(q_embedding, 0L, (acc, x) -> acc + CAST(x AS BIGINT)) AS s",
+    ).collect()
+    b = quantize_embeddings(normalize_embeddings(emb.repartition(13))).selectExpr(
+        "vec_id",
+        "aggregate(q_embedding, 0L, (acc, x) -> acc + CAST(x AS BIGINT)) AS s",
+    ).collect()
+    assert {(r["vec_id"], r["s"]) for r in a} == {(r["vec_id"], r["s"]) for r in b}
