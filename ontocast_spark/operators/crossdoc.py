@@ -86,15 +86,14 @@ def entity_metadata(facts: DataFrame) -> DataFrame:
     )
 
 
-def candidate_pairs(
-    meta: DataFrame, max_block_size: int = DEFAULT_MAX_BLOCK
-) -> DataFrame:
-    """Blocked self-join -> distinct candidate (a, b) pairs with both
-    sides' metadata. Oversized blocks are dropped (skew guard)."""
-    # block keys: exact lowercase local name + every label token (>= 3
-    # chars) — token blocking keeps recall on "John Doe"/"J. Doe"-style
-    # variants that share no prefix; oversized token blocks ("inc",
-    # "corp") are dropped by the size cap below
+def _blocked_keys(meta: DataFrame, max_block_size: int) -> DataFrame:
+    """(bkey, entity, local_name, label, types) exploded block table.
+
+    Block keys: exact lowercase local name + every label token (>= 3
+    chars) — token blocking keeps recall on "John Doe"/"J. Doe"-style
+    variants that share no prefix; oversized token blocks ("inc",
+    "corp") are dropped by the size cap (skew guard). Persisted: the
+    table is consumed 2-3x (sizes + join sides)."""
     label_tokens = F.coalesce(
         F.filter(
             F.split(F.lower(F.col("label")), r"[^a-z0-9]+"),
@@ -106,15 +105,21 @@ def candidate_pairs(
         F.array(F.concat(F.lit("ln:"), F.lower("local_name"))),
         F.transform(label_tokens, lambda t: F.concat(F.lit("tk:"), t)),
     )
-    # blocked is consumed three times (sizes, self-join sides a and b):
-    # persist it so the exploded key table materializes once
     blocked = meta.select(
         "entity", "local_name", "label", "types", F.explode(keys).alias("bkey")
     ).distinct().persist()
     sizes = blocked.groupBy("bkey").agg(F.count(F.lit(1)).alias("bsize"))
-    blocked = blocked.join(
+    return blocked.join(
         F.broadcast(sizes.filter(F.col("bsize") <= max_block_size)), "bkey"
     )
+
+
+def candidate_pairs(
+    meta: DataFrame, max_block_size: int = DEFAULT_MAX_BLOCK
+) -> DataFrame:
+    """Blocked self-join -> distinct candidate (a, b) pairs with both
+    sides' metadata. Oversized blocks are dropped (skew guard)."""
+    blocked = _blocked_keys(meta, max_block_size)
     a = blocked.select(
         "bkey",
         F.col("entity").alias("a"),
@@ -286,3 +291,188 @@ def canonicalize_crossdoc(
     mapping = canonical_mapping(meta, edges, kg_namespace).persist()
     rewritten = rewrite_triples(facts, mapping)
     return rewritten, mapping
+
+
+def canonical_entity_meta(
+    rewritten_facts: DataFrame, mapping: DataFrame
+) -> DataFrame:
+    """(entity=canonical_iri, local_name, label, types) for every
+    canonical entity — the side table an incremental pipeline persists
+    between batches so later batches match against canon without
+    re-scanning the whole KG."""
+    canon = mapping.select(
+        F.col("canonical_iri").alias("entity")
+    ).distinct()
+    # localCheckpoint (eager): the table is re-scanned by blocking and
+    # matching in the NEXT batch, and — unlike persist — checkpointing
+    # truncates the LOGICAL plan, so the next batch's optimizer does not
+    # re-analyze this batch's whole rewrite lineage (at warehouse scale
+    # this is a written side table, same effect)
+    return entity_metadata(rewritten_facts).join(
+        canon, "entity", "semi"
+    ).localCheckpoint()
+
+
+def incremental_canonicalize(
+    new_facts: DataFrame,
+    existing_mapping: DataFrame,
+    canon_meta: DataFrame,
+    kg_namespace: str = "https://example.com/kg/",
+    max_block_size: int = DEFAULT_MAX_BLOCK,
+    exact_only: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Merge ONE new batch into an existing canonical KG without
+    re-canonicalizing the corpus — the only viable mode at 10^12 turns
+    (a nightly batch cannot re-run CC over the whole history).
+
+    Stability contract (tested): existing (original -> canonical)
+    entries never change, and existing canonical IRIs are never
+    re-minted or merged. The price is the standard incremental-ER
+    trade-off: a new entity that would have bridged two existing canon
+    groups adopts ONE of them (best score, deterministic tie-break)
+    instead of merging them — a batch recanonicalization job can fold
+    such bridges later.
+
+    Steps (all bulk joins, no per-row Python outside the shared fuzzy
+    scorer):
+
+    1. already-known originals reuse their canonical (hash join against
+       ``existing_mapping``);
+    2. unknown new entities match against ``canon_meta`` via the same
+       blocking + gates as the batch path (two-sided block join, never
+       new x corpus); best match (exact local-name beats fuzzy, then
+       score, then lowest canonical IRI) adopts that canonical;
+    3. the remainder canonicalizes batch-locally (candidate_pairs ->
+       match_edges -> CC -> minting), with ``_N`` collision suffixes
+       offset past the canonical names the KG already holds.
+
+    Returns (rewritten_new_triples, full_updated_mapping).
+    """
+    # localCheckpoint, not persist, at every layer boundary: the
+    # blocked self-joins and score unions below DOUBLE the logical-plan
+    # subtree per layer, and persist() does not stop Catalyst from
+    # re-optimizing the full duplicated tree on every action —
+    # checkpointing cuts the plan flat (measured: without it the
+    # stacked layers push optimization time from seconds to hours)
+    meta = entity_metadata(new_facts).localCheckpoint()
+    known = existing_mapping.select(
+        F.col("original_iri").alias("entity"),
+        F.col("canonical_iri").alias("known_canon"),
+    )
+    meta_k = meta.join(known, "entity", "left").localCheckpoint()
+    reuse = meta_k.filter(F.col("known_canon").isNotNull()).select(
+        F.col("entity").alias("original_iri"),
+        F.col("known_canon").alias("canonical_iri"),
+    )
+    unknown = (
+        meta_k.filter(F.col("known_canon").isNull())
+        .drop("known_canon")
+        .localCheckpoint()  # consumed by blocking AND the step-3 anti-join
+    )
+
+    # --- step 2: two-sided block join new-unknown x existing-canon
+    nb = _blocked_keys(unknown, max_block_size).select(
+        "bkey",
+        F.col("entity").alias("a"),
+        F.col("local_name").alias("ln_a"),
+        F.col("label").alias("label_a"),
+        F.col("types").alias("types_a"),
+    )
+    cb = _blocked_keys(canon_meta, max_block_size).select(
+        "bkey",
+        F.col("entity").alias("b"),
+        F.col("local_name").alias("ln_b"),
+        F.col("label").alias("label_b"),
+        F.col("types").alias("types_b"),
+    )
+    pairs = nb.join(cb, "bkey").drop("bkey").dropDuplicates(["a", "b"])
+    share_type = F.arrays_overlap("types_a", "types_b")
+    compatible = (
+        (F.size("types_a") == 0) | (F.size("types_b") == 0) | share_type
+    )
+    exact = F.lower("ln_a") == F.lower("ln_b")
+    gated = pairs.filter(compatible)
+    scored = gated.filter(exact).select(
+        "a", "b", F.lit(200.0).alias("score")
+    )
+    if not exact_only:
+        fuzz = _fuzz_ratio_udf()
+        threshold = F.when(share_type, F.lit(SEMANTIC_THRESHOLD)).otherwise(
+            F.lit(SIMILARITY_THRESHOLD)
+        )
+        fuzzy = (
+            gated.filter(
+                ~exact
+                & F.col("label_a").isNotNull()
+                & F.col("label_b").isNotNull()
+            )
+            .withColumn("score", fuzz(F.col("label_a"), F.col("label_b")))
+            .filter(F.col("score") >= threshold)
+            .select("a", "b", "score")
+        )
+        scored = scored.union(fuzzy)
+    w = Window.partitionBy("a").orderBy(F.col("score").desc(), F.col("b"))
+    adopted = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("a").alias("original_iri"),
+            F.col("b").alias("canonical_iri"),
+        )
+        .localCheckpoint()
+    )
+
+    # --- step 3: batch-local canonicalization of the rest
+    rest = unknown.join(
+        adopted.select(F.col("original_iri").alias("entity")), "entity",
+        "left_anti",
+    )
+    rest_pairs = candidate_pairs(rest, max_block_size=max_block_size)
+    rest_edges = match_edges(rest_pairs, exact_only=exact_only)
+    fresh = canonical_mapping(rest, rest_edges, kg_namespace)
+    # offset collision suffixes past what the KG already minted: count
+    # existing canonical local names per base cname (assumes contiguous
+    # _N suffixes from this operator's own prior runs)
+    existing_names = (
+        existing_mapping.select(
+            local_name_expr(F.col("canonical_iri")).alias("nm")
+        )
+        .distinct()
+        .withColumn("base", F.regexp_replace("nm", r"_[0-9]+$", ""))
+        .groupBy("base")
+        .agg(F.count(F.lit(1)).alias("off"))
+    )
+    fresh_named = fresh.withColumn(
+        "nm", local_name_expr(F.col("canonical_iri"))
+    ).withColumn("base", F.regexp_replace("nm", r"_[0-9]+$", ""))
+    idx_in_batch = F.when(
+        F.col("nm") == F.col("base"), F.lit(0)
+    ).otherwise(
+        F.regexp_extract("nm", r"_([0-9]+)$", 1).cast("int")
+    )
+    fresh = (
+        fresh_named.join(F.broadcast(existing_names), "base", "left")
+        .withColumn("off", F.coalesce("off", F.lit(0)))
+        .withColumn("idx", idx_in_batch + F.col("off"))
+        .select(
+            "original_iri",
+            F.when(
+                F.col("idx") == 0,
+                F.concat(F.lit(kg_namespace), F.col("base")),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(kg_namespace), F.col("base"), F.lit("_"),
+                    F.col("idx").cast("string"),
+                )
+            )
+            .alias("canonical_iri"),
+        )
+    )
+
+    batch_mapping = reuse.union(adopted).union(fresh).localCheckpoint()
+    rewritten = rewrite_triples(new_facts, batch_mapping)
+    full_mapping = existing_mapping.union(batch_mapping).dropDuplicates(
+        ["original_iri"]
+    )
+    return rewritten, full_mapping

@@ -183,3 +183,107 @@ def test_crossdoc_single_facts_scan(spark, tmp_path):
     # blocked never re-derive from parquet
     assert n_scans <= 2, f"facts parquet scanned {n_scans}x live:\n{plan[:2000]}"
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_incremental_canonicalize_stability(spark):
+    """Batch B merges into batch A's canonical KG: existing mapping
+    entries never change, matching new entities ADOPT the existing
+    canonical IRI, fresh groups mint with suffixes offset past the
+    names the KG already holds, and re-appearing originals reuse their
+    mapping."""
+    from ontocast_spark.operators.crossdoc import (
+        canonical_entity_meta,
+        incremental_canonicalize,
+    )
+
+    ns1 = "https://x.com/doc/1/chunk/c1/"
+    ns2 = "https://x.com/doc/2/chunk/c2/"
+    ns3 = "https://x.com/doc/3/chunk/c3/"
+    mk = lambda c, h, s, p, o, lit: (  # noqa: E731
+        c, f"https://x.com/doc/{c[-1]}", h, f"https://x.com/doc/{c[-1]}/chunk/{h}",
+        s, p, o, lit, None,
+    )
+    batch_a = _facts_df(spark, [
+        # group 1: john_doe across docs -> canonical kg/john_doe
+        mk("conv1", "c1", ns1 + "john_doe", RDFS_LABEL, "John Doe", True),
+        mk("conv2", "c2", ns2 + "john_doe", RDFS_LABEL, "John Doe Sr", True),
+        # singleton in A (no group): stays unmapped
+        mk("conv1", "c1", ns1 + "acme", RDFS_LABEL, "ACME Corp", True),
+    ])
+    rewr_a, map_a = canonicalize_crossdoc(batch_a, kg_namespace="https://x.com/kg/")
+    map_a_rows = {(r["original_iri"], r["canonical_iri"]) for r in map_a.collect()}
+    assert {c for _, c in map_a_rows} == {"https://x.com/kg/john_doe"}
+    canon_meta = canonical_entity_meta(rewr_a, map_a)
+
+    batch_b = _facts_df(spark, [
+        # adopts the existing canonical (same local name, no types)
+        mk("conv3", "c3", ns3 + "john_doe", RDFS_LABEL, "John Doe Jr", True),
+        # re-appearing already-mapped original -> reuse
+        mk("conv3", "c3", ns2 + "john_doe", RDFS_LABEL, "John Doe Sr", True),
+        # fresh group colliding with an existing canonical NAME:
+        # two new john_doe-named entities in disjoint-type land would
+        # not match canon if types conflicted; instead use a new name
+        mk("conv3", "c3", ns3 + "beta_llc", RDFS_LABEL, "Beta LLC", True),
+        mk("conv3", "c3", ns3 + "beta_llcx", RDFS_LABEL, "Beta LLCx", True),
+    ])
+    rewr_b, full_map = incremental_canonicalize(
+        batch_b, map_a, canon_meta, kg_namespace="https://x.com/kg/"
+    )
+    full = {r["original_iri"]: r["canonical_iri"] for r in full_map.collect()}
+
+    # stability: A's entries unchanged
+    for o, c in map_a_rows:
+        assert full[o] == c
+    # adoption: the new john_doe joins the EXISTING canonical
+    assert full[ns3 + "john_doe"] == "https://x.com/kg/john_doe"
+    # reuse: the re-appearing original keeps its mapping
+    assert full[ns2 + "john_doe"] == "https://x.com/kg/john_doe"
+    # fresh mint for the new group
+    assert full[ns3 + "beta_llc"] == full[ns3 + "beta_llcx"]
+    assert full[ns3 + "beta_llc"].startswith("https://x.com/kg/beta_llc")
+    # rewritten batch-B triples use canonical IRIs
+    subs = {r["subj"] for r in rewr_b.collect()}
+    assert "https://x.com/kg/john_doe" in subs
+    assert ns3 + "john_doe" not in subs
+
+
+def test_incremental_mint_suffix_offset(spark):
+    """A fresh batch group whose representative name collides with an
+    already-minted canonical gets the next _N suffix, never re-using an
+    existing canonical IRI."""
+    from ontocast_spark.operators.crossdoc import incremental_canonicalize
+
+    ns3 = "https://x.com/doc/3/chunk/c3/"
+    mk = lambda c, h, s, p, o, lit: (  # noqa: E731
+        c, f"https://x.com/doc/{c[-1]}", h, f"https://x.com/doc/{c[-1]}/chunk/{h}",
+        s, p, o, lit, None,
+    )
+    # existing KG already minted kg/gamma
+    existing_map = spark.createDataFrame(
+        [("https://old/a", "https://x.com/kg/gamma"),
+         ("https://old/b", "https://x.com/kg/gamma")],
+        "original_iri string, canonical_iri string",
+    )
+    # canon meta with a DIFFERENT label/type so the new group does NOT
+    # adopt it (disjoint types), forcing a fresh mint under the same name
+    canon_meta = spark.createDataFrame(
+        [("https://x.com/kg/gamma", "gamma", "Gamma Fund",
+          ["https://x.com/T/Fund"])],
+        "entity string, local_name string, label string, types array<string>",
+    )
+    batch = _facts_df(spark, [
+        # gamma carries the LONGEST label -> it becomes the group
+        # representative, so the minted base name collides with the
+        # existing canonical "gamma"
+        mk("conv3", "c3", ns3 + "gamma", RDF_TYPE, "https://x.com/T/Person", False),
+        mk("conv3", "c3", ns3 + "gamma", RDFS_LABEL, "Gamma Persons", True),
+        mk("conv3", "c3", ns3 + "gammax", RDF_TYPE, "https://x.com/T/Person", False),
+        mk("conv3", "c3", ns3 + "gammax", RDFS_LABEL, "Gamma Person", True),
+    ])
+    _, full = incremental_canonicalize(
+        batch, existing_map, canon_meta, kg_namespace="https://x.com/kg/"
+    )
+    m = {r["original_iri"]: r["canonical_iri"] for r in full.collect()}
+    assert m[ns3 + "gamma"] == m[ns3 + "gammax"]
+    assert m[ns3 + "gamma"] == "https://x.com/kg/gamma_1"  # offset past existing
+    assert m["https://old/a"] == "https://x.com/kg/gamma"  # untouched
