@@ -423,18 +423,16 @@ _SIMHASH_COMBINE = " + ".join(
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: per-token MD5 hex-digit parity bits,
-    majority vote per bit position — near-dup fingerprinting."""
+    majority vote per bit position — near-dup fingerprinting.
+
+    Uses the per-row ``aggregate`` form (operators/dedup.simhash_expr):
+    no explode, no shuffle — one codegen'd projection over the scan
+    (2.5x faster than the LATERAL VIEW + groupBy plan at sf0.1,
+    value-identical on every doc; oracle unchanged)."""
+    from .operators.dedup import simhash_expr
+
     docs = _t(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("_simhash_docs")
-    weights = ", ".join(_simhash_weight_exprs())
-    return spark.sql(f"""
-        SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM (
-          SELECT doc_id, {weights} FROM (
-            SELECT doc_id, md5(tok) AS h
-            FROM _simhash_docs LATERAL VIEW explode(split(text, ' ')) AS tok
-          ) GROUP BY doc_id
-        )
-    """)
+    return docs.select("doc_id", simhash_expr("text").alias("simhash"))
 
 
 ORACLE_SIMHASH = f"""
