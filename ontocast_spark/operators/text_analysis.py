@@ -6,7 +6,7 @@ counting, document fingerprinting. Mirrors the oracled forms in
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny n-gram/stopword profiles for a heuristic language ID — enough to
@@ -104,3 +104,76 @@ def add_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("__fp_text", F.col(text_col)).withColumn(
         "fingerprint", fingerprint_col(F.col("__fp_text"))
     ).drop("__fp_text")
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination: drop every corpus document sharing at
+    least one word ``ngram``-gram with the benchmark set (the standard
+    n-gram-overlap test-set-leakage guard for training corpora).
+
+    Plan shape: explode both sides to (shingle, id), inner-join on the
+    shingle, semi-join back — the benchmark side is tiny relative to
+    the corpus, so its exploded shingle set broadcasts; the corpus is
+    touched by one scan + one projection, never an all-pairs compare.
+
+    Returns (clean_docs, contaminated(doc_id, n_hits))."""
+    sh = (
+        f"transform(sequence(1, greatest(size(split({text_col}, ' '))-{ngram - 1}, 1)), "
+        f"i -> array_join(slice(split({text_col}, ' '), i, {ngram}), ' '))"
+    )
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(F.expr(sh)).alias("g")
+    )
+    bench_sh = (
+        benchmark.select(F.explode(F.expr(sh)).alias("g")).distinct()
+    )
+    contaminated = (
+        doc_sh.join(F.broadcast(bench_sh), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    clean = docs.join(contaminated.select(id_col), id_col, "left_anti")
+    return clean, contaminated
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents (in deterministic
+    ``id_col`` order) to consecutive fixed-token-budget bins via a
+    running token cumsum — the standard pretraining sample-packing
+    layout, as a single window pass.
+
+    ``seq_id = floor((cumsum - n_tokens) / budget)`` (bin by each doc's
+    starting offset): every bin holds consecutive docs whose starts
+    fall in one budget span. Oversized single documents occupy their
+    own bins (and spill over; the downstream tokenizer truncates).
+    Returns (doc_id, n_tokens, seq_id, offset_in_seq).
+
+    Scale note: the cumsum window is a single global ordering — at
+    100 TB, partition the corpus first (e.g. by split/shard) and pack
+    within each partition: ``Window.partitionBy(shard)`` keeps the sort
+    distributed; the global form here matches the oracle exactly."""
+    ntok = F.size(F.split(F.col(text_col), r"\s+"))
+    w = Window.orderBy(F.col(id_col))
+    cum = F.sum("n_tokens").over(w)
+    return (
+        docs.select(F.col(id_col), ntok.cast("long").alias("n_tokens"))
+        .withColumn("_end", cum)
+        .withColumn("_start", F.col("_end") - F.col("n_tokens"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(F.col("_start") / budget_tokens).alias("seq_id"),
+            (F.col("_start") % budget_tokens).alias("offset_in_seq"),
+        )
+    )

@@ -762,6 +762,63 @@ FROM cands
 ORACLE_NGRAM_JACCARD = _oracle_ngram_jaccard()
 
 
+# -------------------------------------------- decontamination / packing
+_DUCK_8GRAMS = (
+    "[array_to_string(string_split(text, ' ')[i:i+7], ' ') "
+    "for i in range(1, greatest(len(string_split(text, ' '))-7, 1)+1)]"
+)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through the real operator: docs with
+    doc_id < 20 act as the held-out benchmark; every corpus doc sharing
+    a word 8-gram with them is reported with its hit count (the
+    test-set-leakage guard a training pipeline runs before packing)."""
+    from .operators.text_analysis import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    _, contaminated = decontaminate(docs, bench, ngram=8)
+    return contaminated
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH doc_sh AS (
+  SELECT doc_id, unnest({_DUCK_8GRAMS}) AS g FROM documents
+),
+bench AS (
+  SELECT DISTINCT g FROM doc_sh WHERE doc_id < 20
+)
+SELECT d.doc_id, count(*) AS n_hits
+FROM doc_sh d JOIN bench b ON d.g = b.g
+GROUP BY d.doc_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing through the real operator: running token
+    cumsum in doc_id order, 512-token bins — each doc's (seq_id,
+    offset_in_seq) slot in the packed pretraining layout."""
+    from .operators.text_analysis import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget_tokens=512)
+
+
+ORACLE_PACK_SEQUENCES = r"""
+SELECT doc_id, n_tokens,
+       (cum - n_tokens) // 512 AS seq_id,
+       (cum - n_tokens) % 512 AS offset_in_seq
+FROM (
+  SELECT doc_id,
+         len(string_split_regex(text, '\s+'))::BIGINT AS n_tokens,
+         sum(len(string_split_regex(text, '\s+'))::BIGINT)
+           OVER (ORDER BY doc_id)::BIGINT AS cum
+  FROM documents
+)
+"""
+
+
 # --------------------------------------------- embedding quantization
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization through the real operator (scale =
@@ -1208,6 +1265,8 @@ QUERIES = {
     "q_dataset_split": q_dataset_split,
     "q_embed_quantize": q_embed_quantize,
     "q_corpus_stats": q_corpus_stats,
+    "q_decontaminate": q_decontaminate,
+    "q_pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
@@ -1245,4 +1304,6 @@ ORACLES = {
     "q_dataset_split": ORACLE_DATASET_SPLIT,
     "q_embed_quantize": ORACLE_EMBED_QUANTIZE,
     "q_corpus_stats": ORACLE_CORPUS_STATS,
+    "q_decontaminate": ORACLE_DECONTAMINATE,
+    "q_pack_sequences": ORACLE_PACK_SEQUENCES,
 }

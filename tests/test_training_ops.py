@@ -269,3 +269,36 @@ def test_embedding_normalize_quantize(spark):
         "aggregate(q_embedding, 0L, (acc, x) -> acc + CAST(x AS BIGINT)) AS s",
     ).collect()
     assert {(r["vec_id"], r["s"]) for r in a} == {(r["vec_id"], r["s"]) for r in b}
+
+
+def test_decontaminate_and_pack(spark):
+    from ontocast_spark.operators.text_analysis import (
+        decontaminate,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today ok"),
+            (2, "a completely different document with other words entirely here now"),
+            (3, "xx the quick brown fox jumps over the lazy dog stolen"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 1)
+    clean, contaminated = decontaminate(docs, bench, ngram=8)
+    hits = {r["doc_id"]: r["n_hits"] for r in contaminated.collect()}
+    assert 1 in hits           # the benchmark doc itself overlaps
+    assert 3 in hits           # shares the 8-gram window
+    assert 2 not in hits
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+
+    # packing: 3 docs of 5 tokens each into 8-token bins: starts at
+    # 0, 5, 10 -> seq_ids 0, 0, 1; offsets 0, 5, 2
+    small = spark.createDataFrame(
+        [(i, "t1 t2 t3 t4 t5") for i in (10, 11, 12)],
+        "doc_id long, text string",
+    )
+    packed = {r["doc_id"]: (r["seq_id"], r["offset_in_seq"], r["n_tokens"])
+              for r in pack_sequences(small, budget_tokens=8).collect()}
+    assert packed == {10: (0, 0, 5), 11: (0, 5, 5), 12: (1, 2, 5)}
