@@ -13,6 +13,25 @@ Reads the transcript table (Iceberg table name or parquet path), runs
 the full pipeline with warehouse checkpointing (resumable — re-running
 the same command after a kill skips finished conversations), and
 optionally serializes per-conversation Turtle facts files.
+
+Additional subcommands (first argv token selects; omitted = pipeline):
+
+``canonicalize`` — cross-document entity resolution over a triples
+table. Batch mode rebuilds the canonical mapping from scratch;
+``--existing-mapping``/``--canon-meta`` switches to the incremental
+adopt-or-mint merge (existing canonicals never change) and writes the
+refreshed side tables next to the mapping::
+
+    spark-submit ... -m ontocast_spark.cli canonicalize \
+        --facts wh/kg_canon --out /path/canon_out \
+        [--existing-mapping prev/mapping --canon-meta prev/canon_meta]
+
+``dedup`` — end-to-end near-duplicate removal over a documents table
+(MinHash-LSH candidates -> exact Jaccard verify -> connected
+components -> keeper per cluster)::
+
+    spark-submit ... -m ontocast_spark.cli dedup \
+        --input docs.parquet --out /path/dedup_out [--threshold 0.9]
 """
 
 from __future__ import annotations
@@ -22,7 +41,88 @@ import argparse
 from pyspark.sql import SparkSession
 
 
+def _cmd_canonicalize(argv) -> None:
+    ap = argparse.ArgumentParser(description="cross-doc canonicalization")
+    ap.add_argument("--facts", required=True,
+                    help="parquet path or table of triples (kg_canon shape)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--kg-namespace", default="https://example.com/kg/")
+    ap.add_argument("--existing-mapping", default=None)
+    ap.add_argument("--canon-meta", default=None)
+    ap.add_argument("--exact-only", action="store_true")
+    args = ap.parse_args(argv)
+    if args.existing_mapping and not args.canon_meta:
+        raise SystemExit("--canon-meta is required with --existing-mapping")
+
+    from .operators.crossdoc import (
+        canonical_entity_meta,
+        canonicalize_crossdoc,
+        incremental_canonicalize,
+    )
+
+    spark = SparkSession.builder.appName("ontocast-canonicalize").getOrCreate()
+    facts = (spark.read.parquet(args.facts)
+             if "/" in args.facts else spark.read.table(args.facts))
+    if args.existing_mapping:
+        existing = spark.read.parquet(args.existing_mapping)
+        meta = spark.read.parquet(args.canon_meta)
+        rewritten, mapping = incremental_canonicalize(
+            facts, existing, meta,
+            kg_namespace=args.kg_namespace, exact_only=args.exact_only,
+        )
+    else:
+        rewritten, mapping = canonicalize_crossdoc(
+            facts, kg_namespace=args.kg_namespace, exact_only=args.exact_only,
+        )
+    rewritten.write.mode("overwrite").parquet(f"{args.out}/rewritten")
+    mapping.write.mode("overwrite").parquet(f"{args.out}/mapping")
+    canonical_entity_meta(
+        spark.read.parquet(f"{args.out}/rewritten"),
+        spark.read.parquet(f"{args.out}/mapping"),
+    ).write.mode("overwrite").parquet(f"{args.out}/canon_meta")
+    print(f"mapping rows: {spark.read.parquet(f'{args.out}/mapping').count()}")
+
+
+def _cmd_dedup(argv) -> None:
+    ap = argparse.ArgumentParser(description="near-duplicate removal")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--threshold", type=float, default=0.9)
+    ap.add_argument("--num-hashes", type=int, default=16)
+    ap.add_argument("--bands", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    from .operators.dedup import dedup_corpus
+
+    spark = SparkSession.builder.appName("ontocast-dedup").getOrCreate()
+    docs = (spark.read.parquet(args.input)
+            if "/" in args.input or args.input.endswith(".parquet")
+            else spark.read.table(args.input))
+    deduped, clusters = dedup_corpus(
+        docs, threshold=args.threshold,
+        num_hashes=args.num_hashes, bands=args.bands,
+    )
+    deduped.write.mode("overwrite").parquet(f"{args.out}/deduped")
+    clusters.write.mode("overwrite").parquet(f"{args.out}/clusters")
+    kept = spark.read.parquet(f"{args.out}/deduped").count()
+    dropped = docs.count() - kept
+    print(f"kept: {kept} dropped: {dropped}")
+
+
+_COMMANDS = {"pipeline", "canonicalize", "dedup"}
+
+
 def main(argv=None) -> None:
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cmd = "pipeline"
+    if argv and argv[0] in _COMMANDS:
+        cmd = argv.pop(0)
+    if cmd == "canonicalize":
+        return _cmd_canonicalize(argv)
+    if cmd == "dedup":
+        return _cmd_dedup(argv)
     ap = argparse.ArgumentParser(description="ontocast_spark KG pipeline")
     ap.add_argument("--input", required=True,
                     help="parquet path or Iceberg table of conversations")
