@@ -762,6 +762,52 @@ FROM cands
 ORACLE_NGRAM_JACCARD = _oracle_ngram_jaccard()
 
 
+# -------------------------------------------------- BGP (SPARQL SELECT)
+def q_bgp_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL basic-graph-pattern SELECT compiled to DataFrame joins
+    (plans/bgp.py) over a triples view of lineitem/part: pattern
+    [ (?o has_part ?p), (?p brand ?b), (?p brand 'Brand#13') ] — a
+    join on the shared ?p plus a constant existence pattern; each
+    pattern is a filtered scan, shared vars become equi-joins."""
+    from .plans.bgp import bgp_select
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    triples = (
+        li.select(
+            F.col("l_orderkey").cast("string").alias("subj"),
+            F.lit("has_part").alias("pred"),
+            F.col("l_partkey").cast("string").alias("obj"),
+        )
+        .union(
+            part.select(
+                F.col("p_partkey").cast("string").alias("subj"),
+                F.lit("brand").alias("pred"),
+                F.col("p_brand").alias("obj"),
+            )
+        )
+    )
+    out = bgp_select(
+        triples,
+        [("?o", "has_part", "?p"), ("?p", "brand", "?b")],
+    )
+    return out.select("o", "p", "b")
+
+
+ORACLE_BGP_SELECT = """
+WITH triples AS (
+  SELECT l_orderkey::VARCHAR AS subj, 'has_part' AS pred,
+         l_partkey::VARCHAR AS obj
+  FROM lineitem
+  UNION ALL
+  SELECT p_partkey::VARCHAR, 'brand', p_brand FROM part
+)
+SELECT DISTINCT t1.subj AS o, t1.obj AS p, t2.obj AS b
+FROM triples t1 JOIN triples t2 ON t1.obj = t2.subj
+WHERE t1.pred = 'has_part' AND t2.pred = 'brand'
+"""
+
+
 # -------------------------------------------- decontamination / packing
 _DUCK_8GRAMS = (
     "[array_to_string(string_split(text, ' ')[i:i+7], ' ') "
@@ -1267,6 +1313,7 @@ QUERIES = {
     "q_corpus_stats": q_corpus_stats,
     "q_decontaminate": q_decontaminate,
     "q_pack_sequences": q_pack_sequences,
+    "q_bgp_select": q_bgp_select,
 }
 
 ORACLES = {
@@ -1306,4 +1353,5 @@ ORACLES = {
     "q_corpus_stats": ORACLE_CORPUS_STATS,
     "q_decontaminate": ORACLE_DECONTAMINATE,
     "q_pack_sequences": ORACLE_PACK_SEQUENCES,
+    "q_bgp_select": ORACLE_BGP_SELECT,
 }

@@ -52,3 +52,30 @@ def test_extractor_degenerate_inputs():
     assert extract_chunk_triples("no capitals here.", ns, idx, "fin") == []
     t = extract_chunk_triples("Ünïcode Näme works at Acme Corp.", ns, idx, "fin")
     assert any(o == "Ünïcode Näme" for _, _, o, lit, _ in t if lit)
+
+
+def test_bgp_select_semantics(spark):
+    """BGP compiler: constant filters, shared-var joins, repeated-var
+    self-equality, and all-constant existence (ASK) patterns."""
+    from ontocast_spark.plans.bgp import bgp_select
+
+    tri = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "c"),
+         ("a", "type", "P"), ("x", "loop", "x")],
+        "subj string, pred string, obj string",
+    )
+    chain = {(r["a"], r["b"], r["c"]) for r in bgp_select(
+        tri, [("?a", "knows", "?b"), ("?b", "knows", "?c")]).collect()}
+    assert chain == {("a", "b", "c")}
+
+    loop = {r["n"] for r in bgp_select(tri, [("?n", "loop", "?n")]).collect()}
+    assert loop == {"x"}
+
+    present = bgp_select(tri, [("?a", "knows", "?b"), ("a", "type", "P")])
+    assert present.count() == 2  # existence pattern, no row multiplication
+    absent = bgp_select(tri, [("?a", "knows", "?b"), ("a", "type", "Q")])
+    assert absent.count() == 0
+
+    import pytest
+    with pytest.raises(ValueError):
+        bgp_select(tri, [])
