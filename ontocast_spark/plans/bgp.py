@@ -72,3 +72,48 @@ def bgp_select(
                 result.join(t, on=shared) if shared else result.crossJoin(t)
             )
     return result.dropDuplicates() if distinct else result
+
+
+def bgp_optional(
+    result: DataFrame, triples: DataFrame, patterns: list[tuple[str, str, str]]
+) -> DataFrame:
+    """SPARQL OPTIONAL: left-join the solutions of ``patterns`` onto an
+    existing solution set — unmatched rows keep NULLs in the optional
+    variables (left outer join on the shared variables)."""
+    opt = bgp_select(triples, patterns, distinct=True)
+    shared = sorted(set(result.columns) & set(opt.columns))
+    if not shared:
+        raise ValueError("OPTIONAL group shares no variable with the base")
+    return result.join(opt, on=shared, how="left")
+
+
+def bgp_union(
+    triples: DataFrame, groups: list[list[tuple[str, str, str]]]
+) -> DataFrame:
+    """SPARQL UNION over pattern groups: solutions of each group,
+    unioned by variable name (missing variables become NULL columns,
+    per SPARQL's unbound semantics)."""
+    if not groups:
+        raise ValueError("empty UNION")
+    sols = [bgp_select(triples, g, distinct=True) for g in groups]
+    all_vars = sorted({c for s in sols for c in s.columns})
+    aligned = [
+        s.select(
+            *[
+                (F.col(v) if v in s.columns else F.lit(None).cast("string")).alias(v)
+                for v in all_vars
+            ]
+        )
+        for s in sols
+    ]
+    out = aligned[0]
+    for s in aligned[1:]:
+        out = out.unionByName(s)
+    return out.dropDuplicates()
+
+
+def bgp_filter(result: DataFrame, condition) -> DataFrame:
+    """SPARQL FILTER: a Catalyst predicate over the solution variables
+    (``F.col("price") > 100``, ``F.col("name").startswith(...)``, any
+    Column expression or SQL string) — pushes down like any filter."""
+    return result.filter(condition)

@@ -79,3 +79,34 @@ def test_bgp_select_semantics(spark):
     import pytest
     with pytest.raises(ValueError):
         bgp_select(tri, [])
+
+
+def test_bgp_optional_union_filter(spark):
+    from pyspark.sql import functions as F
+
+    from ontocast_spark.plans.bgp import (
+        bgp_filter,
+        bgp_optional,
+        bgp_select,
+        bgp_union,
+    )
+
+    tri = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "c"),
+         ("a", "age", "30"), ("c", "name", "carol")],
+        "subj string, pred string, obj string",
+    )
+    base = bgp_select(tri, [("?x", "knows", "?y")])
+    # OPTIONAL: ?x age ?age — only 'a' has one; 'b' keeps NULL
+    opt = {(r["x"], r["y"], r["age"]) for r in
+           bgp_optional(base, tri, [("?x", "age", "?age")]).collect()}
+    assert opt == {("a", "b", "30"), ("b", "c", None)}
+
+    # UNION of disjoint-variable groups -> NULL-padded columns
+    u = bgp_union(tri, [[("?x", "age", "?v")], [("?x", "name", "?n")]])
+    rows = {(r["x"], r["v"], r["n"]) for r in u.collect()}
+    assert rows == {("a", "30", None), ("c", None, "carol")}
+
+    # FILTER over solution variables
+    f = bgp_filter(base, F.col("x") == "a")
+    assert {(r["x"], r["y"]) for r in f.collect()} == {("a", "b")}
