@@ -302,3 +302,28 @@ def test_decontaminate_and_pack(spark):
     packed = {r["doc_id"]: (r["seq_id"], r["offset_in_seq"], r["n_tokens"])
               for r in pack_sequences(small, budget_tokens=8).collect()}
     assert packed == {10: (0, 0, 5), 11: (0, 5, 5), 12: (1, 2, 5)}
+
+
+def test_pack_sequences_matches_sequential_simulation(spark):
+    """The distributed cumsum layout must equal a sequential
+    single-machine packer on arbitrary corpora (three seeded random
+    corpora, one Spark job each)."""
+    import random
+
+    from ontocast_spark.operators.text_analysis import pack_sequences
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = [
+            (i, " ".join(f"w{rng.randrange(100)}"
+                         for _ in range(rng.randrange(1, 40))))
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["seq_id"], r["offset_in_seq"])
+               for r in pack_sequences(docs, budget_tokens=64).collect()}
+        start = 0
+        for doc_id, text in rows:  # already in doc_id order
+            n = len(text.split())
+            assert got[doc_id] == (start // 64, start % 64), (seed, doc_id)
+            start += n
