@@ -327,3 +327,17 @@ def test_pack_sequences_matches_sequential_simulation(spark):
             n = len(text.split())
             assert got[doc_id] == (start // 64, start % 64), (seed, doc_id)
             start += n
+
+
+def test_frame_sample_plan(spark):
+    from ontocast_spark.operators.multimodal import frame_sample_plan
+
+    media = spark.createDataFrame(
+        [("v1", "video", {"n_frames": 25}),
+         ("v2", "video", {"n_frames": 1}),
+         ("i1", "image", {"n_frames": 0})],
+        "media_id string, kind string, meta map<string,int>",
+    )
+    plan = {r["media_id"]: list(r["frame_indices"])
+            for r in frame_sample_plan(media, every_n=10).collect()}
+    assert plan == {"v1": [0, 10, 20], "v2": [0]}  # image rows excluded
