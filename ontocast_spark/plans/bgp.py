@@ -117,3 +117,44 @@ def bgp_filter(result: DataFrame, condition) -> DataFrame:
     (``F.col("price") > 100``, ``F.col("name").startswith(...)``, any
     Column expression or SQL string) — pushes down like any filter."""
     return result.filter(condition)
+
+
+def bgp_construct(
+    solutions: DataFrame,
+    template: list[tuple[str, str, str]],
+) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate a triple template per solution row
+    (the reference fetches graphs with CONSTRUCT, fuseki.py:243-270).
+    Template terms starting with ``?`` substitute solution variables;
+    constants pass through. Output is a deduplicated
+    (subj, pred, obj) triple set — one ``explode`` of the per-row
+    template instantiations, no shuffle beyond the final distinct."""
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+
+    def term(t: str):
+        if isinstance(t, str) and t.startswith("?"):
+            var = t[1:]
+            if var not in solutions.columns:
+                raise ValueError(f"unbound template variable ?{var}")
+            return F.col(var)
+        return F.lit(t)
+
+    rows = F.array(
+        *[
+            F.struct(
+                term(s).alias("subj"), term(p).alias("pred"), term(o).alias("obj")
+            )
+            for s, p, o in template
+        ]
+    )
+    return (
+        solutions.select(F.explode(rows).alias("t"))
+        .select("t.subj", "t.pred", "t.obj")
+        .filter(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        )  # SPARQL: template instantiations with unbound vars are skipped
+        .dropDuplicates()
+    )

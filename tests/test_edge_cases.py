@@ -110,3 +110,28 @@ def test_bgp_optional_union_filter(spark):
     # FILTER over solution variables
     f = bgp_filter(base, F.col("x") == "a")
     assert {(r["x"], r["y"]) for r in f.collect()} == {("a", "b")}
+
+
+def test_bgp_construct(spark):
+    from ontocast_spark.plans.bgp import bgp_construct, bgp_optional, bgp_select
+
+    tri = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "c"), ("a", "age", "30")],
+        "subj string, pred string, obj string",
+    )
+    sols = bgp_select(tri, [("?x", "knows", "?y")])
+    out = {(r["subj"], r["pred"], r["obj"]) for r in bgp_construct(
+        sols, [("?y", "known_by", "?x"), ("?x", "rdf:type", "Agent")]
+    ).collect()}
+    assert out == {("b", "known_by", "a"), ("c", "known_by", "b"),
+                   ("a", "rdf:type", "Agent"), ("b", "rdf:type", "Agent")}
+
+    # NULL from an OPTIONAL var -> that instantiation is skipped
+    opt = bgp_optional(sols, tri, [("?x", "age", "?age")])
+    aged = {(r["subj"], r["pred"], r["obj"]) for r in bgp_construct(
+        opt, [("?x", "has_age", "?age")]).collect()}
+    assert aged == {("a", "has_age", "30")}
+
+    import pytest
+    with pytest.raises(ValueError):
+        bgp_construct(sols, [("?missing", "p", "o")])
