@@ -197,6 +197,14 @@ def dedup_corpus(
     rows included, so ``cluster_size`` is checkable downstream) and
     ``deduped_docs`` is ``docs`` minus the non-keeper cluster members.
 
+    Exact dedup runs FIRST and LSH runs over distinct texts only: a
+    mega-group of byte-identical documents (boilerplate repeated 10^6
+    times) saturates its LSH buckets, and the ``max_bucket`` skew cap
+    would then DROP those buckets — the dups would silently survive.
+    The hash groupBy has no such cap (Spark aggregates arbitrary group
+    sizes), so exact multiplicity is always fully collapsed, and the
+    near-dup stage sees each text once.
+
     Scale: candidate generation is bucketed with a ``max_bucket`` skew
     cap; verification touches candidates only; CC is the O(log n)
     min-label/pointer-jumping loop (one shuffle per round). Edges are
@@ -205,17 +213,42 @@ def dedup_corpus(
     """
     from .cc import connected_components
 
+    uniques, emap = exact_dedup(docs, text_col, id_col)
     cands = minhash_lsh_candidates(
-        docs, text_col, id_col, num_hashes, bands, max_bucket
+        uniques, text_col, id_col, num_hashes, bands, max_bucket
     )
     edges = ngram_jaccard_verify(
-        docs, cands, text_col, id_col, shingle_n, threshold
+        uniques, cands, text_col, id_col, shingle_n, threshold
     ).select("a", "b")
     labels = connected_components(edges, src="a", dst="b")
-    clusters = (
-        labels.select(
-            F.col("node").alias(id_col), F.col("comp").alias("keeper_id")
+    # final keeper per exact-unique doc: its near-dup component root,
+    # else itself
+    near = labels.select(
+        F.col("node").alias(id_col), F.col("comp").alias("_fk")
+    )
+    # membership: (1) uniques in a near component; (2) exact dups,
+    # routed through their exact keeper's final keeper; (3) exact
+    # keepers that have dups (they are cluster members even without a
+    # near match)
+    ek = emap.select(F.col("keeper_id").alias(id_col)).distinct()
+    uniq_members = near.union(
+        ek.join(near, id_col, "left_anti").withColumn("_fk", F.col(id_col))
+    )
+    dup_members = (
+        emap.join(
+            uniq_members.withColumnRenamed(id_col, "_k"),
+            emap.keeper_id == F.col("_k"),
+            "left",
         )
+        .select(
+            F.col("dup_id").alias(id_col),
+            F.coalesce("_fk", "keeper_id").alias("_fk"),
+        )
+    )
+    clusters = (
+        uniq_members.union(dup_members)
+        .dropDuplicates([id_col])
+        .withColumnRenamed("_fk", "keeper_id")
         .withColumn(
             "cluster_size",
             F.count(F.lit(1)).over(Window.partitionBy("keeper_id")),

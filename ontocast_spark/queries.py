@@ -1041,14 +1041,21 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_CLUSTER = f"""
-WITH RECURSIVE sigs AS (
+WITH RECURSIVE uniq AS (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+exact AS (
+  SELECT d.doc_id AS dup_id, u.doc_id AS keeper_id
+  FROM documents d JOIN uniq u ON d.text = u.text AND d.doc_id != u.doc_id
+),
+sigs AS (
   SELECT doc_id,
          list_min([md5('0|' || s) for s in {_DUCK_SHINGLES}]) AS sig0,
          list_min([md5('1|' || s) for s in {_DUCK_SHINGLES}]) AS sig1,
          list_min([md5('2|' || s) for s in {_DUCK_SHINGLES}]) AS sig2,
          list_min([md5('3|' || s) for s in {_DUCK_SHINGLES}]) AS sig3,
          list_distinct({_DUCK_SHINGLES}) AS sh
-  FROM documents
+  FROM uniq
 ),
 bkeys AS (
   SELECT doc_id, '0|' || sig0 || '|' || sig1 AS bkey, sh FROM sigs
@@ -1069,10 +1076,24 @@ reach(node, m) AS (
   SELECT a, b FROM sym
   UNION
   SELECT r.node, s.b FROM reach r JOIN sym s ON r.m = s.a
+),
+comp AS (SELECT node, min(m) AS fk FROM reach GROUP BY node),
+uniq_members AS (
+  SELECT node AS doc_id, fk FROM comp
+  UNION
+  SELECT keeper_id AS doc_id, keeper_id AS fk
+  FROM (SELECT DISTINCT keeper_id FROM exact)
+  WHERE keeper_id NOT IN (SELECT node FROM comp)
+),
+members AS (
+  SELECT doc_id, fk FROM uniq_members
+  UNION
+  SELECT e.dup_id AS doc_id, coalesce(um.fk, e.keeper_id) AS fk
+  FROM exact e LEFT JOIN uniq_members um ON e.keeper_id = um.doc_id
 )
-SELECT node AS doc_id, min(m) AS keeper_id,
-       count(*) OVER (PARTITION BY min(m)) AS cluster_size
-FROM reach GROUP BY node
+SELECT doc_id, fk AS keeper_id,
+       count(*) OVER (PARTITION BY fk) AS cluster_size
+FROM members
 """
 
 

@@ -66,13 +66,22 @@ def test_dedup_corpus_transitive(spark):
         (2, base + "one two three four five six seven eight nine TEN"),
         (3, base + "one two three four five six seven eight NINE TEN"),
         (50, "a completely different document about spark physical plans"),
+        # exact duplicate of doc 1 -> joins doc 1's near cluster through
+        # the exact-first stage
+        (60, base + "one two three four five six seven eight nine ten"),
+        # exact-dup pair with no near-dup relation to anything else
+        (70, "standalone boilerplate paragraph repeated verbatim"),
+        (71, "standalone boilerplate paragraph repeated verbatim"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     deduped, clusters = dedup_corpus(docs, threshold=0.8, num_hashes=8, bands=4)
     got = {r["doc_id"]: (r["keeper_id"], r["cluster_size"]) for r in clusters.collect()}
-    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 60: (1, 4),
+        70: (70, 2), 71: (70, 2),
+    }
     kept = sorted(r["doc_id"] for r in deduped.collect())
-    assert kept == [1, 50]
+    assert kept == [1, 50, 70]
 
 
 def test_simhash_dedup(spark, docs):
