@@ -282,9 +282,13 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     band_bits: int = 8,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """SimHash + banded bucketing: docs sharing any 8-bit band of their
-    simhash become candidate pairs (hamming-ball style blocking)."""
+    simhash become candidate pairs (hamming-ball style blocking).
+    Buckets above ``max_bucket`` are dropped (skew guard — without it a
+    mega-group of near-identical docs makes the self-join quadratic;
+    collapse exact duplicates with :func:`exact_dedup` first)."""
     sh = docs.select(
         F.col(id_col).alias("id"), simhash_expr(text_col).alias("simhash")
     )
@@ -302,6 +306,10 @@ def simhash_dedup(
         ]
     )
     buckets = sh.select("id", "simhash", F.explode(keys).alias("bkey"))
+    sizes = buckets.groupBy("bkey").agg(F.count(F.lit(1)).alias("n"))
+    buckets = buckets.join(
+        F.broadcast(sizes.filter(F.col("n") <= max_bucket).drop("n")), "bkey"
+    )
     a = buckets.select("bkey", F.col("id").alias("a"), F.col("simhash").alias("sa"))
     b = buckets.select("bkey", F.col("id").alias("b"), F.col("simhash").alias("sb"))
     pairs = (
@@ -320,10 +328,13 @@ def embedding_neardup(
     vec_col: str = "embedding",
     planes: int = 8,
     threshold: float = 0.95,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Cosine near-dup via random-hyperplane LSH: sign signature from
     deterministic pseudo-random planes (md5-seeded), bucket self-join,
-    exact cosine verify — all JVM-side."""
+    exact cosine verify — all JVM-side. Buckets above ``max_bucket``
+    are dropped (skew guard against quadratic self-joins on repeated
+    vectors; collapse exact duplicates upstream first)."""
     dim_expr = F.size(F.col(vec_col))
     # plane p component j = (md5 digit) - 7.5 : deterministic pseudo-noise
     sign_bits = F.array(
@@ -341,6 +352,10 @@ def embedding_neardup(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.concat_ws("", sign_bits).alias("bkey"),
+    )
+    sizes = sig.groupBy("bkey").agg(F.count(F.lit(1)).alias("n"))
+    sig = sig.join(
+        F.broadcast(sizes.filter(F.col("n") <= max_bucket).drop("n")), "bkey"
     )
     a = sig.select("bkey", F.col("id").alias("a"), F.col("v").alias("va"))
     b = sig.select("bkey", F.col("id").alias("b"), F.col("v").alias("vb"))

@@ -1121,9 +1121,11 @@ WITH sig AS (
          concat_ws('', {plane_bits}) AS bkey
   FROM embeddings
 ),
+kept AS (SELECT bkey FROM sig GROUP BY bkey HAVING count(*) <= 512),
 pairs AS (
   SELECT x.id AS a, y.id AS b, x.v AS va, y.v AS vb
   FROM sig x JOIN sig y ON x.bkey = y.bkey AND x.id < y.id
+  WHERE x.bkey IN (SELECT bkey FROM kept)
 )
 SELECT DISTINCT a, b,
        round(list_inner_product(va, vb)
