@@ -34,6 +34,37 @@ def _cosine_expr(a: str, b: str) -> str:
     return f"({_DOT.format(a=a, b=b)}) / ({_NORM.format(a)} * {_NORM.format(b)})"
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase exact top-k over (query_id, vec_id, sim) rows.
+
+    A single ``Window.partitionBy(query_id)`` funnels EVERY scored
+    corpus row for a query into one partition — a per-query straggler
+    that sorts corpus-sized partitions at scale. Phase 1 takes the
+    top-k within each (query, physical-partition) group (partition
+    sizes stay bounded by the scan's split size); phase 2 ranks the
+    surviving ``n_queries x n_partitions x k`` rows — tiny. Both
+    phases order by (sim desc, vec_id asc), so the result is exactly
+    the global top-k with deterministic ties."""
+    order = [F.col("sim").desc(), F.col("vec_id").asc()]
+    local = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id", "_pid").orderBy(*order)
+            ),
+        )
+        .filter(F.col("_r") <= k)
+        .drop("_pid", "_r")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,14 +81,7 @@ def brute_force_topk(
     scored = c.crossJoin(F.broadcast(q)).withColumn(
         "sim", F.round(F.expr(_cosine_expr("cv", "qv")), 6)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "sim", "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def _seed_centroids(
@@ -217,14 +241,7 @@ def ivf_topk(
     scored = c.join(F.broadcast(probe), "cell_id").withColumn(
         "sim", F.round(F.expr(_cosine_expr("cv", "qv")), 6)
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "sim", "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def normalize_embeddings(
