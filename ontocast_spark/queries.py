@@ -170,15 +170,18 @@ SELECT doc_id, substr(sha256(text), 1, 12) AS doc_hid FROM documents
 # ---------------------------------------------------------------- A4 argmax
 def q_prefer_longer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefer-longer metadata merge: per lang the longest text
-    (deterministic tie-break), cf. aggregate.py:147-172."""
+    (deterministic tie-break), cf. aggregate.py:147-172.
+
+    ``min_by`` over (-length, text) instead of a per-lang window: with
+    a handful of languages a ``Window.partitionBy(lang)`` funnels the
+    whole corpus into a few sort partitions; the argmax aggregate gets
+    map-side partial aggregation and never sorts."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.length("text").desc(), F.col("text").asc()
-    )
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("lang", F.col("text").alias("best_text"))
+    return docs.groupBy("lang").agg(
+        F.min_by(
+            "text",
+            F.struct((-F.length("text")).alias("nl"), F.col("text")),
+        ).alias("best_text")
     )
 
 
