@@ -147,6 +147,7 @@ def pack_sequences(
     budget_tokens: int = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: assign documents (in deterministic
     ``id_col`` order) to consecutive fixed-token-budget bins via a
@@ -159,19 +160,25 @@ def pack_sequences(
     own bins (and spill over; the downstream tokenizer truncates).
     Returns (doc_id, n_tokens, seq_id, offset_in_seq).
 
-    Scale note: the cumsum window is a single global ordering — at
-    100 TB, partition the corpus first (e.g. by split/shard) and pack
-    within each partition: ``Window.partitionBy(shard)`` keeps the sort
-    distributed; the global form here matches the oracle exactly."""
+    Scale: pass ``shard_col`` to pack independently within each shard —
+    the cumsum window becomes ``partitionBy(shard)`` and the sort stays
+    distributed (the 100-TB form; ``seq_id`` is then per-shard). The
+    global form (``shard_col=None``) is a single total ordering and
+    matches the DuckDB oracle exactly."""
     ntok = F.size(F.split(F.col(text_col), r"\s+"))
-    w = Window.orderBy(F.col(id_col))
+    w = (
+        Window.partitionBy(shard_col).orderBy(F.col(id_col))
+        if shard_col
+        else Window.orderBy(F.col(id_col))
+    )
     cum = F.sum("n_tokens").over(w)
+    keep = [id_col] + ([shard_col] if shard_col else [])
     return (
-        docs.select(F.col(id_col), ntok.cast("long").alias("n_tokens"))
+        docs.select(*keep, ntok.cast("long").alias("n_tokens"))
         .withColumn("_end", cum)
         .withColumn("_start", F.col("_end") - F.col("n_tokens"))
         .select(
-            id_col,
+            *keep,
             "n_tokens",
             F.floor(F.col("_start") / budget_tokens).alias("seq_id"),
             (F.col("_start") % budget_tokens).alias("offset_in_seq"),
