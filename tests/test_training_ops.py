@@ -350,3 +350,46 @@ def test_frame_sample_plan(spark):
     plan = {r["media_id"]: list(r["frame_indices"])
             for r in frame_sample_plan(media, every_n=10).collect()}
     assert plan == {"v1": [0, 10, 20], "v2": [0]}  # image rows excluded
+
+
+def test_build_training_corpus(spark):
+    """The composed corpus build: dedup -> decontaminate -> quality ->
+    split -> pack, with an auditable dropped table (every input doc is
+    either in the corpus or in dropped with a reason)."""
+    from ontocast_spark.operators.corpus import (
+        CorpusBuildConfig,
+        build_training_corpus,
+    )
+
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, good + "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+        (2, good + "lambda mu nu xi omicron pi rho sigma tau UPSILON"),  # near dup
+        (3, "unique words entirely different from everything else here today"),
+        (4, "spam spam spam spam spam spam"),                 # low uniq ratio
+        (5, "!!! ??? ... ;;; ### $$$ %%%"),                  # punct / short
+        (6, "the benchmark sentence that must never leak into training data ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 6)
+    out = build_training_corpus(
+        docs, bench,
+        CorpusBuildConfig(dedup_threshold=0.8, min_tokens=5,
+                          pack_budget_tokens=16),
+    )
+    kept = {r["doc_id"] for r in out["corpus"].collect()}
+    dropped = {r["doc_id"]: r["drop_reason"] for r in out["dropped"].collect()}
+    assert kept == {1, 3}
+    assert dropped[2] == "near_dup"
+    assert dropped[6] == "contaminated"
+    assert dropped[4] == "quality"
+    assert dropped[5] == "quality"
+    assert kept | set(dropped) == {1, 2, 3, 4, 5, 6}  # auditable partition
+
+    pk = {r["doc_id"]: (r["split"], r["seq_id"], r["offset_in_seq"])
+          for r in out["packing"].collect()}
+    assert set(pk) == kept  # packing covers exactly the kept corpus
+    # corpus rows carry split + quality features
+    row = out["corpus"].filter(F.col("doc_id") == 1).collect()[0]
+    assert row["split"] in {"train", "val", "test"}
+    assert row["q_n_tokens"] > 0
