@@ -32,6 +32,15 @@ components -> keeper per cluster)::
 
     spark-submit ... -m ontocast_spark.cli dedup \
         --input docs.parquet --out /path/dedup_out [--threshold 0.9]
+
+``corpus`` — the composed training-corpus build (dedup ->
+decontaminate -> quality/language gates -> split -> per-split
+packing), writing corpus/, packing/, dropped/::
+
+    spark-submit ... -m ontocast_spark.cli corpus \
+        --input docs.parquet --out /path/corpus_out \
+        [--benchmark bench.parquet] [--languages en,de] \
+        [--pack-budget 2048]
 """
 
 from __future__ import annotations
@@ -109,7 +118,40 @@ def _cmd_dedup(argv) -> None:
     print(f"kept: {kept} dropped: {dropped}")
 
 
-_COMMANDS = {"pipeline", "canonicalize", "dedup"}
+def _cmd_corpus(argv) -> None:
+    ap = argparse.ArgumentParser(description="composed training-corpus build")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--benchmark", default=None)
+    ap.add_argument("--dedup-threshold", type=float, default=0.9)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--languages", default=None,
+                    help="comma-separated allow-list, e.g. en,de")
+    ap.add_argument("--pack-budget", type=int, default=2048)
+    args = ap.parse_args(argv)
+
+    from .operators.corpus import CorpusBuildConfig, build_training_corpus
+
+    spark = SparkSession.builder.appName("ontocast-corpus").getOrCreate()
+    docs = (spark.read.parquet(args.input)
+            if "/" in args.input or args.input.endswith(".parquet")
+            else spark.read.table(args.input))
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    cfg = CorpusBuildConfig(
+        dedup_threshold=args.dedup_threshold,
+        min_tokens=args.min_tokens,
+        languages=args.languages.split(",") if args.languages else None,
+        pack_budget_tokens=args.pack_budget,
+    )
+    out = build_training_corpus(docs, bench, cfg)
+    for name in ("corpus", "packing", "dropped"):
+        out[name].write.mode("overwrite").parquet(f"{args.out}/{name}")
+    kept = spark.read.parquet(f"{args.out}/corpus").count()
+    dropped = spark.read.parquet(f"{args.out}/dropped").count()
+    print(f"corpus: {kept} docs kept, {dropped} dropped")
+
+
+_COMMANDS = {"pipeline", "canonicalize", "dedup", "corpus"}
 
 
 def main(argv=None) -> None:
@@ -123,6 +165,8 @@ def main(argv=None) -> None:
         return _cmd_canonicalize(argv)
     if cmd == "dedup":
         return _cmd_dedup(argv)
+    if cmd == "corpus":
+        return _cmd_corpus(argv)
     ap = argparse.ArgumentParser(description="ontocast_spark KG pipeline")
     ap.add_argument("--input", required=True,
                     help="parquet path or Iceberg table of conversations")
