@@ -811,6 +811,54 @@ WHERE t1.pred = 'has_part' AND t2.pred = 'brand'
 """
 
 
+def q_bgp_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT over the BGP solutions of q_bgp_select's
+    pattern: emits an inverted `supplied_as` edge plus a type
+    assertion per solution — the graph-building verb of the query
+    surface (deduplicated triple set)."""
+    from .plans.bgp import bgp_construct, bgp_select
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    triples = (
+        li.select(
+            F.col("l_orderkey").cast("string").alias("subj"),
+            F.lit("has_part").alias("pred"),
+            F.col("l_partkey").cast("string").alias("obj"),
+        )
+        .union(
+            part.select(
+                F.col("p_partkey").cast("string").alias("subj"),
+                F.lit("brand").alias("pred"),
+                F.col("p_brand").alias("obj"),
+            )
+        )
+    )
+    sols = bgp_select(triples, [("?o", "has_part", "?p"), ("?p", "brand", "?b")])
+    return bgp_construct(
+        sols, [("?p", "supplied_in", "?o"), ("?p", "rdf:type", "?b")]
+    )
+
+
+ORACLE_BGP_CONSTRUCT = """
+WITH triples AS (
+  SELECT l_orderkey::VARCHAR AS subj, 'has_part' AS pred,
+         l_partkey::VARCHAR AS obj
+  FROM lineitem
+  UNION ALL
+  SELECT p_partkey::VARCHAR, 'brand', p_brand FROM part
+),
+sols AS (
+  SELECT DISTINCT t1.subj AS o, t1.obj AS p, t2.obj AS b
+  FROM triples t1 JOIN triples t2 ON t1.obj = t2.subj
+  WHERE t1.pred = 'has_part' AND t2.pred = 'brand'
+)
+SELECT DISTINCT p AS subj, 'supplied_in' AS pred, o AS obj FROM sols
+UNION
+SELECT DISTINCT p, 'rdf:type', b FROM sols
+"""
+
+
 # -------------------------------------------- decontamination / packing
 _DUCK_8GRAMS = (
     "[array_to_string(string_split(text, ' ')[i:i+7], ' ') "
@@ -1340,6 +1388,7 @@ QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_pack_sequences": q_pack_sequences,
     "q_bgp_select": q_bgp_select,
+    "q_bgp_construct": q_bgp_construct,
 }
 
 ORACLES = {
@@ -1380,4 +1429,5 @@ ORACLES = {
     "q_decontaminate": ORACLE_DECONTAMINATE,
     "q_pack_sequences": ORACLE_PACK_SEQUENCES,
     "q_bgp_select": ORACLE_BGP_SELECT,
+    "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
 }
