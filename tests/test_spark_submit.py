@@ -77,3 +77,61 @@ def test_spark_submit_py_files_and_resume(spark, tmp_path):
     assert out2.returncode == 0, out2.stderr[-2000:]
     m2 = re.search(r"kg_triples rows: (\d+)", out2.stdout)
     assert m2 and int(m2.group(1)) == n1
+
+
+def test_cli_subcommands_roundtrip(spark, tmp_path):
+    """dedup / canonicalize (batch + incremental) / corpus subcommands
+    write their parquet outputs and compose across invocations."""
+    from pyspark.sql import functions as F
+
+    from ontocast_spark.cli import main
+
+    base = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta " * 3 + "one two three"),
+         (2, "alpha beta gamma delta epsilon zeta " * 3 + "one two THREE"),
+         (3, "a different document about catalyst physical plans today")],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(f"{base}/docs.parquet")
+
+    main(["dedup", "--input", f"{base}/docs.parquet", "--out", f"{base}/dd",
+          "--threshold", "0.8", "--num-hashes", "8"])
+    kept = sorted(r["doc_id"] for r in
+                  spark.read.parquet(f"{base}/dd/deduped").collect())
+    assert kept == [1, 3]
+
+    main(["corpus", "--input", f"{base}/docs.parquet", "--out", f"{base}/cc",
+          "--min-tokens", "3", "--dedup-threshold", "0.8"])
+    corpus = spark.read.parquet(f"{base}/cc/corpus")
+    dropped = spark.read.parquet(f"{base}/cc/dropped")
+    assert corpus.count() + dropped.select("doc_id").distinct().count() == 3
+    assert spark.read.parquet(f"{base}/cc/packing").count() == corpus.count()
+
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#label"
+    tri = spark.createDataFrame(
+        [("c1", "https://x/doc/1", "h", "https://x/doc/1/chunk/h",
+          "https://x/doc/1/chunk/h/acme", RDFS, "ACME Corp", True, None),
+         ("c2", "https://x/doc/2", "h", "https://x/doc/2/chunk/h",
+          "https://x/doc/2/chunk/h/acme", RDFS, "ACME Corporation", True, None)],
+        "conv_id string, doc_iri string, chunk_hid string, chunk_iri string, "
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_datatype string",
+    )
+    tri.write.parquet(f"{base}/facts.parquet")
+    main(["canonicalize", "--facts", f"{base}/facts.parquet",
+          "--out", f"{base}/c1", "--kg-namespace", "https://x/kg/"])
+    m1 = {r["original_iri"]: r["canonical_iri"]
+          for r in spark.read.parquet(f"{base}/c1/mapping").collect()}
+    assert len(set(m1.values())) == 1  # both acme variants merged
+
+    tri2 = tri.limit(1).withColumn("conv_id", F.lit("c3"))
+    tri2.write.parquet(f"{base}/facts2.parquet")
+    main(["canonicalize", "--facts", f"{base}/facts2.parquet",
+          "--out", f"{base}/c2", "--kg-namespace", "https://x/kg/",
+          "--existing-mapping", f"{base}/c1/mapping",
+          "--canon-meta", f"{base}/c1/canon_meta"])
+    m2 = {r["original_iri"]: r["canonical_iri"]
+          for r in spark.read.parquet(f"{base}/c2/mapping").collect()}
+    for o, c in m1.items():
+        assert m2[o] == c  # stability through the CLI files
