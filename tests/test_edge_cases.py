@@ -135,3 +135,59 @@ def test_bgp_construct(spark):
     import pytest
     with pytest.raises(ValueError):
         bgp_construct(sols, [("?missing", "p", "o")])
+
+
+def test_bgp_select_matches_bruteforce(spark):
+    """Random graphs x random patterns: the DataFrame compilation must
+    equal a naive Python BGP evaluator (three seeded rounds, one Spark
+    job each)."""
+    import random
+
+    from ontocast_spark.plans.bgp import bgp_select
+
+    def brute(triples, patterns):
+        sols = [dict()]
+        for s, p, o in patterns:
+            nxt = []
+            for b0 in sols:
+                for ts, tp, to in triples:
+                    b = dict(b0)
+                    ok = True
+                    for term, val in ((s, ts), (p, tp), (o, to)):
+                        if term.startswith("?"):
+                            v = term[1:]
+                            if b.get(v, val) != val:
+                                ok = False
+                                break
+                            b[v] = val
+                        elif term != val:
+                            ok = False
+                            break
+                    if ok:
+                        nxt.append(b)
+            sols = nxt
+        vs = sorted({t[1:] for pat in patterns for t in pat
+                     if t.startswith("?")})
+        return {tuple(b[v] for v in vs) for b in sols}, vs
+
+    for seed in (11, 22, 33):
+        rng = random.Random(seed)
+        nodes = [f"n{i}" for i in range(6)]
+        preds = ["p0", "p1", "p2"]
+        triples = list({(rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+                        for _ in range(25)})
+        tdf = spark.createDataFrame(triples, "subj string, pred string, obj string")
+        patterns = []
+        for _ in range(rng.randrange(1, 4)):
+            mk = lambda pool, vs: (  # noqa: E731
+                rng.choice(vs) if rng.random() < 0.6 else rng.choice(pool)
+            )
+            patterns.append((
+                mk(nodes, ["?x", "?y", "?z"]),
+                mk(preds, ["?p"]),
+                mk(nodes, ["?x", "?y", "?z"]),
+            ))
+        expect, vs = brute(triples, patterns)
+        got = {tuple(r[v] for v in vs)
+               for r in bgp_select(tdf, patterns).collect()}
+        assert got == expect, (seed, patterns)
