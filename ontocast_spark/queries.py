@@ -811,6 +811,37 @@ WHERE t1.pred = 'has_part' AND t2.pred = 'brand'
 """
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded candidate pairs through the real operator: docs
+    sharing any 8-bit band of their 32-bit simhash, with the exact
+    hamming distance — the blocking half of simhash dedup, value-pinned
+    (bucket cap mirrored in the oracle)."""
+    from .operators.dedup import simhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_dedup(docs)
+    return pairs.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH sh AS ({ORACLE_SIMHASH}),
+bk AS (
+  SELECT doc_id, simhash, t.range AS band,
+         (simhash >> (8 * t.range)) & 255 AS key
+  FROM sh CROSS JOIN range(4) t
+),
+kept AS (SELECT band, key FROM bk GROUP BY band, key HAVING count(*) <= 512),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM bk x
+  JOIN kept k ON k.band = x.band AND k.key = x.key
+  JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT a, b, bit_count(xor(sa, sb))::INT AS hamming FROM pairs
+"""
+
+
 def q_bgp_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL CONSTRUCT over the BGP solutions of q_bgp_select's
     pattern: emits an inverted `supplied_as` edge plus a type
@@ -1389,6 +1420,7 @@ QUERIES = {
     "q_pack_sequences": q_pack_sequences,
     "q_bgp_select": q_bgp_select,
     "q_bgp_construct": q_bgp_construct,
+    "q_simhash_pairs": q_simhash_pairs,
 }
 
 ORACLES = {
@@ -1430,4 +1462,5 @@ ORACLES = {
     "q_pack_sequences": ORACLE_PACK_SEQUENCES,
     "q_bgp_select": ORACLE_BGP_SELECT,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
+    "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
 }
