@@ -811,6 +811,76 @@ WHERE t1.pred = 'has_part' AND t2.pred = 'brand'
 """
 
 
+def q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: doc counts and mean length by (lang, source) with
+    ROLLUP subtotals — the classic-operator checklist's cube/rollup row
+    (absent in the reference; native here). NULL marks rolled-up
+    levels in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length("text")), 6).alias("mean_len"),
+        )
+    )
+
+
+ORACLE_ROLLUP_STATS = """
+SELECT lang, source, count(*) AS n_docs,
+       round(avg(length(text)), 6) AS mean_len
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe range self-join: for each event, the count of OTHER
+    events by the same user within +/-300 seconds. The naive non-equi
+    self-join is quadratic per user; bucketizing ts into 300 s buckets
+    and joining on (user, bucket +/- 1) bounds each join group to three
+    buckets — the standard banded range-join pattern — then the exact
+    |dt| <= 300 predicate filters within the band."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        # TIMESTAMP_NTZ -> epoch seconds; session tz is UTC, matching
+        # DuckDB's epoch() on the same naive timestamps
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    a = ev.withColumn("bkt", F.floor(F.col("t") / 300))
+    b = (
+        ev.select(
+            F.col("user_id"),
+            F.col("event_id").alias("other_id"),
+            F.col("t").alias("t2"),
+        )
+        .withColumn("bkt2", F.floor(F.col("t2") / 300))
+        .withColumn("bkt", F.explode(F.array(
+            F.col("bkt2") - 1, F.col("bkt2"), F.col("bkt2") + 1
+        )))
+        .drop("bkt2")
+    )
+    return (
+        a.join(b, ["user_id", "bkt"])
+        .filter(
+            (F.abs(F.col("t") - F.col("t2")) <= 300)
+            & (F.col("event_id") != F.col("other_id"))
+        )
+        .groupBy("user_id", "event_id")
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT a.user_id, a.event_id, count(*) AS n_nearby
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id != b.event_id
+ AND abs(epoch(a.ts) - epoch(b.ts)) <= 300
+GROUP BY a.user_id, a.event_id
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded candidate pairs through the real operator: docs
     sharing any 8-bit band of their 32-bit simhash, with the exact
@@ -1421,6 +1491,8 @@ QUERIES = {
     "q_bgp_select": q_bgp_select,
     "q_bgp_construct": q_bgp_construct,
     "q_simhash_pairs": q_simhash_pairs,
+    "q_rollup_stats": q_rollup_stats,
+    "q_range_join_bucketed": q_range_join_bucketed,
 }
 
 ORACLES = {
@@ -1463,4 +1535,6 @@ ORACLES = {
     "q_bgp_select": ORACLE_BGP_SELECT,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
+    "q_rollup_stats": ORACLE_ROLLUP_STATS,
+    "q_range_join_bucketed": ORACLE_RANGE_JOIN,
 }
