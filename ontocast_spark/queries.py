@@ -823,11 +823,21 @@ def q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg(F.length("text")), 6).alias("mean_len"),
         )
+        # NULL marks rolled-up levels; emit an explicit marker so the
+        # output is total-orderable by any comparator
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "n_docs",
+            "mean_len",
+        )
     )
 
 
 ORACLE_ROLLUP_STATS = """
-SELECT lang, source, count(*) AS n_docs,
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       count(*) AS n_docs,
        round(avg(length(text)), 6) AS mean_len
 FROM documents GROUP BY ROLLUP (lang, source)
 """

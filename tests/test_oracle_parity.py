@@ -28,6 +28,8 @@ def duck():
 
 
 def _norm(v):
+    if v is None:
+        return "\x00None"  # sortable sentinel distinct from any str value
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
