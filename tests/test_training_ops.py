@@ -393,3 +393,19 @@ def test_build_training_corpus(spark):
     row = out["corpus"].filter(F.col("doc_id") == 1).collect()[0]
     assert row["split"] in {"train", "val", "test"}
     assert row["q_n_tokens"] > 0
+
+
+def test_resize_media_plumbing(spark):
+    from ontocast_spark.operators.multimodal import resize_media
+
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(b"\x89PNG bytes")),
+         ("m2", "audio", bytearray(b"RIFF")),
+         ("m3", "image", None)],
+        "media_id string, kind string, payload binary",
+    )
+    out = {r["media_id"]: (r["width"], r["height"], len(bytes(r["payload"])))
+           for r in resize_media(media, width=64, height=64).collect()}
+    assert set(out) == {"m1", "m3"}  # non-image rows excluded
+    assert out["m1"] == (64, 64, 64)
+    assert out["m3"][2] == 0  # NULL payload degrades to empty, no crash
