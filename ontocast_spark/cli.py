@@ -168,8 +168,11 @@ def main(argv=None) -> None:
     if cmd == "corpus":
         return _cmd_corpus(argv)
     ap = argparse.ArgumentParser(description="ontocast_spark KG pipeline")
-    ap.add_argument("--input", required=True,
+    ap.add_argument("--input", default=None,
                     help="parquet path or Iceberg table of conversations")
+    ap.add_argument("--docs-dir", default=None,
+                    help="directory of .txt/.md/.json documents (the "
+                         "reference's one-file-one-document entry)")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--ontology-dir", default=None)
     ap.add_argument("--domain", default="https://example.com")
@@ -178,34 +181,43 @@ def main(argv=None) -> None:
     ap.add_argument("--max-chunks", type=int, default=None)
     ap.add_argument("--run-id", default="cli")
     args = ap.parse_args(argv)
+    if not args.input and not args.docs_dir:
+        raise SystemExit("one of --input or --docs-dir is required")
 
     from .ontology import builtin_ontology_index
-    from .pipeline import PipelineConfig, run_pipeline
-    from .sources.documents import load_ontology_dir, write_facts_turtle
+    from .pipeline import PipelineConfig, run_pipeline, run_pipeline_documents
+    from .sources.documents import (
+        load_ontology_dir,
+        read_documents_dir,
+        write_facts_turtle,
+    )
 
     spark = SparkSession.builder.appName("ontocast-spark").getOrCreate()
-    if "/" in args.input or args.input.endswith(".parquet"):
-        conversations = spark.read.parquet(args.input)
-    else:
-        conversations = spark.read.table(args.input)
-
     index = (
         load_ontology_dir(args.ontology_dir)
         if args.ontology_dir
         else builtin_ontology_index()
     )
-    out = run_pipeline(
-        spark,
-        conversations,
-        index=index,
-        config=PipelineConfig(
-            domain=args.domain,
-            max_turns=args.max_turns,
-            max_chunks=args.max_chunks,
-        ),
-        warehouse=args.warehouse,
-        run_id=args.run_id,
+    cfg = PipelineConfig(
+        domain=args.domain,
+        max_turns=args.max_turns,
+        max_chunks=args.max_chunks,
     )
+    if args.docs_dir:
+        out = run_pipeline_documents(
+            spark, read_documents_dir(spark, args.docs_dir),
+            index=index, config=cfg,
+            warehouse=args.warehouse, run_id=args.run_id,
+        )
+    else:
+        if "/" in args.input or args.input.endswith(".parquet"):
+            conversations = spark.read.parquet(args.input)
+        else:
+            conversations = spark.read.table(args.input)
+        out = run_pipeline(
+            spark, conversations, index=index, config=cfg,
+            warehouse=args.warehouse, run_id=args.run_id,
+        )
     n = out["kg_triples"].count()
     print(f"kg_triples rows: {n}")
     if args.ttl_out:

@@ -189,3 +189,36 @@ def run_pipeline(
         )
         out["kg_triples"] = kgio.read_stage(spark, warehouse, "kg_triples")
     return out
+
+
+def run_pipeline_documents(
+    spark: SparkSession,
+    documents: DataFrame,
+    index: OntologyIndex | None = None,
+    config: PipelineConfig | None = None,
+    warehouse: str | None = None,
+    run_id: str = "run0",
+    id_col: str = "doc_path",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """Document-direct entry (the reference's one-file-one-document
+    mode, fed by ``sources.documents.read_documents_dir``): each row is
+    one whole document. Implemented as single-turn conversations through
+    :func:`run_pipeline` — assembly of a one-turn conversation is
+    byte-identical to the document, so ``doc_hid = sha256(text)[:12]``
+    matches the reference's file hashing exactly
+    (/root/reference/ontocast/onto.py:986-993) and every downstream
+    stage, checkpoint, and resume contract is shared with the
+    transcript path."""
+    conversations = documents.select(
+        F.col(id_col).cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("document").alias("role"),
+        F.col(text_col).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    return run_pipeline(
+        spark, conversations, index=index, config=config,
+        warehouse=warehouse, run_id=run_id,
+    )
