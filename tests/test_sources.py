@@ -240,3 +240,30 @@ def test_convert_documents_plumbing(spark, tmp_path):
     conv = converted_to_conversations(out)
     assert set(conv.columns) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
     assert conv.count() == 4
+
+
+def test_run_pipeline_documents_entry(spark, tmp_path):
+    """Document-direct entry: read_documents_dir -> run_pipeline_documents
+    preserves the reference's sha256(text)[:12] file hashing and produces
+    triples."""
+    import hashlib
+    import os
+
+    from ontocast_spark.pipeline import run_pipeline_documents
+    from ontocast_spark.sources.documents import read_documents_dir
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    text = "Acme Corp employs Dana Fox. Beta Inc employs Alice Reed."
+    with open(f"{d}/a.txt", "w") as f:
+        f.write(text)
+    with open(f"{d}/b.json", "w") as f:
+        f.write('{"text": "Gamma LLC employs Bob Stone."}')
+
+    out = run_pipeline_documents(spark, read_documents_dir(spark, d))
+    triples = out["kg_triples"]
+    assert triples.count() > 0
+    hid = hashlib.sha256(text.encode()).hexdigest()[:12]
+    doc_iris = {r["doc_iri"] for r in triples.select("doc_iri").distinct().collect()}
+    assert any(hid in iri for iri in doc_iris)
+    assert len(doc_iris) == 2  # both files became documents
