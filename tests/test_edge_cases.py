@@ -191,3 +191,20 @@ def test_bgp_select_matches_bruteforce(spark):
         got = {tuple(r[v] for v in vs)
                for r in bgp_select(tdf, patterns).collect()}
         assert got == expect, (seed, patterns)
+
+
+def test_optimized_plan_shapes(spark):
+    """Plan-shape regression guards: q_simhash is a shuffle-free
+    projection; q_prefer_longer is one exchange (partial-then-final
+    aggregate), never a per-group sort window."""
+    from ontocast_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    sh = QUERIES["q_simhash"](spark, sf)
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
+
+    pl = QUERIES["q_prefer_longer"](spark, sf)
+    plan = pl._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
