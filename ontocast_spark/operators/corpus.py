@@ -44,6 +44,14 @@ class CorpusBuildConfig:
     )
     split_salt: str = "corpus"
     pack_budget_tokens: int = 2048
+    #: number of hashed packing sub-shards per split. The cumsum window
+    #: partitions on (split, pack_shard): with a bare 90/5/5 ``split``
+    #: shard ~90% of the corpus would sort in ONE window partition — a
+    #: single-task global sort at 100 TB. Hash-sharding keeps every
+    #: window partition ~corpus/n_pack_shards while preserving the
+    #: layout contract (seq_id scoped per (split, pack_shard), bin and
+    #: offset invariants hold within each shard).
+    n_pack_shards: int = 64
 
 
 def build_training_corpus(
@@ -112,7 +120,15 @@ def build_training_corpus(
     corpus = assign_splits(
         kept, id_col, weights=cfg.split_weights, salt=cfg.split_salt
     )
+    sharded = corpus.withColumn(
+        "pack_shard",
+        F.pmod(F.xxhash64(F.col(id_col), F.lit("pack")), F.lit(cfg.n_pack_shards)),
+    )
     packing = pack_sequences(
-        corpus, cfg.pack_budget_tokens, text_col, id_col, shard_col="split"
+        sharded,
+        cfg.pack_budget_tokens,
+        text_col,
+        id_col,
+        shard_col=["split", "pack_shard"],
     )
     return {"corpus": corpus, "packing": packing, "dropped": dropped}

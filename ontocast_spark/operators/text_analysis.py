@@ -147,7 +147,7 @@ def pack_sequences(
     budget_tokens: int = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shard_col: str | None = None,
+    shard_col: str | list[str] | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: assign documents (in deterministic
     ``id_col`` order) to consecutive fixed-token-budget bins via a
@@ -160,19 +160,26 @@ def pack_sequences(
     own bins (and spill over; the downstream tokenizer truncates).
     Returns (doc_id, n_tokens, seq_id, offset_in_seq).
 
-    Scale: pass ``shard_col`` to pack independently within each shard —
-    the cumsum window becomes ``partitionBy(shard)`` and the sort stays
-    distributed (the 100-TB form; ``seq_id`` is then per-shard). The
-    global form (``shard_col=None``) is a single total ordering and
-    matches the DuckDB oracle exactly."""
+    Scale: pass ``shard_col`` (a column name or list of names) to pack
+    independently within each shard — the cumsum window becomes
+    ``partitionBy(*shards)`` and the sort stays distributed (the 100-TB
+    form; ``seq_id`` is then per-shard). A single low-cardinality shard
+    (e.g. a 90/5/5 ``split``) still funnels most rows through one
+    window partition, so the composed corpus build passes
+    ``[split, pack_shard]`` with a hashed sub-shard. The global form
+    (``shard_col=None``) is a single total ordering and matches the
+    DuckDB oracle exactly."""
+    shards = (
+        [shard_col] if isinstance(shard_col, str) else list(shard_col or [])
+    )
     ntok = F.size(F.split(F.col(text_col), r"\s+"))
     w = (
-        Window.partitionBy(shard_col).orderBy(F.col(id_col))
-        if shard_col
+        Window.partitionBy(*shards).orderBy(F.col(id_col))
+        if shards
         else Window.orderBy(F.col(id_col))
     )
     cum = F.sum("n_tokens").over(w)
-    keep = [id_col] + ([shard_col] if shard_col else [])
+    keep = [id_col] + shards
     return (
         docs.select(*keep, ntok.cast("long").alias("n_tokens"))
         .withColumn("_end", cum)

@@ -395,6 +395,51 @@ def test_build_training_corpus(spark):
     assert row["q_n_tokens"] > 0
 
 
+def test_corpus_packing_is_sharded(spark):
+    """The composed build's packing window must partition on
+    (split, pack_shard) — never a single-partition global sort (the
+    90/5/5 split alone would funnel ~90% of a 100-TB corpus through
+    one window task). Verifies both the physical plan shape and the
+    per-shard layout contract (each shard equals a sequential packer
+    over its own docs in doc_id order)."""
+    import random
+
+    from ontocast_spark.operators.corpus import (
+        CorpusBuildConfig,
+        build_training_corpus,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"w{i}x{rng.randrange(10000)}" for _ in range(rng.randrange(6, 30))))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CorpusBuildConfig(min_tokens=1, min_uniq_ratio=0.0,
+                            pack_budget_tokens=64, n_pack_shards=8)
+    out = build_training_corpus(docs, None, cfg)
+    packing = out["packing"]
+
+    plan = packing._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the exchange feeding the window is hash-partitioned, not global
+    assert "Exchange SinglePartition" not in plan
+    assert "pack_shard" in plan
+
+    got = packing.collect()
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in out["corpus"].collect()}
+    # layout contract per (split, pack_shard): sequential cumsum replay
+    by_shard: dict = {}
+    for r in got:
+        by_shard.setdefault((r["split"], r["pack_shard"]), []).append(r)
+    assert len(by_shard) > 1  # sharding actually spread the corpus
+    for rows_in_shard in by_shard.values():
+        start = 0
+        for r in sorted(rows_in_shard, key=lambda r: r["doc_id"]):
+            assert (r["seq_id"], r["offset_in_seq"]) == (start // 64, start % 64)
+            start += r["n_tokens"]
+
+
 def test_resize_media_plumbing(spark):
     from ontocast_spark.operators.multimodal import resize_media
 
