@@ -5,7 +5,11 @@ Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}. Extra keys report the KG pipeline's turns/sec (the
-BASELINE.json throughput metric).
+BASELINE.json throughput metric). Each query is warmed up once then
+timed best-of-3 (host noise only adds time, so min is the robust
+statistic on this 30-50%-variance VM); per-query raw samples and the
+/proc/stat steal fraction ride along under "samples"/"steal_pct" so a
+noisy window is visible in the recorded number's context.
 
 --scaling mode: runs the identical KG job at local[8] and local[32]
 (N and 4N cores) on the same synthetic input and reports throughput at
@@ -89,7 +93,21 @@ def run_kg_job(spark, n_convs: int) -> tuple[float, int, int]:
     return elapsed, n_turns, n_triples
 
 
-def bench_default() -> dict:
+def _best_of(fn, runs: int = 3) -> tuple[float, list[float], float]:
+    """Run ``fn`` (returns elapsed seconds) ``runs`` times; return
+    (best, all_samples, steal_pct over the whole window). Best-of-N is
+    the noise-robust statistic here: host steal/contention only ever
+    ADDS time, so the minimum is the closest observation to the code's
+    true cost (this VM swings 30-50% run to run — round 2's driver
+    snapshot recorded 15.1s for a pipeline that runs in 4.6s)."""
+    s0, t0 = _cpu_sample()
+    samples = [round(fn(), 3) for _ in range(runs)]
+    s1, t1 = _cpu_sample()
+    steal = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+    return min(samples), samples, steal
+
+
+def bench_default(runs: int = 3) -> dict:
     from ontocast_spark.queries import QUERIES
     from ontocast_spark.session import build_spark
 
@@ -97,24 +115,38 @@ def bench_default() -> dict:
                         shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("WARN")
     queries: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    steal: dict[str, float] = {}
     kg_stats = {}
     total = 0.0
     for name in HEADLINE:
-        t0 = time.perf_counter()
         if name == "q_kg_pipeline":
             run_kg_job(spark, max(N_CONVS // 10, 10))  # JIT/codegen warmup
-            elapsed, n_turns, n_triples = run_kg_job(spark, N_CONVS)
-            queries[name] = round(elapsed, 3)
+            kg_runs = []
+
+            def kg_once():
+                elapsed, n_turns, n_triples = run_kg_job(spark, N_CONVS)
+                kg_runs.append((elapsed, n_turns, n_triples))
+                return elapsed
+
+            best, samples[name], steal[name] = _best_of(kg_once, runs)
+            queries[name] = round(best, 3)
+            _, n_turns, n_triples = min(kg_runs)
             kg_stats = {
                 "kg_turns": n_turns,
                 "kg_triples": n_triples,
-                "kg_turns_per_sec": round(n_turns / elapsed, 1),
+                "kg_turns_per_sec": round(n_turns / best, 1),
             }
         else:
             _count(QUERIES[name](spark, SF_DIR))  # codegen/JIT warmup
-            t0 = time.perf_counter()
-            _count(QUERIES[name](spark, SF_DIR))
-            queries[name] = round(time.perf_counter() - t0, 3)
+
+            def q_once(q=QUERIES[name]):
+                t0 = time.perf_counter()
+                _count(q(spark, SF_DIR))
+                return time.perf_counter() - t0
+
+            best, samples[name], steal[name] = _best_of(q_once, runs)
+            queries[name] = round(best, 3)
         total += queries[name]
     spark.stop()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -125,6 +157,9 @@ def bench_default() -> dict:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **kg_stats,
+        "agg": f"best_of_{runs}",
+        "samples": samples,
+        "steal_pct": steal,
     }
 
 
@@ -223,6 +258,8 @@ def main():
     ap.add_argument("--cores-small", type=int, default=8)
     ap.add_argument("--cores-large", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=3,
+                    help="timed runs per headline query (best-of)")
     args = ap.parse_args()
     if args.kg_run:
         print(json.dumps(kg_run_once(args.cores, args.n_convs)))
@@ -247,7 +284,7 @@ def main():
             with open("BENCH/BASELINE.md", "a") as f:
                 f.write(md)
     else:
-        print(json.dumps(bench_default()))
+        print(json.dumps(bench_default(args.runs)))
 
 
 if __name__ == "__main__":
