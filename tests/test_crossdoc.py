@@ -140,10 +140,11 @@ def test_crossdoc_pr_vs_local_replay(spark):
 
 
 def test_crossdoc_single_facts_scan(spark, tmp_path):
-    """The multi-consumer DataFrames (meta, blocked, mapping) are
-    persisted, so the rewritten-triples plan scans the facts parquet at
-    most twice (the rewrite join's own probe side + nothing re-derived
-    per consumer), instead of once per consumer (round-1 VERDICT #4)."""
+    """The rewritten-triples plan scans the facts parquet at most twice
+    (the rewrite join's own probe side + nothing re-derived per
+    consumer), instead of once per consumer (round-1 VERDICT #4): the
+    mapping is an eagerly materialized localCheckpoint, so its build
+    sides read the checkpointed RDD, never the parquet lineage."""
     import os
 
     ns = "https://x.com/doc/1/chunk/c1/"
@@ -179,10 +180,42 @@ def test_crossdoc_single_facts_scan(spark, tmp_path):
 
     n_scans = live_scans(plan)
     # facts flows through the two chained rewrite joins as ONE scan; the
-    # mapping build sides come from the persisted cache, and meta /
-    # blocked never re-derive from parquet
+    # mapping build sides come from the materialized checkpoint, and
+    # meta / blocked never re-derive from parquet
     assert n_scans <= 2, f"facts parquet scanned {n_scans}x live:\n{plan[:2000]}"
-    assert plan.count("InMemoryTableScan") >= 2
+    assert "ExistingRDD" in plan  # mapping reads the checkpoint
+
+
+def test_crossdoc_releases_cached_tables(spark):
+    """Intermediate persist()s (meta, blocked) are released once the
+    mapping materializes: two sequential canonicalizations must not
+    grow the executor storage cache (r2 VERDICT #8 — a long-lived
+    incremental driver would otherwise accumulate cached blocks until
+    eviction)."""
+    ns = "https://x.com/doc/1/chunk/c1/"
+    rows = [
+        ("conv1", "https://x.com/doc/1", "c1", ns, ns + "john_doe",
+         RDFS_LABEL, "John Doe", True, None),
+        ("conv1", "https://x.com/doc/1", "c1", ns, ns + "jane_roe",
+         RDFS_LABEL, "Jane Roe", True, None),
+    ]
+    facts = _facts_df(spark, rows)
+
+    def cached_count():
+        return spark._jsc.getPersistentRDDs().size()
+
+    n0 = cached_count()
+    rewr, mapping = canonicalize_crossdoc(facts)
+    rewr.count()
+    n1 = cached_count()
+    rewr2, mapping2 = canonicalize_crossdoc(facts)
+    rewr2.count()
+    n2 = cached_count()
+    # each call may leave its RESULT (the localCheckpointed mapping,
+    # still referenced by the caller) in storage, but never the
+    # intermediate meta/blocked persists (2+ extra handles per call)
+    assert n1 - n0 <= 1, (n0, n1)
+    assert n2 - n1 <= 1, (n1, n2)
 
 
 def test_incremental_canonicalize_stability(spark):
@@ -287,3 +320,81 @@ def test_incremental_mint_suffix_offset(spark):
     assert m[ns3 + "gamma"] == m[ns3 + "gammax"]
     assert m[ns3 + "gamma"] == "https://x.com/kg/gamma_1"  # offset past existing
     assert m["https://old/a"] == "https://x.com/kg/gamma"  # untouched
+
+
+def _mint(spark, reps, existing=None, ns="https://x.com/kg/"):
+    """Helper: run _mint_from_reps over (comp, cname) tuples with an
+    optional existing-local-name list; returns {comp: local_name}."""
+    from ontocast_spark.operators.crossdoc import _mint_from_reps, _slot_pairs
+
+    rep = spark.createDataFrame(reps, "comp string, cname string")
+    taken = None
+    if existing:
+        taken = _slot_pairs(
+            spark.createDataFrame([(n,) for n in existing], "nm string")
+        )
+    out = _mint_from_reps(rep, ns, taken)
+    return {r["comp"]: r["canonical_iri"][len(ns):] for r in out.collect()}
+
+
+def test_mint_natural_digit_suffix_names(spark):
+    """r2 ADVICE medium: natural names ending in _<digits> (covid_19
+    from label 'COVID 19') must never be silently merged with the
+    collision-suffix sequence of their regex-stripped base. 18 fresh
+    'covid' components mint AROUND the existing natural covid_19."""
+    existing = ["covid", "covid_19"]
+    reps = [(f"c{i:02d}", "covid") for i in range(18)]
+    minted = _mint(spark, reps, existing)
+    assert len(set(minted.values())) == 18          # all distinct
+    assert not set(minted.values()) & set(existing)  # none reuse existing
+    # slots 0 and 19 are taken -> 18 mints occupy 1..18 exactly
+    assert set(minted.values()) == {f"covid_{i}" for i in range(1, 19)}
+    # and the 19th+ fresh component skips past the natural covid_19
+    reps2 = [(f"d{i:02d}", "covid") for i in range(20)]
+    minted2 = _mint(spark, reps2, existing)
+    assert "covid_19" not in minted2.values()
+    assert set(minted2.values()) == {f"covid_{i}" for i in range(1, 19)} | {
+        "covid_20", "covid_21"
+    }
+
+
+def test_mint_batch_sibling_natural_names(spark):
+    """Within ONE batch, a base's suffixed mints skip slots occupied by
+    sibling components' natural names (batch path and incremental path
+    share this algorithm)."""
+    reps = [("c1", "covid"), ("c2", "covid"), ("c3", "covid"),
+            ("c4", "covid_1")]
+    minted = _mint(spark, reps)
+    assert minted["c4"] == "covid_1"
+    assert minted["c1"] == "covid"        # rank 1 keeps the bare name
+    assert set(minted.values()) == {"covid", "covid_1", "covid_2", "covid_3"}
+
+
+def test_mint_property_no_collisions(spark):
+    """Property (seeded random): for arbitrary mixes of natural and
+    _<digits>-bearing names minted in two phases (phase 2 sees phase
+    1's output as existing), every minted name is globally unique and
+    never collides with any existing name — and on disjoint bases the
+    two-phase result equals the one-batch result."""
+    import random
+
+    rng = random.Random(13)
+    bases = ["acme", "acme_2", "x_1", "x", "beta_10", "beta"]
+    for trial in range(5):
+        phase1 = [(f"a{i:03d}", rng.choice(bases)) for i in range(rng.randrange(1, 15))]
+        phase2 = [(f"b{i:03d}", rng.choice(bases)) for i in range(rng.randrange(1, 15))]
+        m1 = _mint(spark, phase1)
+        names1 = set(m1.values())
+        assert len(names1) == len(m1), (trial, m1)
+        m2 = _mint(spark, phase2, existing=sorted(names1))
+        names2 = set(m2.values())
+        assert len(names2) == len(m2), (trial, m2)
+        assert not names1 & names2, (trial, names1 & names2)
+    # disjoint-base agreement: splitting a batch by base across phases
+    # yields exactly the names one combined batch would mint
+    p1 = [("a1", "covid"), ("a2", "covid"), ("a3", "covid_19")]
+    p2 = [("b1", "zeta"), ("b2", "zeta")]
+    both = _mint(spark, p1 + p2)
+    m1 = _mint(spark, p1)
+    m2 = _mint(spark, p2, existing=sorted(set(m1.values())))
+    assert set(m1.values()) | set(m2.values()) == set(both.values())
