@@ -52,7 +52,10 @@ def split_column(
     items = list(weights.items())
     for name, w in items[:-1]:
         acc += w / total
-        cond = bucket < int(acc * _BUCKETS)
+        # round, not truncate: 0.3 * 10000 floats to 2999.999..., and
+        # int() would shift the boundary one bucket off the documented
+        # proportion (sample_deterministic already rounds)
+        cond = bucket < int(round(acc * _BUCKETS))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
     return (F.lit(last) if expr is None else expr.otherwise(F.lit(last)))

@@ -1224,9 +1224,14 @@ bkeys AS (
   UNION ALL
   SELECT doc_id, '1|' || sig2 || '|' || sig3 AS bkey, sh FROM sigs
 ),
+-- mirror the operator's max_bucket=512 LSH skew cap (same pattern as
+-- ORACLE_SIMHASH_PAIRS) so parity holds when a band bucket saturates
+kept AS (SELECT bkey FROM bkeys GROUP BY bkey HAVING count(*) <= 512),
 edges AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM bkeys x JOIN bkeys y ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+  FROM bkeys x
+  JOIN kept k ON k.bkey = x.bkey
+  JOIN bkeys y ON x.bkey = y.bkey AND x.doc_id < y.doc_id
   WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
         / len(list_distinct(list_concat(x.sh, y.sh)))::DOUBLE >= 0.9
 ),

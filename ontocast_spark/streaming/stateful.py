@@ -55,7 +55,11 @@ STATE_SCHEMA = "turn_idx array<int>, texts array<string>, max_ts_ms bigint"
 
 def _assemble(conv_id: str, idxs: list, texts: list, domain: str,
               separator: str) -> pd.DataFrame:
-    order = sorted(range(len(idxs)), key=lambda i: idxs[i])
+    # tie-break duplicate turn_idx by text, replicating the batch
+    # operator's array_sort(struct(turn_idx, text)) — a stable sort on
+    # turn_idx alone would keep arrival order and diverge from the
+    # batch doc_hid on duplicate-index input
+    order = sorted(range(len(idxs)), key=lambda i: (idxs[i], texts[i]))
     text = separator.join(texts[i] for i in order)
     hid = hashlib.sha256(text.encode("utf-8")).hexdigest()[:12]
     return pd.DataFrame(
