@@ -16,8 +16,10 @@ exact relational algebra Spark executes natively:
 
 This is the textbook BGP-to-SQL mapping (SPARQL entailment-free
 semantics = conjunctive queries over the triple relation); OPTIONAL /
-UNION / FILTER regex would map to left joins / unionByName / Catalyst
-predicates the same way and are out of scope here.
+UNION / FILTER map to left joins / unionByName / Catalyst predicates
+(`bgp_optional` / `bgp_union` / `bgp_filter` below), and SPARQL 1.1
+property paths (``rdfs:subClassOf+``-style) compile to joins plus an
+iterative transitive-closure loop (`path_pairs`) in the predicate slot.
 
 Scale: each pattern scans the triples table once with its constants
 pushed down; a pattern with a constant predicate over a
@@ -34,23 +36,245 @@ from pyspark.sql import functions as F
 _SLOTS = ("subj", "pred", "obj")
 
 
+class Path:
+    """AST node for the supported SPARQL 1.1 property-path subset:
+    ``iri``, inverse ``^p``, sequence ``p/q``, alternative ``p|q``,
+    ``p+`` (one or more), ``p*`` (zero or more), ``p?`` (zero or one).
+    Build with the factory helpers (:func:`p_iri`, :func:`p_seq`, ...)
+    or parse the SPARQL surface syntax with :func:`parse_path`
+    (IRIs must be ``<>``-bracketed there — the reference's ontology
+    queries, e.g. ``rdfs:subClassOf+``, delegate to Fuseki in
+    fuseki.py:188-270; this evaluates them natively)."""
+
+    __slots__ = ("kind", "children", "iri")
+
+    def __init__(self, kind: str, children: tuple = (), iri: str | None = None):
+        self.kind = kind
+        self.children = children
+        self.iri = iri
+
+    def __repr__(self):
+        return f"Path({self.kind}, {self.iri or self.children})"
+
+
+def p_iri(iri: str) -> Path:
+    return Path("iri", iri=iri)
+
+
+def p_inv(p: Path) -> Path:
+    return Path("inv", (p,))
+
+
+def p_seq(*ps: Path) -> Path:
+    if len(ps) == 1:
+        return ps[0]
+    return Path("seq", tuple(ps))
+
+
+def p_alt(*ps: Path) -> Path:
+    if len(ps) == 1:
+        return ps[0]
+    return Path("alt", tuple(ps))
+
+
+def p_plus(p: Path) -> Path:
+    return Path("plus", (p,))
+
+
+def p_star(p: Path) -> Path:
+    return Path("star", (p,))
+
+
+def p_opt(p: Path) -> Path:
+    return Path("opt", (p,))
+
+
+def parse_path(expr: str) -> Path:
+    """Recursive-descent parser for the path surface syntax:
+    ``<iri>``, ``^``, ``/``, ``|``, postfix ``+ * ?``, parentheses.
+    Precedence (loosest first): ``|`` < ``/`` < postfix < ``^``/atom.
+    IRIs MUST be angle-bracketed — raw IRIs contain ``/``."""
+    pos = 0
+
+    def peek() -> str:
+        nonlocal pos
+        while pos < len(expr) and expr[pos].isspace():
+            pos += 1
+        return expr[pos] if pos < len(expr) else ""
+
+    def atom() -> Path:
+        nonlocal pos
+        c = peek()
+        if c == "^":
+            pos += 1
+            return p_inv(atom())
+        if c == "(":
+            pos += 1
+            inner = alt()
+            if peek() != ")":
+                raise ValueError(f"unbalanced ( in path: {expr!r}")
+            pos += 1
+            return postfix(inner)
+        if c == "<":
+            end = expr.index(">", pos)
+            iri = expr[pos + 1:end]
+            pos = end + 1
+            return postfix(p_iri(iri))
+        raise ValueError(f"expected <iri>, ^ or ( at {pos} in {expr!r}")
+
+    def postfix(p: Path) -> Path:
+        nonlocal pos
+        while True:
+            c = peek()
+            if c == "+":
+                pos += 1
+                p = p_plus(p)
+            elif c == "*":
+                pos += 1
+                p = p_star(p)
+            elif c == "?":
+                pos += 1
+                p = p_opt(p)
+            else:
+                return p
+
+    def seq() -> Path:
+        nonlocal pos
+        parts = [atom()]
+        while peek() == "/":
+            pos += 1
+            parts.append(atom())
+        return p_seq(*parts)
+
+    def alt() -> Path:
+        nonlocal pos
+        parts = [seq()]
+        while peek() == "|":
+            pos += 1
+            parts.append(seq())
+        return p_alt(*parts)
+
+    out = alt()
+    if peek():
+        raise ValueError(f"trailing input at {pos} in path {expr!r}")
+    return out
+
+
+def _graph_nodes(triples: DataFrame) -> DataFrame:
+    """All RDF terms of the graph as (s, o=s) identity pairs — the
+    SPARQL zero-length-path relation (``p*``/``p?`` include it)."""
+    nodes = (
+        triples.select(F.col("subj").alias("s"))
+        .union(triples.select(F.col("obj").alias("s")))
+        .distinct()
+    )
+    return nodes.withColumn("o", F.col("s"))
+
+
+def _closure(base: DataFrame, max_iter: int) -> DataFrame:
+    """Transitive closure of (s, o) pairs by iterative squaring —
+    doubles the reachable path length per round (O(log diameter)
+    rounds, one shuffle join each), ``localCheckpoint`` truncating the
+    lineage exactly like operators/cc.py's label loop. Meant for
+    ontology-sized hierarchies (subClassOf trees); at data scale the
+    closure itself is the output so its size, not this loop, is the
+    cost."""
+    r = base.distinct().localCheckpoint()
+    for _ in range(max_iter):
+        x, y = r.alias("x"), r.alias("y")
+        nxt = (
+            x.join(y, F.col("x.o") == F.col("y.s"))
+            .select(F.col("x.s").alias("s"), F.col("y.o").alias("o"))
+            .distinct()
+        )
+        new = nxt.join(r, ["s", "o"], "left_anti")
+        if new.isEmpty():
+            break
+        r = r.union(new).distinct().localCheckpoint()
+    return r
+
+
+def path_pairs(
+    triples: DataFrame, path: Path | str, max_iter: int = 25
+) -> DataFrame:
+    """Evaluate a property path to its (s, o) solution pairs.
+
+    Each AST node is relational algebra: an IRI is a filtered scan of
+    the triple table (predicate pushdown), ``^`` swaps the columns,
+    ``/`` is an equi-join on the middle node, ``|`` a distinct union,
+    ``+`` the iterative-squaring closure, ``*``/``?`` add the
+    zero-length identity over the graph's terms (SPARQL 1.1 semantics).
+    """
+    if isinstance(path, str):
+        path = parse_path(path)
+    k = path.kind
+    if k == "iri":
+        return triples.filter(F.col("pred") == F.lit(path.iri)).select(
+            F.col("subj").alias("s"), F.col("obj").alias("o")
+        )
+    if k == "inv":
+        inner = path_pairs(triples, path.children[0], max_iter)
+        return inner.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    if k == "seq":
+        out = path_pairs(triples, path.children[0], max_iter)
+        for child in path.children[1:]:
+            nxt = path_pairs(triples, child, max_iter).select(
+                F.col("s").alias("_m"), F.col("o").alias("_o")
+            )
+            out = (
+                out.join(nxt, out.o == nxt._m)
+                .select("s", F.col("_o").alias("o"))
+                .distinct()
+            )
+        return out
+    if k == "alt":
+        out = path_pairs(triples, path.children[0], max_iter)
+        for child in path.children[1:]:
+            out = out.union(path_pairs(triples, child, max_iter))
+        return out.distinct()
+    if k == "plus":
+        return _closure(
+            path_pairs(triples, path.children[0], max_iter), max_iter
+        )
+    if k == "star":
+        plus = _closure(
+            path_pairs(triples, path.children[0], max_iter), max_iter
+        )
+        return plus.union(_graph_nodes(triples)).distinct()
+    if k == "opt":
+        inner = path_pairs(triples, path.children[0], max_iter)
+        return inner.union(_graph_nodes(triples)).distinct()
+    raise ValueError(f"unknown path kind {k!r}")
+
+
 def bgp_select(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
     distinct: bool = True,
 ) -> DataFrame:
     """patterns: (s, p, o) terms; strings starting with ``?`` are
-    variables, everything else is a constant filter. Returns one column
-    per variable (without the ``?``), rows = pattern matches joined on
-    shared variables."""
+    variables, everything else is a constant filter. A predicate term
+    that is a :class:`Path` (or a ``<``-bracketed path expression
+    string like ``"<http://x#subClassOf>+"``) evaluates as a property
+    path: the pattern scans the path's (s, o) solution pairs instead of
+    the raw triple slots. Returns one column per variable (without the
+    ``?``), rows = pattern matches joined on shared variables."""
     if not patterns:
         raise ValueError("empty basic graph pattern")
     result: DataFrame | None = None
     for s, p, o in patterns:
-        t = triples
+        is_path = isinstance(p, Path) or (
+            isinstance(p, str) and p.startswith("<")
+        )
+        if is_path:
+            t = path_pairs(triples, p)
+            slot_terms = [("s", s), ("o", o)]
+        else:
+            t = triples
+            slot_terms = list(zip(_SLOTS, (s, p, o)))
         seen: dict[str, str] = {}  # var -> first slot bound
         cols = []
-        for slot, term in zip(_SLOTS, (s, p, o)):
+        for slot, term in slot_terms:
             if isinstance(term, str) and term.startswith("?"):
                 var = term[1:]
                 if var in seen:  # repeated var in one pattern

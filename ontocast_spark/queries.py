@@ -811,6 +811,65 @@ WHERE t1.pred = 'has_part' AND t2.pred = 'brand'
 """
 
 
+def q_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property path ``within+`` (transitive closure)
+    evaluated natively by the BGP compiler's iterative-squaring loop
+    (plans/bgp.py path_pairs) over a 3-level containment hierarchy
+    built from orders -> customer -> nation -> region edges. The
+    reference delegates path queries like ``rdfs:subClassOf+`` to
+    Fuseki (tool/triple_manager/fuseki.py:188-270); this is the
+    in-engine equivalent, value-pinned by a DuckDB recursive CTE."""
+    from .plans.bgp import bgp_select, p_iri, p_plus
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    tag = lambda pre, c: F.concat(F.lit(pre), F.col(c).cast("string"))  # noqa: E731
+    triples = (
+        orders.select(
+            tag("o:", "o_orderkey").alias("subj"),
+            F.lit("within").alias("pred"),
+            tag("c:", "o_custkey").alias("obj"),
+        )
+        .union(
+            customer.select(
+                tag("c:", "c_custkey").alias("subj"),
+                F.lit("within").alias("pred"),
+                tag("n:", "c_nationkey").alias("obj"),
+            )
+        )
+        .union(
+            nation.select(
+                tag("n:", "n_nationkey").alias("subj"),
+                F.lit("within").alias("pred"),
+                tag("r:", "n_regionkey").alias("obj"),
+            )
+        )
+    )
+    out = bgp_select(triples, [("?src", p_plus(p_iri("within")), "?dst")])
+    return out.select("src", "dst")
+
+
+ORACLE_PATH_CLOSURE = """
+WITH RECURSIVE edges AS (
+  SELECT 'o:' || o_orderkey::VARCHAR AS s, 'c:' || o_custkey::VARCHAR AS o
+  FROM orders
+  UNION ALL
+  SELECT 'c:' || c_custkey::VARCHAR, 'n:' || c_nationkey::VARCHAR
+  FROM customer
+  UNION ALL
+  SELECT 'n:' || n_nationkey::VARCHAR, 'r:' || n_regionkey::VARCHAR
+  FROM nation
+),
+reach(s, o) AS (
+  SELECT s, o FROM edges
+  UNION
+  SELECT r.s, e.o FROM reach r JOIN edges e ON r.o = e.s
+)
+SELECT DISTINCT s AS src, o AS dst FROM reach
+"""
+
+
 def q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets: doc counts and mean length by (lang, source) with
     ROLLUP subtotals — the classic-operator checklist's cube/rollup row
@@ -1505,6 +1564,7 @@ QUERIES = {
     "q_pack_sequences": q_pack_sequences,
     "q_bgp_select": q_bgp_select,
     "q_bgp_construct": q_bgp_construct,
+    "q_path_closure": q_path_closure,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -1548,6 +1608,7 @@ ORACLES = {
     "q_decontaminate": ORACLE_DECONTAMINATE,
     "q_pack_sequences": ORACLE_PACK_SEQUENCES,
     "q_bgp_select": ORACLE_BGP_SELECT,
+    "q_path_closure": ORACLE_PATH_CLOSURE,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,

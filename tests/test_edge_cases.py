@@ -208,3 +208,131 @@ def test_optimized_plan_shapes(spark):
     plan = pl._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
+
+
+def _brute_path(triples, path):
+    """Set-semantics reference evaluator for property paths (SPARQL
+    1.1): plain Python over an edge list, used to property-check
+    plans/bgp.py path_pairs."""
+    nodes = {s for s, _, _ in triples} | {o for _, _, o in triples}
+    ident = {(n, n) for n in nodes}
+
+    def closure(pairs):
+        out = set(pairs)
+        while True:
+            new = {(a, d) for a, b in out for c, d in out if b == c} - out
+            if not new:
+                return out
+            out |= new
+
+    def ev(p):
+        k = p.kind
+        if k == "iri":
+            return {(s, o) for s, pp, o in triples if pp == p.iri}
+        if k == "inv":
+            return {(o, s) for s, o in ev(p.children[0])}
+        if k == "seq":
+            out = ev(p.children[0])
+            for child in p.children[1:]:
+                nxt = ev(child)
+                out = {(a, d) for a, b in out for c, d in nxt if b == c}
+            return out
+        if k == "alt":
+            out = set()
+            for child in p.children:
+                out |= ev(child)
+            return out
+        if k == "plus":
+            return closure(ev(p.children[0]))
+        if k == "star":
+            return closure(ev(p.children[0])) | ident
+        if k == "opt":
+            return ev(p.children[0]) | ident
+        raise ValueError(k)
+
+    return ev(path)
+
+
+def test_property_path_operators(spark):
+    """Each path operator against the brute-force evaluator on a known
+    graph, including a cycle (closure must terminate) and the
+    zero-length identity of * / ?."""
+    from ontocast_spark.plans.bgp import bgp_select, parse_path, path_pairs
+
+    triples = [
+        ("a", "sub", "b"), ("b", "sub", "c"), ("c", "sub", "d"),
+        ("x", "sub", "y"), ("y", "sub", "x"),          # cycle
+        ("a", "lbl", "A"), ("d", "lbl", "D"),
+    ]
+    tri = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    for expr in ["<sub>", "<sub>+", "<sub>*", "<sub>?", "^<sub>",
+                 "<sub>/<lbl>", "<sub>|<lbl>", "(<sub>/<sub>)+",
+                 "^<sub>/<lbl>", "<sub>+/<lbl>"]:
+        ast = parse_path(expr)
+        got = {(r["s"], r["o"]) for r in path_pairs(tri, ast).collect()}
+        want = _brute_path(triples, ast)
+        assert got == want, (expr, got ^ want)
+
+    # integration: path in a pattern, joined with a plain pattern
+    rows = bgp_select(
+        tri, [("?x", "<sub>+", "?y"), ("?y", "lbl", "?l")]
+    )
+    got = {(r["x"], r["y"], r["l"]) for r in rows.collect()}
+    assert got == {("a", "d", "D"), ("b", "d", "D"), ("c", "d", "D")}
+    # constant endpoints on a path pattern
+    asc = bgp_select(tri, [("a", "<sub>+", "?y")])
+    assert {r["y"] for r in asc.collect()} == {"b", "c", "d"}
+
+
+def test_property_path_random_graphs(spark):
+    """Seeded random graphs x random path ASTs vs the brute-force
+    evaluator (the same harness style as the BGP select property
+    check)."""
+    import random
+
+    from ontocast_spark.plans.bgp import (
+        p_alt, p_inv, p_iri, p_opt, p_plus, p_seq, p_star, path_pairs,
+    )
+
+    rng = random.Random(31)
+
+    def rand_path(depth):
+        if depth == 0:
+            return p_iri(rng.choice(["p", "q"]))
+        op = rng.choice(["inv", "seq", "alt", "plus", "star", "opt"])
+        if op == "inv":
+            return p_inv(rand_path(depth - 1))
+        if op == "seq":
+            return p_seq(rand_path(depth - 1), rand_path(depth - 1))
+        if op == "alt":
+            return p_alt(rand_path(depth - 1), rand_path(depth - 1))
+        if op == "plus":
+            return p_plus(rand_path(depth - 1))
+        if op == "star":
+            return p_star(rand_path(depth - 1))
+        return p_opt(rand_path(depth - 1))
+
+    for trial in range(6):
+        n = rng.randrange(4, 9)
+        triples = [
+            (f"n{rng.randrange(n)}", rng.choice(["p", "q"]),
+             f"n{rng.randrange(n)}")
+            for _ in range(rng.randrange(5, 14))
+        ]
+        tri = spark.createDataFrame(
+            triples, "subj string, pred string, obj string"
+        )
+        ast = rand_path(rng.randrange(1, 3))
+        got = {(r["s"], r["o"]) for r in path_pairs(tri, ast).collect()}
+        want = _brute_path(triples, ast)
+        assert got == want, (trial, ast, got ^ want)
+
+
+def test_parse_path_errors():
+    import pytest as _pytest
+
+    from ontocast_spark.plans.bgp import parse_path
+
+    for bad in ["", "<a", "<a>/", "(<a>", "<a>)", "/<a>"]:
+        with _pytest.raises(ValueError):
+            parse_path(bad)
