@@ -811,6 +811,120 @@ WHERE t1.pred = 'has_part' AND t2.pred = 'brand'
 """
 
 
+def q_critique_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E5 critique scorers (operators/critique.py) over a
+    deterministic triple fixture derived from the documents table:
+    each doc contributes an entity with conditionally-present type /
+    label / mention triples (conditions on text length), then the
+    ontology scorer (typed-AND-labeled fraction per chunk) and the
+    facts scorer (relational-coverage fraction per chunk) run through
+    the real operators — the last SURVEY §2 operators that had only
+    pytest coverage (r2 VERDICT next-steps #6)."""
+    from .kernels.rdfterms import RDF_TYPE, RDFS_LABEL
+    from .operators.critique import score_facts, score_ontology_addendum
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("lang").alias("conv_id"),
+        (F.col("doc_id") % 50).cast("string").alias("chunk_hid"),
+        F.concat(F.lit("e:"), F.col("doc_id").cast("string")).alias("subj"),
+        F.length("text").alias("len"),
+        F.col("doc_id").alias("d"),
+    )
+    mention = base.filter(F.col("len") % 5 > 0).select(
+        "conv_id", "chunk_hid", "subj",
+        F.lit("mentions").alias("pred"),
+        F.concat(F.lit("z:"), (F.col("d") % 7).cast("string")).alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    typed = base.filter(F.col("len") % 2 == 0).select(
+        "conv_id", "chunk_hid", "subj",
+        F.lit(RDF_TYPE).alias("pred"),
+        F.lit("T:Thing").alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    labeled = base.filter(F.col("len") % 3 > 0).select(
+        "conv_id", "chunk_hid", "subj",
+        F.lit(RDFS_LABEL).alias("pred"),
+        F.concat(F.lit("Doc "), F.col("d").cast("string")).alias("obj"),
+        F.lit(True).alias("obj_is_literal"),
+    )
+    rows = mention.union(typed).union(labeled)
+    onto = score_ontology_addendum(rows).select(
+        "conv_id", "chunk_hid",
+        F.round("score", 6).alias("onto_score"),
+        "n_terms",
+        F.col("success").alias("onto_success"),
+    )
+    fact = score_facts(rows).select(
+        "conv_id", "chunk_hid",
+        F.round("score", 6).alias("facts_score"),
+        "n_entities",
+        F.col("success").alias("facts_success"),
+    )
+    return onto.join(fact, ["conv_id", "chunk_hid"])
+
+
+ORACLE_CRITIQUE_SCORES = """
+WITH base AS (
+  SELECT lang AS conv_id, (doc_id % 50)::VARCHAR AS chunk_hid,
+         'e:' || doc_id::VARCHAR AS subj, length(text) AS len, doc_id AS d
+  FROM documents
+),
+rows_all AS (
+  SELECT conv_id, chunk_hid, subj, 'mentions' AS pred,
+         'z:' || (d % 7)::VARCHAR AS obj, FALSE AS obj_is_literal
+  FROM base WHERE len % 5 > 0
+  UNION ALL
+  SELECT conv_id, chunk_hid, subj,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'T:Thing', FALSE
+  FROM base WHERE len % 2 = 0
+  UNION ALL
+  SELECT conv_id, chunk_hid, subj,
+         'http://www.w3.org/2000/01/rdf-schema#label',
+         'Doc ' || d::VARCHAR, TRUE
+  FROM base WHERE len % 3 > 0
+),
+subjects AS (
+  SELECT conv_id, chunk_hid, subj,
+         max((pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')::INT)
+           AS has_type,
+         max((pred = 'http://www.w3.org/2000/01/rdf-schema#label')::INT)
+           AS has_label
+  FROM rows_all GROUP BY conv_id, chunk_hid, subj
+),
+onto AS (
+  SELECT conv_id, chunk_hid,
+         round(100.0 * avg((has_type * has_label)::DOUBLE), 6) AS onto_score,
+         count(*) AS n_terms,
+         100.0 * avg((has_type * has_label)::DOUBLE) >= 50.0 AS onto_success
+  FROM subjects GROUP BY conv_id, chunk_hid
+),
+ents AS (
+  SELECT conv_id, chunk_hid, subj AS entity,
+         (pred != 'http://www.w3.org/2000/01/rdf-schema#label')::INT
+           AS relational
+  FROM rows_all
+  UNION ALL
+  SELECT conv_id, chunk_hid, obj, 1 FROM rows_all WHERE NOT obj_is_literal
+),
+per_entity AS (
+  SELECT conv_id, chunk_hid, entity, max(relational) AS covered
+  FROM ents GROUP BY conv_id, chunk_hid, entity
+),
+fact AS (
+  SELECT conv_id, chunk_hid,
+         round(100.0 * avg(covered::DOUBLE), 6) AS facts_score,
+         count(*) AS n_entities,
+         100.0 * avg(covered::DOUBLE) >= 50.0 AS facts_success
+  FROM per_entity GROUP BY conv_id, chunk_hid
+)
+SELECT o.conv_id, o.chunk_hid, o.onto_score, o.n_terms, o.onto_success,
+       f.facts_score, f.n_entities, f.facts_success
+FROM onto o JOIN fact f USING (conv_id, chunk_hid)
+"""
+
+
 def q_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 property path ``within+`` (transitive closure)
     evaluated natively by the BGP compiler's iterative-squaring loop
@@ -1565,6 +1679,7 @@ QUERIES = {
     "q_bgp_select": q_bgp_select,
     "q_bgp_construct": q_bgp_construct,
     "q_path_closure": q_path_closure,
+    "q_critique_scores": q_critique_scores,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -1609,6 +1724,7 @@ ORACLES = {
     "q_pack_sequences": ORACLE_PACK_SEQUENCES,
     "q_bgp_select": ORACLE_BGP_SELECT,
     "q_path_closure": ORACLE_PATH_CLOSURE,
+    "q_critique_scores": ORACLE_CRITIQUE_SCORES,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,
