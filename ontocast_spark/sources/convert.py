@@ -21,6 +21,7 @@ per file is inherited from the source (split giant archives upstream).
 
 from __future__ import annotations
 
+import importlib.util
 import json
 import os
 from collections.abc import Callable, Iterator
@@ -33,6 +34,51 @@ CONVERTED_DOCS = "doc_path string, fmt string, n_bytes long, text string"
 
 _TEXT_FORMATS = {".txt", ".md", ".markdown"}
 _BINARY_FORMATS = {".pdf", ".docx", ".pptx", ".html"}
+
+# --- optional-dependency codec hook -----------------------------------
+_registered_converter: Callable | None = None
+_worker_docling = None  # lazy per-worker docling instance
+
+
+def register_converter(fn: Callable | None) -> None:
+    """Plug a binary codec globally: ``fn(ext, raw_bytes) -> text``.
+    Takes precedence over auto-detection; pass ``None`` to clear. The
+    callable is captured on the driver at plan-build time and shipped
+    to executors inside the mapInPandas closure (cloudpickle), so it
+    must be serializable."""
+    global _registered_converter
+    _registered_converter = fn
+
+
+def _docling_convert(ext: str, raw: bytes) -> str:
+    """The reference's converter (tool/converter.py:42-58: docling
+    DocumentConverter -> markdown export), initialized lazily ONCE per
+    Python worker — the instance is heavyweight and unpicklable, so it
+    must never ride in the closure."""
+    global _worker_docling
+    if _worker_docling is None:
+        from docling.document_converter import DocumentConverter
+
+        _worker_docling = DocumentConverter()
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=ext or ".bin") as f:
+        f.write(raw)
+        f.flush()
+        return _worker_docling.convert(f.name).document.export_to_markdown()
+
+
+def active_converter() -> Callable | None:
+    """Codec resolution order: explicitly registered codec, then
+    auto-detected docling (activates the real PDF/DOCX/PPTX decode the
+    moment the library is installed — find_spec only, no import cost
+    when absent), else ``None`` (the honest stub: binary formats raise
+    NotImplementedError)."""
+    if _registered_converter is not None:
+        return _registered_converter
+    if importlib.util.find_spec("docling") is not None:
+        return _docling_convert
+    return None
 
 
 def read_binary_documents(spark: SparkSession, path: str) -> DataFrame:
@@ -77,7 +123,11 @@ def convert_documents(
 ) -> DataFrame:
     """(doc_path, n_bytes, payload) -> (doc_path, fmt, n_bytes, text)
     via mapInPandas. ``batch_limit`` re-chunks Arrow batches so a batch
-    of large binaries cannot blow executor memory."""
+    of large binaries cannot blow executor memory. ``converter=None``
+    resolves through :func:`active_converter` (registered codec, then
+    auto-detected docling, then the honest stub)."""
+    if converter is None:
+        converter = active_converter()
 
     def convert_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -242,6 +242,66 @@ def test_convert_documents_plumbing(spark, tmp_path):
     assert conv.count() == 4
 
 
+def test_convert_documents_registered_codec_hook(spark, tmp_path):
+    """The optional-dependency hook: a codec registered via
+    register_converter activates WITHOUT being passed per-call and
+    flows through the real distributed batch contract end-to-end
+    (binaryFile scan -> Arrow batches -> executor-side decode)."""
+    from ontocast_spark.sources import convert as convert_mod
+    from ontocast_spark.sources.convert import (
+        convert_documents,
+        read_binary_documents,
+        register_converter,
+    )
+
+    d = tmp_path / "docs2"
+    d.mkdir()
+    (d / "x.pdf").write_bytes(b"%PDF-1.4 payload bytes here")
+    (d / "y.txt").write_text("still plain")
+
+    register_converter(lambda ext, raw: f"hooked:{ext}:{len(raw)}")
+    try:
+        assert convert_mod.active_converter() is not None
+        rows = {
+            r["doc_path"].split("/")[-1]: r
+            for r in convert_documents(read_binary_documents(spark, str(d))).collect()
+        }
+        assert rows["x.pdf"]["text"] == "hooked:.pdf:27"
+        assert rows["y.txt"]["text"] == "still plain"  # text path unaffected
+    finally:
+        register_converter(None)
+    # cleared: resolution falls back to autodetect (docling absent here)
+    assert convert_mod.active_converter() is None
+
+
+def test_media_decoder_registered_codec_hook(spark):
+    """Same hook on the multimodal side: decoder='auto' picks up a
+    registered codec, 'fake' still forces the stub, 'strict' raises
+    once the codec is cleared (no real lib in this env)."""
+    import pytest as _pytest
+
+    from ontocast_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [("m1", "image", b"\x01\x02\x03", (4, 2, None, 0))],
+        "media_id string, kind string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    mm.register_media_decoder(
+        lambda kind, raw: [float(len(raw))] * 4 if kind == "image" else [0.0]
+    )
+    try:
+        row = mm.extract_media_features(media).collect()[0]
+        assert row["feature"] == [3.0, 3.0, 3.0, 3.0]
+    finally:
+        mm.register_media_decoder(None)
+    # cleared: auto falls back to the deterministic fake
+    row = mm.extract_media_features(media).collect()[0]
+    assert row["feature"] == mm._fake_decode(b"\x01\x02\x03").tolist()
+    with _pytest.raises(NotImplementedError):
+        mm.extract_media_features(media, decoder="strict")
+
+
 def test_run_pipeline_documents_entry(spark, tmp_path):
     """Document-direct entry: read_documents_dir -> run_pipeline_documents
     preserves the reference's sha256(text)[:12] file hashing and produces
