@@ -5,11 +5,15 @@ The reference stores ontologies and facts as Turtle files via rdflib
 rdflib is not available here, so this module implements the Turtle
 subset those files actually use:
 
-- ``@prefix p: <iri> .`` declarations,
-- prefixed names and ``<full-iri>`` terms,
+- ``@prefix p: <iri> .`` declarations plus the SPARQL-style
+  ``PREFIX`` / ``BASE`` forms (case-insensitive, no trailing dot),
+- ``@base <iri> .`` with RFC 3986 relative-IRI resolution,
+- prefixed names, ``<full-iri>`` terms, and ``_:label`` blank-node
+  labels (skolemized deterministically like ``[...]`` nodes),
 - ``a`` as ``rdf:type``,
-- string literals (quoted, triple-quoted) with ``@lang`` and
-  ``^^datatype``, plus bare numeric/boolean literals,
+- string literals (single- or double-quoted, both triple-quoted
+  long forms) with ``@lang`` and ``^^datatype``, ``\\uXXXX`` /
+  ``\\UXXXXXXXX`` escapes, plus bare numeric/boolean literals,
 - predicate lists (``;``), object lists (``,``), comments (``#``).
 
 Parse output is the engine's plain triple model
@@ -40,32 +44,42 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<comment>\#[^\n]*)
   | (?P<ws>\s+)
-  | (?P<prefix_decl>@prefix)
-  | (?P<base_decl>@base)
+  | (?P<prefix_decl>@prefix|[Pp][Rr][Ee][Ff][Ii][Xx]\b(?!:))
+  | (?P<base_decl>@base|[Bb][Aa][Ss][Ee]\b(?!:))
   | (?P<iri><[^>]*>)
   | (?P<triple_quote>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\")
   | (?P<string>"(?:[^"\\\n]|\\.)*")
+  | (?P<triple_squote>'''(?:[^'\\]|\\.|'(?!''))*''')
+  | (?P<squote>'(?:[^'\\\n]|\\.)*')
   | (?P<langtag>@[a-zA-Z][a-zA-Z0-9-]*)
   | (?P<dtype>\^\^)
+  | (?P<number>[+-]?(?:\d+(?:\.\d+)?|\.\d+)(?:[eE][+-]?\d+)?)
   | (?P<punct>[;,.\[\]()])
   | (?P<a_kw>\ba\b)
-  | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<boolean>\btrue\b|\bfalse\b)
   | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.%\-\u00C0-\uFFFF]*)
 """,
     re.VERBOSE,
 )
 
-_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}
-_UNESCAPE_RE = re.compile(r"\\(.)", re.DOTALL)
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+            '"': '"', "'": "'", "\\": "\\"}
+_UNESCAPE_RE = re.compile(
+    r"\\(u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|.)", re.DOTALL
+)
 
 
 def _unescape(s: str) -> str:
     # single left-to-right pass — sequential str.replace mis-handles a
-    # literal backslash followed by n/t/r (escape-order bug)
-    return _UNESCAPE_RE.sub(
-        lambda m: _ESCAPES.get(m.group(1), m.group(1)), s
-    )
+    # literal backslash followed by n/t/r (escape-order bug); numeric
+    # \uXXXX / \UXXXXXXXX escapes decode to the code point
+    def sub(m):
+        g = m.group(1)
+        if g[0] in "uU" and len(g) > 1:
+            return chr(int(g[1:], 16))
+        return _ESCAPES.get(g, g)
+
+    return _UNESCAPE_RE.sub(sub, s)
 
 
 def _tokenize(text: str):
@@ -90,17 +104,31 @@ def parse_turtle(text: str) -> tuple[list[tuple], dict[str, str]]:
     prefixes: dict[str, str] = {}
     triples: list[tuple] = []
     i = 0
+    base = [None]  # current @base / BASE, for relative-IRI resolution
     # deterministic skolemization scope: same file content -> same IRIs;
     # distinct files -> distinct IRIs (no accidental cross-file merges)
     _skolem_scope = render_text_hash(text)
     _skolem_n = [0]
 
+    _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+    def _resolve_iri(raw: str) -> str:
+        if base[0] is None or _SCHEME_RE.match(raw):
+            return raw
+        from urllib.parse import urljoin
+
+        # RFC 3986 join; urljoin drops a bare fragment's base unless
+        # told the scheme — it handles <#x>, <x>, </x>, <../x> forms
+        return urljoin(base[0], raw)
+
     def resolve(tok) -> str:
         kind, val = tok
         if kind == "iri":
-            return val[1:-1]
+            return _resolve_iri(val[1:-1])
         if kind == "pname":
             p, local = val
+            if p == "_":  # _:label blank node -> deterministic skolem
+                return f"urn:skolem:{_skolem_scope}:l{local}"
             if p not in prefixes:
                 raise ValueError(f"turtle: unknown prefix {p!r}")
             return prefixes[p] + local
@@ -169,8 +197,12 @@ def parse_turtle(text: str) -> tuple[list[tuple], dict[str, str]]:
             return (iri, False, None), j
         if kind in ("iri", "pname"):
             return (resolve(tokens[j]), False, None), j + 1
-        if kind in ("string", "triple_quote"):
-            raw = val[3:-3] if kind == "triple_quote" else val[1:-1]
+        if kind in ("string", "triple_quote", "squote", "triple_squote"):
+            raw = (
+                val[3:-3]
+                if kind in ("triple_quote", "triple_squote")
+                else val[1:-1]
+            )
             lex = _unescape(raw)
             dt = None
             if j + 1 < len(tokens) and tokens[j + 1][0] == "langtag":
@@ -193,11 +225,24 @@ def parse_turtle(text: str) -> tuple[list[tuple], dict[str, str]]:
             p = tokens[i + 1][1][0] if tokens[i + 1][0] == "pname" else None
             if p is None:
                 raise ValueError("turtle: malformed @prefix")
-            iri = tokens[i + 2][1][1:-1]
+            iri = _resolve_iri(tokens[i + 2][1][1:-1])
             prefixes[p] = iri
-            if tokens[i + 3] != ("punct", "."):
-                raise ValueError("turtle: @prefix missing '.'")
-            i += 4
+            i += 3
+            # '@prefix' requires the trailing '.'; SPARQL 'PREFIX' forbids it
+            if val == "@prefix":
+                if i >= len(tokens) or tokens[i] != ("punct", "."):
+                    raise ValueError("turtle: @prefix missing '.'")
+                i += 1
+            continue
+        if kind == "base_decl":
+            if tokens[i + 1][0] != "iri":
+                raise ValueError("turtle: malformed base declaration")
+            base[0] = _resolve_iri(tokens[i + 1][1][1:-1])
+            i += 2
+            if val == "@base":
+                if i >= len(tokens) or tokens[i] != ("punct", "."):
+                    raise ValueError("turtle: @base missing '.'")
+                i += 1
             continue
         if tokens[i] == ("punct", "["):
             subj, i = parse_bnode(i)
