@@ -343,6 +343,86 @@ def bgp_filter(result: DataFrame, condition) -> DataFrame:
     return result.filter(condition)
 
 
+_AGG_FNS = {
+    "count": lambda c: F.count(c),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "avg": lambda c: F.avg(c),
+    # SPARQL SAMPLE picks an arbitrary member; min makes it
+    # deterministic and rerun-stable (allowed by the spec)
+    "sample": lambda c: F.min(c),
+}
+
+
+def bgp_aggregate(
+    solutions: DataFrame,
+    group_vars: list[str],
+    aggs: list[tuple[str, str, str]],
+    concat_sep: str = " ",
+) -> DataFrame:
+    """SPARQL 1.1 aggregates over a solution set: ``GROUP BY
+    group_vars`` with ``aggs = [(fn, var, alias)]``, fn one of
+    count / sum / min / max / avg / sample / group_concat, and
+    ``("count", "*", alias)`` for ``COUNT(*)``. Maps 1:1 onto a
+    DataFrame groupBy — partial (map-side) aggregation and AQE come
+    free. SPARQL semantics preserved: aggregates skip unbound (NULL)
+    bindings, exactly like Spark's; GROUP_CONCAT sorts its members
+    (the spec leaves order undefined — sorting makes the output
+    deterministic at any parallelism); sum/avg cast through double
+    (SPARQL numeric promotion over our string-typed terms)."""
+    if not aggs:
+        raise ValueError("empty aggregate list")
+    exprs = []
+    for fn, var, alias in aggs:
+        if fn == "count" and var == "*":
+            exprs.append(F.count(F.lit(1)).alias(alias))
+            continue
+        col = F.col(var)
+        if fn in ("sum", "avg"):
+            col = col.cast("double")
+        if fn == "group_concat":
+            exprs.append(
+                F.array_join(
+                    F.array_sort(F.collect_list(col)), concat_sep
+                ).alias(alias)
+            )
+            continue
+        if fn not in _AGG_FNS:
+            raise ValueError(f"unsupported aggregate {fn!r}")
+        exprs.append(_AGG_FNS[fn](col).alias(alias))
+    grouped = (
+        solutions.groupBy(*group_vars) if group_vars else solutions.groupBy()
+    )
+    return grouped.agg(*exprs)
+
+
+# --- SPARQL FILTER builtins over solution variables -------------------
+# (the metadata-free subset: solutions carry term strings, so lang()/
+# datatype() belong upstream on the triple table where obj_lang /
+# obj_is_literal live)
+def fn_bound(var: str):
+    """BOUND(?v) — true where an OPTIONAL variable got a binding."""
+    return F.col(var).isNotNull()
+
+
+def fn_regex(var: str, pattern: str):
+    """REGEX(?v, pattern) — Java regex, evaluated JVM-side."""
+    return F.col(var).rlike(pattern)
+
+
+def fn_strstarts(var: str, prefix: str):
+    return F.col(var).startswith(prefix)
+
+
+def fn_strends(var: str, suffix: str):
+    return F.col(var).endswith(suffix)
+
+
+def fn_contains(var: str, needle: str):
+    return F.col(var).contains(needle)
+
+
 def bgp_construct(
     solutions: DataFrame,
     template: list[tuple[str, str, str]],

@@ -984,6 +984,61 @@ SELECT DISTINCT s AS src, o AS dst FROM reach
 """
 
 
+def q_bgp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 aggregates compiled to a native groupBy
+    (plans/bgp.py bgp_aggregate): over the solutions of
+    [ (?o has_part ?p), (?p brand ?b) ], GROUP BY ?b with COUNT(*),
+    COUNT(?o), SAMPLE(?p) and a FILTER STRSTARTS(?b, 'Brand#1') —
+    the aggregate + builtin half of the SPARQL surface the reference
+    delegates to Fuseki."""
+    from .plans.bgp import bgp_aggregate, bgp_filter, bgp_select, fn_strstarts
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    triples = (
+        li.select(
+            F.col("l_orderkey").cast("string").alias("subj"),
+            F.lit("has_part").alias("pred"),
+            F.col("l_partkey").cast("string").alias("obj"),
+        )
+        .union(
+            part.select(
+                F.col("p_partkey").cast("string").alias("subj"),
+                F.lit("brand").alias("pred"),
+                F.col("p_brand").alias("obj"),
+            )
+        )
+    )
+    sols = bgp_select(triples, [("?o", "has_part", "?p"), ("?p", "brand", "?b")])
+    sols = bgp_filter(sols, fn_strstarts("b", "Brand#1"))
+    return bgp_aggregate(
+        sols,
+        ["b"],
+        [("count", "*", "n_solutions"),
+         ("count", "o", "n_orders"),
+         ("sample", "p", "sample_part")],
+    )
+
+
+ORACLE_BGP_AGGREGATE = """
+WITH triples AS (
+  SELECT l_orderkey::VARCHAR AS subj, 'has_part' AS pred,
+         l_partkey::VARCHAR AS obj
+  FROM lineitem
+  UNION ALL
+  SELECT p_partkey::VARCHAR, 'brand', p_brand FROM part
+),
+sols AS (
+  SELECT DISTINCT t1.subj AS o, t1.obj AS p, t2.obj AS b
+  FROM triples t1 JOIN triples t2 ON t1.obj = t2.subj
+  WHERE t1.pred = 'has_part' AND t2.pred = 'brand'
+)
+SELECT b, count(*)::BIGINT AS n_solutions, count(o)::BIGINT AS n_orders,
+       min(p) AS sample_part
+FROM sols WHERE b LIKE 'Brand#1%' GROUP BY b
+"""
+
+
 def q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets: doc counts and mean length by (lang, source) with
     ROLLUP subtotals — the classic-operator checklist's cube/rollup row
@@ -1687,6 +1742,7 @@ QUERIES = {
     "q_bgp_construct": q_bgp_construct,
     "q_path_closure": q_path_closure,
     "q_critique_scores": q_critique_scores,
+    "q_bgp_aggregate": q_bgp_aggregate,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -1732,6 +1788,7 @@ ORACLES = {
     "q_bgp_select": ORACLE_BGP_SELECT,
     "q_path_closure": ORACLE_PATH_CLOSURE,
     "q_critique_scores": ORACLE_CRITIQUE_SCORES,
+    "q_bgp_aggregate": ORACLE_BGP_AGGREGATE,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,

@@ -336,3 +336,62 @@ def test_parse_path_errors():
     for bad in ["", "<a", "<a>/", "(<a>", "<a>)", "/<a>"]:
         with _pytest.raises(ValueError):
             parse_path(bad)
+
+
+def test_bgp_aggregate_and_builtins(spark):
+    """SPARQL aggregates (COUNT/SUM/AVG/GROUP_CONCAT/SAMPLE over
+    groups, NULL bindings skipped) + FILTER builtins (BOUND, REGEX,
+    STRSTARTS) on a known solution set."""
+    from pyspark.sql import functions as F
+
+    from ontocast_spark.plans.bgp import (
+        bgp_aggregate,
+        bgp_filter,
+        bgp_optional,
+        bgp_select,
+        fn_bound,
+        fn_contains,
+        fn_regex,
+        fn_strstarts,
+    )
+
+    tri = spark.createDataFrame(
+        [("a", "in", "g1"), ("b", "in", "g1"), ("c", "in", "g2"),
+         ("a", "score", "10"), ("b", "score", "30"),
+         ("a", "label", "alpha")],
+        "subj string, pred string, obj string",
+    )
+    base = bgp_select(tri, [("?x", "in", "?g")])
+    opt = bgp_optional(base, tri, [("?x", "score", "?s")])
+
+    # aggregates per group; c has no score -> count(?s)=0, avg NULL
+    agg = bgp_aggregate(
+        opt, ["g"],
+        [("count", "*", "n"), ("count", "s", "n_scored"),
+         ("sum", "s", "total"), ("avg", "s", "mean"),
+         ("group_concat", "x", "members"), ("sample", "x", "one")],
+        concat_sep=",",
+    )
+    rows = {r["g"]: r for r in agg.collect()}
+    assert rows["g1"]["n"] == 2 and rows["g1"]["n_scored"] == 2
+    assert rows["g1"]["total"] == 40.0 and rows["g1"]["mean"] == 20.0
+    assert rows["g1"]["members"] == "a,b" and rows["g1"]["one"] == "a"
+    assert rows["g2"]["n"] == 1 and rows["g2"]["n_scored"] == 0
+    assert rows["g2"]["total"] is None and rows["g2"]["mean"] is None
+
+    # global aggregate (no GROUP BY)
+    g = bgp_aggregate(opt, [], [("count", "*", "n")]).collect()
+    assert g[0]["n"] == 3
+
+    # builtins
+    assert {r["x"] for r in bgp_filter(opt, fn_bound("s")).collect()} == {"a", "b"}
+    assert {r["x"] for r in bgp_filter(opt, ~fn_bound("s")).collect()} == {"c"}
+    assert {r["x"] for r in bgp_filter(base, fn_regex("x", "^[ab]$")).collect()} == {"a", "b"}
+    assert {r["g"] for r in bgp_filter(base, fn_strstarts("g", "g1")).collect()} == {"g1"}
+    assert {r["x"] for r in bgp_filter(base, fn_contains("x", "c")).collect()} == {"c"}
+    # aggregate over a filtered solution set composes
+    fagg = bgp_aggregate(
+        bgp_filter(opt, fn_bound("s")), [],
+        [("max", "s", "best"), ("min", "x", "who")],
+    ).collect()[0]
+    assert (fagg["best"], fagg["who"]) == ("30", "a")
