@@ -38,6 +38,60 @@ SENTENCE_SPLIT_RE = re.compile(
 EMBED_DIM = 64
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 
+# --- optional-dependency embedder hook --------------------------------
+# Same pattern as the S2/media codec hooks: a registered batch embedder
+# (fn(list[str]) -> (n, d) ndarray) wins, else sentence-transformers is
+# auto-detected and loads the reference's model
+# (tool/chunk/chunker.py:14-16: paraphrase-multilingual-mpnet-base-v2),
+# else the deterministic hashed bag-of-tokens embedding stands in.
+_registered_embedder = None
+_worker_st_model = None
+REFERENCE_ST_MODEL = "sentence-transformers/paraphrase-multilingual-mpnet-base-v2"
+
+
+def register_embedder(fn) -> None:
+    """Plug a batch sentence embedder globally: ``fn(texts) ->
+    np.ndarray (n, d)``. Ships to executors inside the mapInPandas
+    closure (must be cloudpickle-serializable); ``None`` clears."""
+    global _registered_embedder
+    _registered_embedder = fn
+
+
+def _st_embed(texts: list) -> np.ndarray:
+    """sentence-transformers batch encode, model loaded lazily ONCE per
+    Python worker (the model is heavyweight and unpicklable — never let
+    it ride in a closure)."""
+    global _worker_st_model
+    if _worker_st_model is None:
+        from sentence_transformers import SentenceTransformer
+
+        _worker_st_model = SentenceTransformer(REFERENCE_ST_MODEL)
+    return np.asarray(_worker_st_model.encode(list(texts)))
+
+
+def active_embedder():
+    """Registered embedder, then auto-detected sentence-transformers
+    (find_spec only — no import cost when absent), else ``None``
+    (hashed bag-of-tokens fallback)."""
+    import importlib.util
+
+    if _registered_embedder is not None:
+        return _registered_embedder
+    if importlib.util.find_spec("sentence_transformers") is not None:
+        return _st_embed
+    return None
+
+
+def embed_batch(texts: list) -> np.ndarray:
+    """The chunker's embedding step: real model when one resolves,
+    deterministic hashed fallback otherwise (the documented C3
+    substitution — chunk boundaries differ from the model's, the
+    surrounding math is identical)."""
+    embedder = active_embedder()
+    if embedder is not None:
+        return np.asarray(embedder(texts), dtype=np.float64)
+    return np.stack([hash_embed(t) for t in texts])
+
 
 # token -> bucket memo; vocabulary is tiny relative to token volume, so
 # this turns the per-token crc32+encode into a dict hit. Bounded so a
@@ -107,7 +161,7 @@ def split_text(
     if len(sentences) <= 1:
         return sentences
     combined = _combine_sentences(sentences, buffer_size)
-    embeddings = np.stack([hash_embed(c) for c in combined])
+    embeddings = embed_batch(combined)
     distances = _cosine_distances(embeddings)
     threshold = np.percentile(distances, percentile)
     indices_above = [i for i, d in enumerate(distances) if d > threshold]
