@@ -90,6 +90,121 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _dup_chars_expr(arr_sql: str) -> str:
+    """SQL expr: total characters inside elements that occur more than
+    once in the array — computed as a single run-length pass over the
+    SORTED array (equal elements are adjacent), so the whole statistic
+    is one JVM ``aggregate`` per row: when a run reaches 2 both
+    occurrences' chars are charged, each further repeat adds one more
+    element's chars. No explode, no shuffle, no UDF."""
+    return f"""
+    aggregate(
+      array_sort({arr_sql}),
+      struct(cast('' as string) as prev, 0 as run, cast(0 as long) as dup),
+      (acc, x) -> struct(
+        x as prev,
+        if(x = acc.prev, acc.run + 1, 1) as run,
+        acc.dup + (case
+          when if(x = acc.prev, acc.run + 1, 1) = 2 then 2L * length(x)
+          when if(x = acc.prev, acc.run + 1, 1) > 2 then cast(length(x) as long)
+          else 0L end) as dup),
+      acc -> acc.dup)
+    """
+
+
+def _top_gram_chars_expr(arr_sql: str) -> str:
+    """SQL expr: max over distinct elements of (occurrences x element
+    length) — the characters covered by the most repeated gram. Same
+    sorted-run trick: the running ``run * length`` peaks exactly at
+    each run's end, so tracking the max per step suffices."""
+    return f"""
+    aggregate(
+      array_sort({arr_sql}),
+      struct(cast('' as string) as prev, 0 as run, cast(0 as long) as best),
+      (acc, x) -> struct(
+        x as prev,
+        if(x = acc.prev, acc.run + 1, 1) as run,
+        greatest(acc.best,
+                 cast(if(x = acc.prev, acc.run + 1, 1) as long) * length(x))
+          as best),
+      acc -> acc.best)
+    """
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1
+    repetition filters), per document:
+
+    - ``dup_line_frac`` — fraction of non-empty lines that are
+      repeats of another line (1 - distinct/total);
+    - ``dup_line_char_frac`` — characters inside duplicated lines /
+      total characters;
+    - ``top_2gram_char_frac`` — characters covered by the most
+      frequent word 2-gram / total characters across ALL 2-grams
+      (gram-mass denominator keeps the ratio in [0, 1] — overlapping
+      grams cover text characters more than once);
+    - ``dup_5gram_char_frac`` — characters inside word 5-grams that
+      occur more than once / total characters across all 5-grams.
+
+    Scale: every signal is per-row column algebra over the token/line
+    arrays (sorted-run aggregates, see the helper exprs) — the plan is
+    a single project, no explode/groupBy shuffle, no Python. The
+    repeated-content mass a crawler corpus carries makes these the
+    highest-leverage quality filters after dedup."""
+    t = F.col(text_col)
+    lines_sql = f"filter(split({text_col}, '\\n'), x -> x != '')"
+    toks_sql = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    g2_sql = (
+        f"case when size({toks_sql}) >= 2 then "
+        f"transform(sequence(0, size({toks_sql}) - 2), "
+        f"i -> concat(({toks_sql})[i], ' ', ({toks_sql})[i + 1])) "
+        "else array() end"
+    )
+    g5_sql = (
+        f"case when size({toks_sql}) >= 5 then "
+        f"transform(sequence(0, size({toks_sql}) - 5), "
+        f"i -> concat_ws(' ', ({toks_sql})[i], ({toks_sql})[i + 1], "
+        f"({toks_sql})[i + 2], ({toks_sql})[i + 3], ({toks_sql})[i + 4])) "
+        "else array() end"
+    )
+    n_chars = F.greatest(F.length(t), F.lit(1)).cast("double")
+    n_lines = F.expr(f"size({lines_sql})")
+
+    def gram_mass(arr_sql: str):
+        return F.greatest(
+            F.expr(
+                f"aggregate({arr_sql}, 0L, (acc, x) -> acc + length(x))"
+            ),
+            F.lit(1),
+        ).cast("double")
+
+    return docs.select(
+        id_col,
+        F.round(
+            F.when(n_lines > 0,
+                   1.0 - F.expr(f"size(array_distinct({lines_sql}))")
+                   .cast("double") / n_lines.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.expr(_dup_chars_expr(lines_sql)).cast("double") / n_chars, 6
+        ).alias("dup_line_char_frac"),
+        F.round(
+            F.expr(_top_gram_chars_expr(g2_sql)).cast("double")
+            / gram_mass(g2_sql),
+            6,
+        ).alias("top_2gram_char_frac"),
+        F.round(
+            F.expr(_dup_chars_expr(g5_sql)).cast("double")
+            / gram_mass(g5_sql),
+            6,
+        ).alias("dup_5gram_char_frac"),
+    )
+
+
 def fingerprint_col(text: Column, gram: int = 8, stride: int = 8) -> Column:
     """Rolling-hash fingerprint: min MD5 over stride-``stride``
     ``gram``-grams (winnowing-lite; same formulation as the oracled

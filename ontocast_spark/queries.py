@@ -984,6 +984,86 @@ SELECT DISTINCT s AS src, o AS dst FROM reach
 """
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals over the documents
+    table through the real operator (operators/text_analysis.py
+    repetition_signals): duplicate-line fraction + char fraction, top
+    2-gram char fraction, duplicated 5-gram char fraction — each a
+    shuffle-free sorted-run aggregate per row. The oracle recomputes
+    the same statistics the explode/groupBy way (different plan, same
+    math)."""
+    from .operators.text_analysis import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
+ORACLE_REPETITION_SIGNALS = r"""
+WITH base AS (SELECT doc_id, text FROM documents),
+lines AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+  FROM base
+),
+line_counts AS (
+  SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line
+),
+line_stats AS (
+  SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+         sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars
+  FROM line_counts GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM base
+),
+g2 AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+    ELSE []::VARCHAR[] END) AS g
+  FROM toks
+),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+g2s AS (
+  SELECT doc_id, max(c * length(g)) AS top_chars,
+         sum(c * length(g)) AS mass
+  FROM g2c GROUP BY doc_id
+),
+g5 AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+    THEN list_transform(range(1, len(t) - 3),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+              || ' ' || t[i+4])
+    ELSE []::VARCHAR[] END) AS g
+  FROM toks
+),
+g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+g5s AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup_chars,
+         sum(c * length(g)) AS mass
+  FROM g5c GROUP BY doc_id
+)
+SELECT b.doc_id,
+  round(CASE WHEN coalesce(ls.n_lines, 0) > 0
+        THEN 1.0 - ls.n_distinct::DOUBLE / ls.n_lines::DOUBLE
+        ELSE 0.0 END, 6) AS dup_line_frac,
+  round(coalesce(ls.dup_chars, 0)::DOUBLE
+        / greatest(length(b.text), 1)::DOUBLE, 6) AS dup_line_char_frac,
+  round(coalesce(g2s.top_chars, 0)::DOUBLE
+        / greatest(coalesce(g2s.mass, 0), 1)::DOUBLE, 6)
+    AS top_2gram_char_frac,
+  round(coalesce(g5s.dup_chars, 0)::DOUBLE
+        / greatest(coalesce(g5s.mass, 0), 1)::DOUBLE, 6)
+    AS dup_5gram_char_frac
+FROM base b
+LEFT JOIN line_stats ls USING (doc_id)
+LEFT JOIN g2s USING (doc_id)
+LEFT JOIN g5s USING (doc_id)
+"""
+
+
 def q_bgp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 aggregates compiled to a native groupBy
     (plans/bgp.py bgp_aggregate): over the solutions of
@@ -1743,6 +1823,7 @@ QUERIES = {
     "q_path_closure": q_path_closure,
     "q_critique_scores": q_critique_scores,
     "q_bgp_aggregate": q_bgp_aggregate,
+    "q_repetition_signals": q_repetition_signals,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -1789,6 +1870,7 @@ ORACLES = {
     "q_path_closure": ORACLE_PATH_CLOSURE,
     "q_critique_scores": ORACLE_CRITIQUE_SCORES,
     "q_bgp_aggregate": ORACLE_BGP_AGGREGATE,
+    "q_repetition_signals": ORACLE_REPETITION_SIGNALS,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,

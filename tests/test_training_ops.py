@@ -454,3 +454,55 @@ def test_resize_media_plumbing(spark):
     assert set(out) == {"m1", "m3"}  # non-image rows excluded
     assert out["m1"] == (64, 64, 64)
     assert out["m3"][2] == 0  # NULL payload degrades to empty, no crash
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition signals vs an independent Python
+    reference on crafted docs, plus the plan contract: one shuffle-free
+    Project (sorted-run aggregates, no explode/groupBy/UDF)."""
+    from collections import Counter
+
+    from ontocast_spark.operators.text_analysis import repetition_signals
+
+    rows = [
+        (1, "a b c\na b c\nunique line"),
+        (2, "x y x y x y x y"),
+        (3, "one two three four five one two three four five six"),
+        (4, ""),
+        (5, "solo"),
+        (6, "Tab\tsep  and\nrepeat repeat repeat"),
+    ]
+
+    def ref(text):
+        lines = [x for x in text.split("\n") if x != ""]
+        lc = Counter(lines)
+        dup_line_frac = 1 - len(lc) / len(lines) if lines else 0.0
+        dup_line_chars = sum(c * len(x) for x, c in lc.items() if c > 1)
+        toks = [x for x in __import__("re").split(r"\s+", text.lower()) if x]
+        g2 = Counter(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+        g5 = Counter(" ".join(toks[i:i + 5]) for i in range(len(toks) - 4))
+        g2_mass = sum(c * len(g) for g, c in g2.items())
+        g5_mass = sum(c * len(g) for g, c in g5.items())
+        top2 = max((c * len(g) for g, c in g2.items()), default=0)
+        dup5 = sum(c * len(g) for g, c in g5.items() if c > 1)
+        return (
+            round(dup_line_frac, 6),
+            round(dup_line_chars / max(len(text), 1), 6),
+            round(top2 / max(g2_mass, 1), 6),
+            round(dup5 / max(g5_mass, 1), 6),
+        )
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_signals(docs)
+    got = {r["doc_id"]: (r["dup_line_frac"], r["dup_line_char_frac"],
+                         r["top_2gram_char_frac"], r["dup_5gram_char_frac"])
+           for r in out.collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == ref(text), (doc_id, got[doc_id], ref(text))
+    # bounded [0, 1] even on pathologically overlapping grams
+    for vals in got.values():
+        assert all(0.0 <= v <= 1.0 for v in vals)
+    # plan contract: no shuffle, no python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan
