@@ -984,6 +984,50 @@ SELECT DISTINCT s AS src, o AS dst FROM reach
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join through the real operator (operators/asof.py): every
+    purchase event picks the user's most recent view at or before it
+    (union + running-last window — ONE shuffle, no non-equi join).
+    The oracle is DuckDB's native ASOF LEFT JOIN. Views are pre-deduped
+    to one row per (user_id, ts) so tie behavior is engine-independent."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(purchases, views, on="user_id",
+                       right_cols=["view_id"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        "view_id_r",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+ORACLE_ASOF_JOIN = """
+WITH v AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, v.view_id AS view_id_r,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals over the documents
     table through the real operator (operators/text_analysis.py
@@ -1824,6 +1868,7 @@ QUERIES = {
     "q_critique_scores": q_critique_scores,
     "q_bgp_aggregate": q_bgp_aggregate,
     "q_repetition_signals": q_repetition_signals,
+    "q_asof_join": q_asof_join,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -1871,6 +1916,7 @@ ORACLES = {
     "q_critique_scores": ORACLE_CRITIQUE_SCORES,
     "q_bgp_aggregate": ORACLE_BGP_AGGREGATE,
     "q_repetition_signals": ORACLE_REPETITION_SIGNALS,
+    "q_asof_join": ORACLE_ASOF_JOIN,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,

@@ -395,3 +395,41 @@ def test_bgp_aggregate_and_builtins(spark):
         [("max", "s", "best"), ("min", "x", "who")],
     ).collect()[0]
     assert (fagg["best"], fagg["who"]) == ("30", "a")
+
+
+def test_asof_join_semantics(spark):
+    """As-of join via the union + running-last window: >= tie matching,
+    left rows with no prior right get NULLs, tolerance nulls stale
+    matches, a right row with NULL payload still supersedes older rows,
+    and the plan contains a window but NO join operator."""
+    from ontocast_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "l1"), ("u1", 20, "l2"), ("u1", 5, "l0"),
+         ("u2", 7, "l3"), ("u3", 9, "l4")],
+        "user string, ts long, lid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, "r10"), ("u1", 15, None), ("u1", 8, "r8"),
+         ("u2", 7, "r7"), ("u2", 6, "r6")],
+        "user string, ts long, payload string",
+    )
+    out = asof_join(left, right, on="user")
+    rows = {r["lid"]: (r["payload_r"], r["ts_r"]) for r in out.collect()}
+    assert rows["l1"] == ("r10", 10)    # tie at ts=10 matches (>=)
+    assert rows["l2"] == (None, 15)     # NULL payload row supersedes r10
+    assert rows["l0"] == (None, None)   # nothing at or before ts=5
+    assert rows["l3"] == ("r7", 7)      # picks 7 over 6
+    assert rows["l4"] == (None, None)   # key with no right rows at all
+    assert out.count() == left.count()  # pure left semantics
+
+    # tolerance: match older than 4s is nulled
+    tol = asof_join(left, right, on="user", tolerance_sec=4)
+    trows = {r["lid"]: (r["payload_r"], r["ts_r"]) for r in tol.collect()}
+    assert trows["l1"] == ("r10", 10)
+    assert trows["l2"] == (None, None)  # 20 - 15 = 5 > 4
+    assert trows["l3"] == ("r7", 7)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "Join" not in plan  # no non-equi/cartesian fallback anywhere
