@@ -255,8 +255,12 @@ def main():
     ap.add_argument("--cores", type=int, default=CPUS)
     ap.add_argument("--write-md", action="store_true")
     ap.add_argument("--n-convs", type=int, default=N_CONVS)
-    ap.add_argument("--cores-small", type=int, default=8)
-    ap.add_argument("--cores-large", type=int, default=32)
+    # default pair 2->8: the pair that stays under this single box's
+    # memory-bandwidth ceiling (BENCH/BASELINE.md analysis) — 8->32 on
+    # one box measures the bandwidth wall, not the code's scalability
+    # (a real 4N-executor cluster adds buses with the cores)
+    ap.add_argument("--cores-small", type=int, default=2)
+    ap.add_argument("--cores-large", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--runs", type=int, default=3,
                     help="timed runs per headline query (best-of)")

@@ -205,6 +205,45 @@ def repetition_signals(
     )
 
 
+# PII patterns shared with the DuckDB oracle: RE2-safe subset (no
+# backreferences / lookaround) so Java regex and RE2 agree exactly.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (
+        "phone",
+        r"(?:\+?\d{1,3}[-. ]?)?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}\b",
+        "<PHONE>",
+    ),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub common PII from a text corpus before training: emails,
+    SSN-shaped ids, IPv4 addresses, phone numbers — replaced by typed
+    placeholders, applied in that fixed order (email first so the
+    later digit patterns never fire inside an address). Adds
+    ``pii_<kind>`` match counts (measured against the ORIGINAL text,
+    independently per pattern — auditable selectivity stats) and
+    ``text_redacted``.
+
+    Scale: a chain of JVM ``regexp_replace``/``regexp_count`` column
+    expressions — single narrow projection, no shuffle, no Python. The
+    pattern set is the RE2-safe subset so the DuckDB oracle runs the
+    byte-identical regexes."""
+    t = F.col(text_col)
+    red = t
+    counts = []
+    for kind, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+            .alias(f"pii_{kind}")
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select("*", *counts, red.alias("text_redacted"))
+
+
 def fingerprint_col(text: Column, gram: int = 8, stride: int = 8) -> Column:
     """Rolling-hash fingerprint: min MD5 over stride-``stride``
     ``gram``-grams (winnowing-lite; same formulation as the oracled

@@ -984,6 +984,68 @@ SELECT DISTINCT s AS src, o AS dst FROM reach
 """
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing through the real operator (operators/
+    text_analysis.py redact_pii): deterministic synthetic PII (email,
+    IPv4, phone, SSN on every third doc) is appended to each document,
+    then redacted to typed placeholders with per-kind match counts.
+    Patterns are the RE2-safe subset, so the DuckDB oracle runs the
+    byte-identical regexes."""
+    from .operators.text_analysis import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or call 555-123-4567"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" id 123-45-6789"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id", "pii_email", "pii_ssn", "pii_ip", "pii_phone",
+        "text_redacted",
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = (
+    r"(?:\+?\d{1,3}[-. ]?)?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}\b"
+)
+
+ORACLE_REDACT_PII = f"""
+WITH base AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR
+              || '@mail.example.com from 10.0.'
+              || (doc_id % 256)::VARCHAR || '.7 or call 555-123-4567'
+              || CASE WHEN doc_id % 3 = 0 THEN ' id 123-45-6789' ELSE '' END
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_PII_EMAIL}'))::INT AS pii_email,
+  len(regexp_extract_all(text, '{_PII_SSN}'))::INT AS pii_ssn,
+  len(regexp_extract_all(text, '{_PII_IP}'))::INT AS pii_ip,
+  len(regexp_extract_all(text, '{_PII_PHONE}'))::INT AS pii_phone,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+        '{_PII_SSN}', '<SSN>', 'g'),
+      '{_PII_IP}', '<IP>', 'g'),
+    '{_PII_PHONE}', '<PHONE>', 'g') AS text_redacted
+FROM base
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join through the real operator (operators/asof.py): every
     purchase event picks the user's most recent view at or before it
@@ -1869,6 +1931,7 @@ QUERIES = {
     "q_bgp_aggregate": q_bgp_aggregate,
     "q_repetition_signals": q_repetition_signals,
     "q_asof_join": q_asof_join,
+    "q_redact_pii": q_redact_pii,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -1917,6 +1980,7 @@ ORACLES = {
     "q_bgp_aggregate": ORACLE_BGP_AGGREGATE,
     "q_repetition_signals": ORACLE_REPETITION_SIGNALS,
     "q_asof_join": ORACLE_ASOF_JOIN,
+    "q_redact_pii": ORACLE_REDACT_PII,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,

@@ -506,3 +506,33 @@ def test_repetition_signals(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_redact_pii(spark):
+    """PII scrubbing: every pattern kind redacts to its placeholder,
+    counts are per-kind against the original text, clean text is
+    untouched, and the plan is a single shuffle-free projection."""
+    from ontocast_spark.operators.text_analysis import redact_pii
+
+    rows = [
+        (1, "mail me at jo.doe+spam@sub.example.org or jd@x.co thanks"),
+        (2, "server 192.168.1.254 and 10.0.0.1 rebooted"),
+        (3, "call (555) 123-4567 or +1 555-987-6543 today"),
+        (4, "ssn 123-45-6789 on file"),
+        (5, "no personal data here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[1]["pii_email"] == 2
+    assert out[1]["text_redacted"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out[2]["pii_ip"] == 2
+    assert out[2]["text_redacted"] == "server <IP> and <IP> rebooted"
+    assert out[3]["pii_phone"] == 2
+    assert out[3]["text_redacted"] == "call <PHONE> or <PHONE> today"
+    assert out[4]["pii_ssn"] == 1
+    assert out[4]["text_redacted"] == "ssn <SSN> on file"
+    assert out[5]["text_redacted"] == rows[4][1]
+    assert all(out[5][f"pii_{k}"] == 0 for k in ("email", "ssn", "ip", "phone"))
+
+    plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
