@@ -984,6 +984,39 @@ SELECT DISTINCT s AS src, o AS dst FROM reach
 """
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction (classic-operator checklist):
+    pull ``$.k`` out of the events table's JSON ``props`` column
+    JVM-side (``get_json_object`` — no UDF) and aggregate per event
+    type. DuckDB mirrors with ``json_extract``."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(k)::BIGINT AS n_with_k,
+       sum(k)::BIGINT AS sum_k,
+       max(k)::BIGINT AS max_k,
+       round(avg(k), 6) AS avg_k
+FROM (
+  SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events
+) GROUP BY event_type
+"""
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing through the real operator (operators/
     text_analysis.py redact_pii): deterministic synthetic PII (email,
@@ -1932,6 +1965,7 @@ QUERIES = {
     "q_repetition_signals": q_repetition_signals,
     "q_asof_join": q_asof_join,
     "q_redact_pii": q_redact_pii,
+    "q_json_props": q_json_props,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -1981,6 +2015,7 @@ ORACLES = {
     "q_repetition_signals": ORACLE_REPETITION_SIGNALS,
     "q_asof_join": ORACLE_ASOF_JOIN,
     "q_redact_pii": ORACLE_REDACT_PII,
+    "q_json_props": ORACLE_JSON_PROPS,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,
