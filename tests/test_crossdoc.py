@@ -398,3 +398,59 @@ def test_mint_property_no_collisions(spark):
     m1 = _mint(spark, p1)
     m2 = _mint(spark, p2, existing=sorted(set(m1.values())))
     assert set(m1.values()) | set(m2.values()) == set(both.values())
+
+
+@pytest.mark.slow
+def test_incremental_vs_batch_corpus_agreement(spark):
+    """Corpus-level: split the synthetic corpus into two batches, run
+    batch-all canonicalization vs batch-A + incremental-B, and compare
+    the induced same-canonical pair sets. The incremental path may only
+    LOSE bridge merges (a B entity that would have bridged two A groups
+    adopts one) — precision vs batch must stay high, and batch-A
+    entries must be bit-stable through the incremental merge."""
+    from ontocast_spark.operators.crossdoc import (
+        canonical_entity_meta,
+        incremental_canonicalize,
+    )
+    from ontocast_spark.pipeline import PipelineConfig, run_pipeline
+    from ontocast_spark.schemas import CONVERSATIONS
+    from ontocast_spark.synth import gen_corpus
+
+    rows = gen_corpus(24, seed=11, mega_every=0)
+    conv = spark.createDataFrame(rows, schema=CONVERSATIONS)
+    facts = run_pipeline(spark, conv, config=PipelineConfig(fused=False))["facts"]
+    facts = facts.persist()
+    convs = sorted({r[0] for r in rows})
+    half = set(convs[: len(convs) // 2])
+    fa = facts.filter(F.col("conv_id").isin(half))
+    fb = facts.filter(~F.col("conv_id").isin(half))
+
+    _, map_all = canonicalize_crossdoc(facts)
+    rew_a, map_a = canonicalize_crossdoc(fa)
+    meta_a = canonical_entity_meta(rew_a, map_a)
+    _, map_inc = incremental_canonicalize(fb, map_a, meta_a)
+
+    def pairs(mapping):
+        groups = {}
+        for r in mapping.collect():
+            groups.setdefault(r["canonical_iri"], []).append(r["original_iri"])
+        out = set()
+        for g in groups.values():
+            g = sorted(g)
+            for i, x in enumerate(g):
+                for y in g[i + 1:]:
+                    out.add((x, y))
+        return out
+
+    p_all, p_inc = pairs(map_all), pairs(map_inc)
+    assert p_inc, "incremental produced no merges at all"
+    precision = len(p_inc & p_all) / len(p_inc)
+    recall = len(p_inc & p_all) / len(p_all)
+    assert precision >= 0.95, (precision, len(p_inc), len(p_all))
+    assert recall >= 0.8, (recall, len(p_inc), len(p_all))
+
+    # stability: every batch-A mapping entry survives verbatim
+    inc = {r["original_iri"]: r["canonical_iri"] for r in map_inc.collect()}
+    for r in map_a.collect():
+        assert inc[r["original_iri"]] == r["canonical_iri"]
+    facts.unpersist()
