@@ -557,7 +557,30 @@ def incremental_canonicalize(
         rest, rest_edges, kg_namespace, taken=_slot_pairs(existing_names)
     )
 
-    batch_mapping = reuse.union(adopted).union(fresh).localCheckpoint()
+    # singleton adoptions: when the adopted canonical is NOT an
+    # existing canonical IRI, it is a prior singleton entity adopted in
+    # place — the group just became size 2, so emit the singleton's own
+    # (c -> c) row too. Batch mode maps every member of a multi-member
+    # group; without this row the merged pair is invisible to mapping
+    # consumers (measured as a 32-pair recall gap on the synthetic
+    # corpus split test). The anti-join also keeps re-adoptions in later
+    # batches from duplicating the row (c is a canonical from then on).
+    singleton_self = (
+        adopted.select("canonical_iri")
+        .distinct()
+        .join(
+            existing_mapping.select("canonical_iri").distinct(),
+            "canonical_iri",
+            "left_anti",
+        )
+        .select(
+            F.col("canonical_iri").alias("original_iri"), "canonical_iri"
+        )
+    )
+    batch_mapping = (
+        reuse.union(adopted).union(singleton_self).union(fresh)
+        .localCheckpoint()
+    )
     for h in handles:
         h.unpersist()
     rewritten = rewrite_triples(new_facts, batch_mapping)
