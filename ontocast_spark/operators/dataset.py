@@ -72,6 +72,39 @@ def assign_splits(
     return df.withColumn("split", split_column(F.col(key_col), weights, salt))
 
 
+def sample_mixture(
+    df: DataFrame,
+    weights_by_group: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    default_weight: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic data-mixture sampling: per group (e.g. per
+    ``source``), keep the given fraction of rows — the pretraining
+    data-mix operator (down-weight crawl, up-weight curated, drop the
+    rest). Same salted-hash machinery as :func:`sample_deterministic`,
+    so membership is rerun- and partition-invariant and each group's
+    sample is independent of every other group's weight (a later remix
+    of one source leaves the others' membership bit-identical). Groups
+    not listed get ``default_weight``. Weights > 1 clamp to 1 (this is
+    sampling without replacement; epoch-style repetition is a separate
+    concern for the loader)."""
+    bucket = hash_bucket(F.col(key_col), salt)
+    threshold = None
+    for g, w in sorted(weights_by_group.items()):
+        t = int(round(min(max(w, 0.0), 1.0) * _BUCKETS))
+        cond = F.col(group_col) == g
+        threshold = (
+            F.when(cond, t) if threshold is None else threshold.when(cond, t)
+        )
+    default_t = int(round(min(max(default_weight, 0.0), 1.0) * _BUCKETS))
+    threshold = (
+        F.lit(default_t) if threshold is None else threshold.otherwise(default_t)
+    )
+    return df.filter(bucket < threshold)
+
+
 def sample_deterministic(
     df: DataFrame,
     fraction: float,

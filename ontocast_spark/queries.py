@@ -984,6 +984,38 @@ SELECT DISTINCT s AS src, o AS dst FROM reach
 """
 
 
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling through the real operator
+    (operators/dataset.py sample_mixture): per-source keep fractions
+    (curated sources kept whole, crawl down-weighted, long tail at a
+    default weight), salted-hash membership — rerun- and
+    partition-invariant, one filter, no shuffle."""
+    from .operators.dataset import sample_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_mixture(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.2},
+        group_col="source",
+        key_col="doc_id",
+        default_weight=0.1,
+        salt="mix",
+    )
+    return out.select("doc_id", "source")
+
+
+ORACLE_SAMPLE_MIXTURE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('mix|' || doc_id::VARCHAR), 1, 8))::BIGINT
+         % 10000 AS b
+  FROM documents
+)
+WHERE b < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+           WHEN 'src2' THEN 2000 ELSE 1000 END)
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON extraction (classic-operator checklist):
     pull ``$.k`` out of the events table's JSON ``props`` column
@@ -1966,6 +1998,7 @@ QUERIES = {
     "q_asof_join": q_asof_join,
     "q_redact_pii": q_redact_pii,
     "q_json_props": q_json_props,
+    "q_sample_mixture": q_sample_mixture,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -2016,6 +2049,7 @@ ORACLES = {
     "q_asof_join": ORACLE_ASOF_JOIN,
     "q_redact_pii": ORACLE_REDACT_PII,
     "q_json_props": ORACLE_JSON_PROPS,
+    "q_sample_mixture": ORACLE_SAMPLE_MIXTURE,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,

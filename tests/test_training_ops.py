@@ -536,3 +536,40 @@ def test_redact_pii(spark):
 
     plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_sample_mixture(spark):
+    """Mixture sampling: per-group fractions hold approximately, weight
+    1.0 keeps everything, weight 0 drops everything, membership is
+    partition-invariant, and remixing ONE group leaves the others'
+    membership bit-identical (independent per-group sampling)."""
+    from ontocast_spark.operators.dataset import sample_mixture
+
+    rows = [(i, f"g{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_mixture(df, {"g0": 1.0, "g1": 0.5, "g2": 0.0},
+                         group_col="source")
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["g0"] == 1000
+    assert "g2" not in counts
+    assert 400 <= counts["g1"] <= 600
+
+    # partition invariance
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"]
+            for r in sample_mixture(df.repartition(17),
+                                    {"g0": 1.0, "g1": 0.5, "g2": 0.0},
+                                    group_col="source").collect()}
+    assert ids1 == ids2
+
+    # independence: changing g2's weight never changes g1's membership
+    remix = sample_mixture(df, {"g0": 1.0, "g1": 0.5, "g2": 0.9},
+                           group_col="source")
+    g1_before = {r["doc_id"] for r in out.filter(F.col("source") == "g1").collect()}
+    g1_after = {r["doc_id"] for r in remix.filter(F.col("source") == "g1").collect()}
+    assert g1_before == g1_after
+    # default weight applies to unlisted groups
+    dflt = sample_mixture(df, {"g0": 1.0}, group_col="source",
+                          default_weight=0.0)
+    assert {r["source"] for r in dflt.collect()} == {"g0"}
