@@ -160,14 +160,19 @@ def _fuzz_ratio_udf():
     def fuzz_ratio(s1: pd.Series, s2: pd.Series) -> pd.Series:
         from ..kernels.fuzz import ratio
 
-        return pd.Series(
-            [
-                ratio(a.lower(), b.lower())
-                if isinstance(a, str) and isinstance(b, str)
-                else 0.0
-                for a, b in zip(s1, s2)
-            ]
-        )
+        def score(a, b) -> float:
+            if not (isinstance(a, str) and isinstance(b, str)):
+                return 0.0
+            la, lb = len(a), len(b)
+            # ratio <= 200*min/(la+lb): when the length skew alone
+            # bounds the score below the lowest gate (85), skip the
+            # LCS — identical decisions, every consumer filters
+            # score >= 85 before using it
+            if 200.0 * min(la, lb) < SIMILARITY_THRESHOLD * (la + lb):
+                return 0.0
+            return ratio(a.lower(), b.lower())
+
+        return pd.Series([score(a, b) for a, b in zip(s1, s2)])
 
     return fuzz_ratio
 
