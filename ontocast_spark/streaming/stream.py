@@ -179,3 +179,27 @@ def turn_rate_monitor(stream: DataFrame, window: str = "1 minute") -> DataFrame:
             "n_turns",
         )
     )
+
+
+def stream_dedup_turns(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """State-store-native exact dedup of an at-least-once turn stream:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and — unlike
+    plain streaming ``dropDuplicates`` — EXPIRES each key's state once
+    the watermark passes its event time, so state is bounded by the
+    in-flight window instead of growing with the whole corpus (the only
+    viable form at 10^12 turns; a replayed source can re-emit a turn
+    minutes later and still collapse to one row). Complements the
+    batch-side ``dropDuplicates`` in ``start_incremental_kg``'s
+    foreachBatch, which guards buffer-generation replays."""
+    if "ts" not in stream.columns:
+        raise ValueError("stream_dedup_turns needs an event-time 'ts' column")
+    # re-defining a watermark is disallowed — only attach one when the
+    # source didn't already (stream_conversations_from_files does)
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    if "EventTimeWatermark" not in plan:
+        stream = stream.withWatermark("ts", watermark)
+    return stream.dropDuplicatesWithinWatermark(list(keys))

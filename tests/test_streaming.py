@@ -208,3 +208,51 @@ def test_stateful_session_assembly(spark, tmp_path):
     assert a["text"] == batch["text"]
     assert a["doc_hid"] == batch["doc_hid"]
     assert a["doc_iri"] == batch["doc_iri"]
+
+
+def test_stream_dedup_turns(spark, tmp_path):
+    """dropDuplicatesWithinWatermark collapses replayed turns across
+    micro-batches while the duplicate is inside the watermark window
+    (state-store dedup with watermark-bounded state)."""
+    import datetime as dt
+
+    from ontocast_spark.schemas import CONVERSATIONS
+    from ontocast_spark.streaming.stream import (
+        stream_conversations_from_files,
+        stream_dedup_turns,
+    )
+
+    src = str(tmp_path / "turns")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    b1 = [
+        ("c1", 0, "user", "hi", None, t0),
+        ("c1", 1, "agent", "hello", None, t0),
+        ("c2", 0, "user", "yo", None, t0),
+    ]
+    # second file replays (c1, 1) with different text plus new turns
+    b2 = [
+        ("c1", 1, "agent", "hello-REPLAY", None, t0 + dt.timedelta(seconds=30)),
+        ("c2", 1, "agent", "sup", None, t0 + dt.timedelta(seconds=60)),
+    ]
+    spark.createDataFrame(b1, schema=CONVERSATIONS).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(b2, schema=CONVERSATIONS).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = stream_conversations_from_files(spark, src, CONVERSATIONS)
+    deduped = stream_dedup_turns(stream)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    keys = {(r["conv_id"], r["turn_idx"]) for r in got}
+    assert len(got) == 4, got  # the replayed (c1, 1) collapsed
+    assert keys == {("c1", 0), ("c1", 1), ("c2", 0), ("c2", 1)}
