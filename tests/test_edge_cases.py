@@ -433,3 +433,59 @@ def test_asof_join_semantics(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "Join" not in plan  # no non-equi/cartesian fallback anywhere
+
+
+def test_asof_join_property_vs_pandas(spark):
+    """Seeded random event streams vs pandas.merge_asof (backward,
+    exact matches allowed) — per-key most-recent-at-or-before
+    semantics must agree exactly, including keys with no right rows
+    and duplicate left timestamps."""
+    import random
+
+    import pandas as pd
+
+    from ontocast_spark.operators.asof import asof_join
+
+    rng = random.Random(23)
+    for trial in range(4):
+        keys = [f"u{i}" for i in range(rng.randrange(2, 5))]
+        left_rows = [
+            (rng.choice(keys), rng.randrange(0, 50), f"l{i}")
+            for i in range(rng.randrange(5, 25))
+        ]
+        right_rows = [
+            # distinct (key, ts) per right row: merge_asof picks the
+            # later of equal-ts rows arbitrarily, our operator breaks
+            # ties by payload — dedupe to keep the comparison exact
+            (k, t, f"r{k}{t}")
+            for (k, t) in {
+                (rng.choice(keys), rng.randrange(0, 50))
+                for _ in range(rng.randrange(3, 20))
+            }
+        ]
+        left = spark.createDataFrame(left_rows, "user string, ts long, lid string")
+        right = spark.createDataFrame(right_rows, "user string, ts long, payload string")
+        got = {
+            r["lid"]: (r["payload_r"], r["ts_r"])
+            for r in asof_join(left, right, on="user").collect()
+        }
+
+        lpdf = pd.DataFrame(left_rows, columns=["user", "ts", "lid"]).sort_values("ts")
+        rpdf = pd.DataFrame(right_rows, columns=["user", "ts", "payload"]).sort_values("ts")
+        merged = pd.merge_asof(
+            lpdf, rpdf, on="ts", by="user", direction="backward",
+            allow_exact_matches=True, suffixes=("", "_r"),
+        )
+        for row in merged.itertuples(index=False):
+            want = (
+                None if pd.isna(row.payload) else row.payload,
+                None if pd.isna(row.ts_r) else int(row.ts_r),
+            ) if hasattr(row, "ts_r") else (
+                None if pd.isna(row.payload) else row.payload,
+                None,
+            )
+            # merge_asof keeps the matched right ts only via the payload
+            # encoding rf"r{key}{ts}" — decode for the ts comparison
+            if want[0] is not None and want[1] is None:
+                want = (want[0], int(want[0][len("r") + len(row.user):]))
+            assert got[row.lid] == want, (trial, row.lid, got[row.lid], want)
