@@ -209,6 +209,34 @@ def test_optimized_plan_shapes(spark):
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
 
+    # ANN top-k: driver query ends in TakeOrderedAndProject, never a
+    # corpus-sized global sort or a window over the whole corpus
+    ann = QUERIES["q_ann_topk"](spark, sf)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    # minhash signatures: shuffle-free projection (single shingle
+    # evaluation chain, no explode/groupBy)
+    mh = QUERIES["q_minhash_sig"](spark, sf)
+    plan = mh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
+    assert "Generate" not in plan  # no explode
+
+    # range join: banded equi-join + residual predicate, never the
+    # quadratic non-equi fallback
+    rj = QUERIES["q_range_join_bucketed"](spark, sf)
+    plan = rj._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # PII / repetition / mixture: single narrow projections
+    for name in ("q_redact_pii", "q_repetition_signals", "q_sample_mixture"):
+        q = QUERIES[name](spark, sf)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, name
+        assert "Python" not in plan and "BatchEval" not in plan, name
+
 
 def _brute_path(triples, path):
     """Set-semantics reference evaluator for property paths (SPARQL
