@@ -343,6 +343,43 @@ def bgp_filter(result: DataFrame, condition) -> DataFrame:
     return result.filter(condition)
 
 
+def bgp_delete_where(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    delete: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """SPARQL ``DELETE WHERE`` / ``DELETE {} WHERE {}``: with no
+    ``delete`` template, every triple an instantiation of ``patterns``
+    matches is removed (DELETE WHERE semantics); with one, only the
+    template's instantiations over the WHERE solutions are removed (the
+    full DELETE/WHERE form — the WHERE acts as a condition). The
+    reference mutates graphs with rdflib ``remove`` / Fuseki updates;
+    this is the set-oriented form: doomed triples are CONSTRUCTed from
+    the solutions, then removed with ONE anti-join on
+    (subj, pred, obj) — never a per-row delete loop."""
+    doomed = bgp_construct(bgp_select(triples, patterns), delete or patterns)
+    return triples.join(doomed, ["subj", "pred", "obj"], "left_anti")
+
+
+def bgp_insert_data(
+    triples: DataFrame, rows: list[tuple[str, str, str]]
+) -> DataFrame:
+    """SPARQL ``INSERT DATA``: add ground triples, set semantics
+    (already-present triples do not duplicate)."""
+    if not rows:
+        return triples
+    spark = triples.sparkSession
+    new = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    extra = [c for c in triples.columns if c not in ("subj", "pred", "obj")]
+    if extra:
+        new = new.select(
+            "subj", "pred", "obj",
+            *[F.lit(None).cast(triples.schema[c].dataType).alias(c)
+              for c in extra],
+        )
+    return triples.unionByName(new).dropDuplicates(["subj", "pred", "obj"])
+
+
 _AGG_FNS = {
     "count": lambda c: F.count(c),
     "sum": lambda c: F.sum(c),

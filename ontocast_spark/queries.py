@@ -925,6 +925,59 @@ FROM onto o JOIN fact f USING (conv_id, chunk_hid)
 """
 
 
+def q_bgp_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DELETE {template} WHERE {condition} through the BGP
+    compiler (plans/bgp.py bgp_delete_where): remove the has_part
+    edges of every order line whose part is Brand#13, keeping the
+    brand triples — CONSTRUCT the doomed set from the WHERE solutions
+    and remove it with ONE anti-join (the set-oriented graph-mutation
+    verb; the reference loops rdflib ``remove``)."""
+    from .plans.bgp import bgp_delete_where
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    triples = (
+        li.select(
+            F.col("l_orderkey").cast("string").alias("subj"),
+            F.lit("has_part").alias("pred"),
+            F.col("l_partkey").cast("string").alias("obj"),
+        )
+        .union(
+            part.select(
+                F.col("p_partkey").cast("string").alias("subj"),
+                F.lit("brand").alias("pred"),
+                F.col("p_brand").alias("obj"),
+            )
+        )
+    )
+    return bgp_delete_where(
+        triples,
+        [("?o", "has_part", "?p"), ("?p", "brand", "Brand#13")],
+        delete=[("?o", "has_part", "?p")],
+    )
+
+
+ORACLE_BGP_DELETE = """
+WITH triples AS (
+  SELECT l_orderkey::VARCHAR AS subj, 'has_part' AS pred,
+         l_partkey::VARCHAR AS obj
+  FROM lineitem
+  UNION ALL
+  SELECT p_partkey::VARCHAR, 'brand', p_brand FROM part
+),
+doomed AS (
+  SELECT DISTINCT t1.subj, 'has_part' AS pred, t1.obj
+  FROM triples t1 JOIN triples t2 ON t1.obj = t2.subj
+  WHERE t1.pred = 'has_part' AND t2.pred = 'brand' AND t2.obj = 'Brand#13'
+)
+SELECT t.subj, t.pred, t.obj FROM triples t
+WHERE NOT EXISTS (
+  SELECT 1 FROM doomed d
+  WHERE d.subj = t.subj AND d.pred = t.pred AND d.obj = t.obj
+)
+"""
+
+
 def q_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 property path ``within+`` (transitive closure)
     evaluated natively by the BGP compiler's iterative-squaring loop
@@ -1999,6 +2052,7 @@ QUERIES = {
     "q_redact_pii": q_redact_pii,
     "q_json_props": q_json_props,
     "q_sample_mixture": q_sample_mixture,
+    "q_bgp_delete": q_bgp_delete,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -2050,6 +2104,7 @@ ORACLES = {
     "q_redact_pii": ORACLE_REDACT_PII,
     "q_json_props": ORACLE_JSON_PROPS,
     "q_sample_mixture": ORACLE_SAMPLE_MIXTURE,
+    "q_bgp_delete": ORACLE_BGP_DELETE,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,

@@ -517,3 +517,41 @@ def test_asof_join_property_vs_pandas(spark):
             if want[0] is not None and want[1] is None:
                 want = (want[0], int(want[0][len("r") + len(row.user):]))
             assert got[row.lid] == want, (trial, row.lid, got[row.lid], want)
+
+
+def test_bgp_update_verbs(spark):
+    """SPARQL UPDATE surface: DELETE WHERE removes exactly the pattern
+    instantiations (join patterns included), INSERT DATA is
+    set-semantics, and the delete is a single anti-join (no loop)."""
+    from ontocast_spark.plans.bgp import bgp_delete_where, bgp_insert_data
+
+    tri = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "c"),
+         ("a", "age", "30"), ("b", "age", "30"), ("c", "name", "carol")],
+        "subj string, pred string, obj string",
+    )
+    # DELETE WHERE removes EVERY matched triple (knows AND age)
+    out = bgp_delete_where(
+        tri, [("?x", "knows", "?y"), ("?x", "age", "?a")]
+    )
+    remaining = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert remaining == {("c", "name", "carol")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+    # DELETE {template} WHERE {condition}: only the template goes —
+    # delete the AGE of everyone who knows someone, keep the knows edges
+    out2 = bgp_delete_where(
+        tri, [("?x", "knows", "?y"), ("?x", "age", "?a")],
+        delete=[("?x", "age", "?a")],
+    )
+    remaining2 = {(r["subj"], r["pred"], r["obj"]) for r in out2.collect()}
+    assert remaining2 == {("a", "knows", "b"), ("b", "knows", "c"),
+                          ("c", "name", "carol")}
+
+    ins = bgp_insert_data(
+        tri, [("d", "knows", "a"), ("a", "knows", "b")]  # second is a dup
+    )
+    assert ins.count() == 6
+    assert ("d", "knows", "a") in {(r["subj"], r["pred"], r["obj"])
+                                   for r in ins.collect()}
