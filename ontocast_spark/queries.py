@@ -581,6 +581,44 @@ def q_crossdoc_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapping.select("original_iri", "canonical_iri")
 
 
+def q_crossdoc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental adopt-or-mint canonicalization through the REAL
+    operators: the corpus splits by doc_id parity, batch A
+    canonicalizes from scratch, batch B merges incrementally
+    (reuse -> blocked adoption vs canon_meta incl. singletons -> fresh
+    mint with exact suffix-slot assignment). Returns the full merged
+    mapping. Non-SQL-expressible (iterative CC + fuzzy scorer) —
+    rows-only driver check; value-level coverage comes from the
+    corpus-agreement and slot-minting property tests plus
+    q_crossdoc_exact's oracle on the shared sub-semantics.
+    Deterministic: same input -> same mapping."""
+    from .operators.crossdoc import (
+        canonical_entity_meta,
+        canonicalize_crossdoc,
+        incremental_canonicalize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    label = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
+    facts = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("_a"),
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.concat(F.lit("https://kg/e/"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit("http://www.w3.org/2000/01/rdf-schema#label").alias("pred"),
+        label.alias("obj"),
+        F.lit(True).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    ).filter(F.length("obj") > 0)
+    fa = facts.filter(F.col("_a")).drop("_a")
+    fb = facts.filter(~F.col("_a")).drop("_a")
+    rew_a, map_a = canonicalize_crossdoc(fa, kg_namespace="https://kg/canon/")
+    meta_a = canonical_entity_meta(rew_a, map_a)
+    _, full = incremental_canonicalize(
+        fb, map_a, meta_a, kg_namespace="https://kg/canon/"
+    )
+    return full.select("original_iri", "canonical_iri")
+
+
 def _kg_conv(events: DataFrame) -> DataFrame:
     """The transcript-shaped input q_kg_pipeline consumes — factored out
     so the oracled invariant query (q_kg_doc_invariant) pins the exact
@@ -2053,6 +2091,7 @@ QUERIES = {
     "q_json_props": q_json_props,
     "q_sample_mixture": q_sample_mixture,
     "q_bgp_delete": q_bgp_delete,
+    "q_crossdoc_incremental": q_crossdoc_incremental,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
