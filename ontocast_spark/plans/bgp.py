@@ -343,6 +343,22 @@ def bgp_filter(result: DataFrame, condition) -> DataFrame:
     return result.filter(condition)
 
 
+def bgp_ask(triples: DataFrame, patterns: list[tuple[str, str, str]]) -> bool:
+    """SPARQL ASK: does the pattern have any solution? Evaluates with a
+    ``limit(1)`` probe — the shuffle stops as soon as one solution
+    materializes."""
+    return not bgp_select(triples, patterns, distinct=False).limit(1).isEmpty()
+
+
+def bgp_describe(triples: DataFrame, iri: str) -> DataFrame:
+    """SPARQL DESCRIBE (concise-bounded-description lite): every triple
+    where the IRI is subject or object — one predicate-pushdown scan
+    with an OR filter, no join."""
+    return triples.filter(
+        (F.col("subj") == F.lit(iri)) | (F.col("obj") == F.lit(iri))
+    )
+
+
 def bgp_delete_where(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],

@@ -555,3 +555,17 @@ def test_bgp_update_verbs(spark):
     assert ins.count() == 6
     assert ("d", "knows", "a") in {(r["subj"], r["pred"], r["obj"])
                                    for r in ins.collect()}
+
+
+def test_bgp_ask_describe(spark):
+    from ontocast_spark.plans.bgp import bgp_ask, bgp_describe
+
+    tri = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "c"), ("a", "age", "30")],
+        "subj string, pred string, obj string",
+    )
+    assert bgp_ask(tri, [("?x", "knows", "c")])
+    assert not bgp_ask(tri, [("?x", "knows", "zzz")])
+    assert bgp_ask(tri, [("a", "knows", "b")])  # all-constant ASK
+    desc = {(r["subj"], r["pred"], r["obj"]) for r in bgp_describe(tri, "b").collect()}
+    assert desc == {("a", "knows", "b"), ("b", "knows", "c")}
