@@ -56,6 +56,13 @@ def asof_join(
     ]
     matched = {c: f"{c}{suffix}" for c in payload}
     ts_m = f"{right_ts}{suffix}"
+    clash = ({ts_m, *matched.values(), "_ts", "_side", "_m"}
+             & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join output columns collide with left columns {clash}; "
+            "pass a different suffix"
+        )
 
     l2 = left.withColumn("_ts", F.col(left_ts)).withColumn(
         "_side", F.lit(1)

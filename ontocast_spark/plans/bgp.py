@@ -385,7 +385,9 @@ def bgp_insert_data(
     if not rows:
         return triples
     spark = triples.sparkSession
-    new = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    new = spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
     extra = [c for c in triples.columns if c not in ("subj", "pred", "obj")]
     if extra:
         new = new.select(
