@@ -1381,6 +1381,81 @@ FROM sols WHERE b LIKE 'Brand#1%' GROUP BY b
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-importance PageRank (operators/pagerank.py) over the
+    orders -> customer -> nation -> region containment graph, 3 rounds,
+    d = 0.85, simple (non-redistributing) variant — each round is one
+    hash join + one aggregation with localCheckpoint lineage
+    truncation. The oracle unrolls the same three rounds as CTEs."""
+    from .operators.pagerank import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    tag = lambda pre, c: F.concat(F.lit(pre), F.col(c).cast("string"))  # noqa: E731
+    edges = (
+        orders.select(tag("o:", "o_orderkey").alias("src"),
+                      tag("c:", "o_custkey").alias("dst"))
+        .union(customer.select(tag("c:", "c_custkey").alias("src"),
+                               tag("n:", "c_nationkey").alias("dst")))
+        .union(nation.select(tag("n:", "n_nationkey").alias("src"),
+                             tag("r:", "n_regionkey").alias("dst")))
+    )
+    pr = pagerank(edges, iterations=3)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+ORACLE_PAGERANK = """
+WITH edges AS (
+  SELECT 'o:' || o_orderkey::VARCHAR AS s, 'c:' || o_custkey::VARCHAR AS o
+  FROM orders
+  UNION ALL
+  SELECT 'c:' || c_custkey::VARCHAR, 'n:' || c_nationkey::VARCHAR
+  FROM customer
+  UNION ALL
+  SELECT 'n:' || n_nationkey::VARCHAR, 'r:' || n_regionkey::VARCHAR
+  FROM nation
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM edges UNION ALL SELECT o FROM edges
+  )
+),
+params AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outdeg AS (SELECT s, count(*)::DOUBLE AS deg FROM edges GROUP BY s),
+w AS (SELECT e.s, e.o, 1.0 / d.deg AS w FROM edges e JOIN outdeg d USING (s)),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
+r1 AS (
+  SELECT nd.node,
+         0.15 / (SELECT n FROM params)
+         + 0.85 * coalesce(c.contrib, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT w.o AS node, sum(r.rank * w.w) AS contrib
+    FROM w JOIN r0 r ON w.s = r.node GROUP BY w.o
+  ) c USING (node)
+),
+r2 AS (
+  SELECT nd.node,
+         0.15 / (SELECT n FROM params)
+         + 0.85 * coalesce(c.contrib, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT w.o AS node, sum(r.rank * w.w) AS contrib
+    FROM w JOIN r1 r ON w.s = r.node GROUP BY w.o
+  ) c USING (node)
+),
+r3 AS (
+  SELECT nd.node,
+         0.15 / (SELECT n FROM params)
+         + 0.85 * coalesce(c.contrib, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT w.o AS node, sum(r.rank * w.w) AS contrib
+    FROM w JOIN r2 r ON w.s = r.node GROUP BY w.o
+  ) c USING (node)
+)
+SELECT node, round(rank, 6) AS rank FROM r3
+"""
+
+
 def q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets: doc counts and mean length by (lang, source) with
     ROLLUP subtotals — the classic-operator checklist's cube/rollup row
@@ -2092,6 +2167,7 @@ QUERIES = {
     "q_sample_mixture": q_sample_mixture,
     "q_bgp_delete": q_bgp_delete,
     "q_crossdoc_incremental": q_crossdoc_incremental,
+    "q_pagerank": q_pagerank,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -2144,6 +2220,7 @@ ORACLES = {
     "q_json_props": ORACLE_JSON_PROPS,
     "q_sample_mixture": ORACLE_SAMPLE_MIXTURE,
     "q_bgp_delete": ORACLE_BGP_DELETE,
+    "q_pagerank": ORACLE_PAGERANK,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,

@@ -573,3 +573,40 @@ def test_sample_mixture(spark):
     dflt = sample_mixture(df, {"g0": 1.0}, group_col="source",
                           default_weight=0.0)
     assert {r["source"] for r in dflt.collect()} == {"g0"}
+
+
+def test_pagerank_vs_reference(spark):
+    """PageRank vs a plain-Python reference on a known graph (cycle +
+    dangling node + disconnected pair), plus repartition invariance."""
+    from ontocast_spark.operators.pagerank import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+             ("e", "f")]  # d is dangling; e->f disconnected
+    e = spark.createDataFrame(edges, "src string, dst string")
+
+    def ref(iters, d=0.85):
+        nodes = sorted({x for p in edges for x in p})
+        n = len(nodes)
+        out = {}
+        for s, _ in edges:
+            out[s] = out.get(s, 0) + 1
+        r = {v: 1.0 / n for v in nodes}
+        for _ in range(iters):
+            nxt = {v: (1 - d) / n for v in nodes}
+            for s, t in edges:
+                nxt[t] += d * r[s] / out[s]
+            r = nxt
+        return r
+
+    got = {row["node"]: row["rank"] for row in pagerank(e, iterations=5).collect()}
+    want = ref(5)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    # more in-links -> more rank; dangling sink keeps its teleport+share
+    assert got["a"] > got["d"] > 0
+    # repartition invariance (well under the rounding the oracle uses)
+    got2 = {row["node"]: row["rank"]
+            for row in pagerank(e.repartition(13), iterations=5).collect()}
+    for v in got:
+        assert abs(got[v] - got2[v]) < 1e-12
