@@ -247,10 +247,16 @@ def path_pairs(
     raise ValueError(f"unknown path kind {k!r}")
 
 
+_TERM_META = (("obj_is_literal", "__is_literal", "false"),
+               ("obj_lang", "__lang", "null"),
+               ("obj_datatype", "__datatype", "null"))
+
+
 def bgp_select(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
     distinct: bool = True,
+    bind_term_meta: bool = False,
 ) -> DataFrame:
     """patterns: (s, p, o) terms; strings starting with ``?`` are
     variables, everything else is a constant filter. A predicate term
@@ -258,9 +264,27 @@ def bgp_select(
     string like ``"<http://x#subClassOf>+"``) evaluates as a property
     path: the pattern scans the path's (s, o) solution pairs instead of
     the raw triple slots. Returns one column per variable (without the
-    ``?``), rows = pattern matches joined on shared variables."""
+    ``?``), rows = pattern matches joined on shared variables.
+
+    ``bind_term_meta=True`` additionally threads RDF term metadata
+    through the solutions when the triple table carries it
+    (``obj_is_literal`` / ``obj_lang`` / ``obj_datatype`` columns):
+    each variable gains ``<var>__is_literal`` / ``__lang`` /
+    ``__datatype`` columns (subject/predicate bindings are never
+    literals). The :func:`fn_is_literal` / :func:`fn_lang` /
+    :func:`fn_datatype` FILTER builtins read them. Because the metadata
+    columns join along with the variable, a variable bound at an
+    object position in one pattern and a subject position in another
+    only unifies on non-literal terms — the term-aware equality SPARQL
+    requires and plain string join would miss."""
     if not patterns:
         raise ValueError("empty basic graph pattern")
+    meta_srcs = (
+        [(src, sfx, dflt) for src, sfx, dflt in _TERM_META
+         if src in triples.columns]
+        if bind_term_meta
+        else []
+    )
     result: DataFrame | None = None
     for s, p, o in patterns:
         is_path = isinstance(p, Path) or (
@@ -269,9 +293,11 @@ def bgp_select(
         if is_path:
             t = path_pairs(triples, p)
             slot_terms = [("s", s), ("o", o)]
+            pattern_meta: list = []  # path endpoints are IRIs/nodes
         else:
             t = triples
             slot_terms = list(zip(_SLOTS, (s, p, o)))
+            pattern_meta = meta_srcs
         seen: dict[str, str] = {}  # var -> first slot bound
         cols = []
         for slot, term in slot_terms:
@@ -282,6 +308,12 @@ def bgp_select(
                 else:
                     seen[var] = slot
                     cols.append(F.col(slot).alias(var))
+                    for src, sfx, dflt in pattern_meta:
+                        val = (
+                            F.col(src) if slot == "obj"
+                            else F.expr(dflt).cast(triples.schema[src].dataType)
+                        )
+                        cols.append(val.alias(f"{var}{sfx}"))
             else:
                 t = t.filter(F.col(slot) == F.lit(term))
         # all-constant pattern = existence check (ASK semantics): one
@@ -292,9 +324,30 @@ def bgp_select(
             result = t
         else:
             shared = sorted(set(result.columns) & set(t.columns))
-            result = (
-                result.join(t, on=shared) if shared else result.crossJoin(t)
-            )
+            meta_shared = [c for c in shared if "__" in c]
+            if meta_shared:
+                # metadata columns are nullable (untagged lang, plain
+                # datatype) — join them NULL-safely or valid
+                # unifications with NULL-on-both-sides vanish
+                plain = [c for c in shared if "__" not in c]
+                lhs, rhs = result.alias("_l"), t.alias("_r")
+                cond = F.lit(True)
+                for c in plain:
+                    cond = cond & (F.col(f"_l.{c}") == F.col(f"_r.{c}"))
+                for c in meta_shared:
+                    cond = cond & F.col(f"_l.{c}").eqNullSafe(
+                        F.col(f"_r.{c}")
+                    )
+                result = lhs.join(rhs, cond).select(
+                    *[F.col(f"_l.{c}").alias(c) for c in result.columns],
+                    *[F.col(f"_r.{c}").alias(c) for c in t.columns
+                      if c not in shared],
+                )
+            else:
+                result = (
+                    result.join(t, on=shared) if shared
+                    else result.crossJoin(t)
+                )
     return result.dropDuplicates() if distinct else result
 
 
@@ -476,6 +529,30 @@ def fn_strends(var: str, suffix: str):
 
 def fn_contains(var: str, needle: str):
     return F.col(var).contains(needle)
+
+
+def fn_is_literal(var: str):
+    """isLiteral(?v) — needs ``bgp_select(..., bind_term_meta=True)``
+    over a triple table with an ``obj_is_literal`` column."""
+    return F.col(f"{var}__is_literal")
+
+
+def fn_is_iri(var: str):
+    """isIRI(?v) — complement of :func:`fn_is_literal`."""
+    return ~F.col(f"{var}__is_literal")
+
+
+def fn_lang(var: str):
+    """LANG(?v) — the language tag, or '' for untagged terms (SPARQL
+    semantics). Needs term metadata bound from an ``obj_lang``
+    column."""
+    return F.coalesce(F.col(f"{var}__lang"), F.lit(""))
+
+
+def fn_datatype(var: str):
+    """DATATYPE(?v) — the datatype IRI column threaded from
+    ``obj_datatype`` (NULL for plain/unbound terms)."""
+    return F.col(f"{var}__datatype")
 
 
 def bgp_construct(

@@ -569,3 +569,65 @@ def test_bgp_ask_describe(spark):
     assert bgp_ask(tri, [("a", "knows", "b")])  # all-constant ASK
     desc = {(r["subj"], r["pred"], r["obj"]) for r in bgp_describe(tri, "b").collect()}
     assert desc == {("a", "knows", "b"), ("b", "knows", "c")}
+
+
+def test_bgp_term_metadata_builtins(spark):
+    """bind_term_meta threads obj_is_literal/obj_lang/obj_datatype
+    through solutions: isLiteral/isIRI/lang/datatype FILTER builtins
+    work, and a variable bound at both object and subject positions
+    only unifies on non-literal terms (term-aware equality)."""
+    from ontocast_spark.plans.bgp import (
+        bgp_filter,
+        bgp_select,
+        fn_datatype,
+        fn_is_iri,
+        fn_is_literal,
+        fn_lang,
+    )
+
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    tri = spark.createDataFrame(
+        [
+            ("a", "label", "Alpha", True, "en", None),
+            ("a", "label", "Alfa", True, "de", None),
+            ("a", "age", "30", True, None, xsd_int),
+            ("a", "knows", "b", False, None, None),
+            ("b", "label", "Beta", True, None, None),
+            # literal whose STRING equals node b's IRI — must not unify
+            # with b at a subject position
+            ("c", "alias", "b", True, None, None),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_datatype string",
+    )
+    sols = bgp_select(tri, [("a", "?p", "?v")], bind_term_meta=True)
+    lit_vals = {r["v"] for r in bgp_filter(sols, fn_is_literal("v")).collect()}
+    assert lit_vals == {"Alpha", "Alfa", "30"}
+    iri_vals = {r["v"] for r in bgp_filter(sols, fn_is_iri("v")).collect()}
+    assert iri_vals == {"b"}
+    en = {r["v"] for r in bgp_filter(sols, fn_lang("v") == "en").collect()}
+    assert en == {"Alpha"}
+    untagged = {r["v"] for r in
+                bgp_filter(sols, fn_lang("v") == "").collect()}
+    assert untagged == {"30", "b"}
+    typed = {r["v"] for r in
+             bgp_filter(sols, fn_datatype("v") == xsd_int).collect()}
+    assert typed == {"30"}
+
+    # term-aware join: ?x bound at object (a knows ?x) and subject
+    # (?x label ?l) — the literal "b" from c's alias must NOT satisfy
+    # the object position of a join through a subject binding
+    joined = bgp_select(
+        tri, [("?s", "alias", "?x"), ("?x", "label", "?l")],
+        bind_term_meta=True,
+    )
+    assert joined.count() == 0  # alias object is a literal, never a subject
+    joined2 = bgp_select(
+        tri, [("a", "knows", "?x"), ("?x", "label", "?l")],
+        bind_term_meta=True,
+    )
+    assert {(r["x"], r["l"]) for r in joined2.collect()} == {("b", "Beta")}
+    # without metadata, plain string equality would wrongly unify the
+    # literal "b" with subject b
+    loose = bgp_select(tri, [("?s", "alias", "?x"), ("?x", "label", "?l")])
+    assert loose.count() == 1
