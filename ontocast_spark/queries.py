@@ -1381,6 +1381,36 @@ FROM sols WHERE b LIKE 'Brand#1%' GROUP BY b
 """
 
 
+def q_bgp_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER(lang(?label) = 'en') via term metadata threaded
+    through BGP solutions (plans/bgp.py bind_term_meta + fn_lang) over
+    a literal-bearing triple view of documents — the
+    isLiteral/lang/datatype builtin surface, driver-pinned."""
+    from .plans.bgp import bgp_filter, bgp_select, fn_is_literal, fn_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    label = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
+    triples = docs.select(
+        F.concat(F.lit("e:"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit("label").alias("pred"),
+        label.alias("obj"),
+        F.lit(True).alias("obj_is_literal"),
+        F.col("lang").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    sols = bgp_select(triples, [("?e", "label", "?l")], bind_term_meta=True)
+    out = bgp_filter(sols, fn_is_literal("l") & (fn_lang("l") == "en"))
+    return out.select("e", "l", F.col("l__lang").alias("lang"))
+
+
+ORACLE_BGP_LANG_FILTER = """
+SELECT DISTINCT 'e:' || doc_id::VARCHAR AS e,
+       array_to_string(string_split(text, ' ')[1:3], ' ') AS l,
+       lang
+FROM documents WHERE lang = 'en'
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-importance PageRank (operators/pagerank.py) over the
     orders -> customer -> nation -> region containment graph, 3 rounds,
@@ -2168,6 +2198,7 @@ QUERIES = {
     "q_bgp_delete": q_bgp_delete,
     "q_crossdoc_incremental": q_crossdoc_incremental,
     "q_pagerank": q_pagerank,
+    "q_bgp_lang_filter": q_bgp_lang_filter,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -2221,6 +2252,7 @@ ORACLES = {
     "q_sample_mixture": ORACLE_SAMPLE_MIXTURE,
     "q_bgp_delete": ORACLE_BGP_DELETE,
     "q_pagerank": ORACLE_PAGERANK,
+    "q_bgp_lang_filter": ORACLE_BGP_LANG_FILTER,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,
