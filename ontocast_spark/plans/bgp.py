@@ -323,45 +323,52 @@ def bgp_select(
         if result is None:
             result = t
         else:
-            shared = sorted(set(result.columns) & set(t.columns))
-            meta_shared = [c for c in shared if "__" in c]
-            if meta_shared:
-                # metadata columns are nullable (untagged lang, plain
-                # datatype) — join them NULL-safely or valid
-                # unifications with NULL-on-both-sides vanish
-                plain = [c for c in shared if "__" not in c]
-                lhs, rhs = result.alias("_l"), t.alias("_r")
-                cond = F.lit(True)
-                for c in plain:
-                    cond = cond & (F.col(f"_l.{c}") == F.col(f"_r.{c}"))
-                for c in meta_shared:
-                    cond = cond & F.col(f"_l.{c}").eqNullSafe(
-                        F.col(f"_r.{c}")
-                    )
-                result = lhs.join(rhs, cond).select(
-                    *[F.col(f"_l.{c}").alias(c) for c in result.columns],
-                    *[F.col(f"_r.{c}").alias(c) for c in t.columns
-                      if c not in shared],
-                )
-            else:
-                result = (
-                    result.join(t, on=shared) if shared
-                    else result.crossJoin(t)
-                )
+            result = _join_solutions(result, t)
     return result.dropDuplicates() if distinct else result
 
 
+def _join_solutions(result: DataFrame, t: DataFrame, how: str = "inner"):
+    """Join two solution sets on their shared variables. Term-metadata
+    columns (``__``-suffixed, from ``bind_term_meta``) are nullable
+    (untagged lang, plain datatype), so they join NULL-safely — a
+    column-name join would drop valid unifications whose metadata is
+    NULL on both sides."""
+    shared = sorted(set(result.columns) & set(t.columns))
+    meta_shared = [c for c in shared if "__" in c]
+    if not shared:
+        if how != "inner":
+            raise ValueError("outer solution join needs a shared variable")
+        return result.crossJoin(t)
+    if not meta_shared:
+        return result.join(t, on=shared, how=how)
+    plain = [c for c in shared if "__" not in c]
+    lhs, rhs = result.alias("_l"), t.alias("_r")
+    cond = F.lit(True)
+    for c in plain:
+        cond = cond & (F.col(f"_l.{c}") == F.col(f"_r.{c}"))
+    for c in meta_shared:
+        cond = cond & F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
+    return lhs.join(rhs, cond, how).select(
+        *[F.col(f"_l.{c}").alias(c) for c in result.columns],
+        *[F.col(f"_r.{c}").alias(c) for c in t.columns if c not in shared],
+    )
+
+
 def bgp_optional(
-    result: DataFrame, triples: DataFrame, patterns: list[tuple[str, str, str]]
+    result: DataFrame,
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    bind_term_meta: bool = False,
 ) -> DataFrame:
     """SPARQL OPTIONAL: left-join the solutions of ``patterns`` onto an
     existing solution set — unmatched rows keep NULLs in the optional
-    variables (left outer join on the shared variables)."""
-    opt = bgp_select(triples, patterns, distinct=True)
-    shared = sorted(set(result.columns) & set(opt.columns))
-    if not shared:
+    variables (left outer join on the shared variables; term-metadata
+    columns, when bound, join NULL-safely like the BGP join)."""
+    opt = bgp_select(triples, patterns, distinct=True,
+                     bind_term_meta=bind_term_meta)
+    if not set(result.columns) & set(opt.columns):
         raise ValueError("OPTIONAL group shares no variable with the base")
-    return result.join(opt, on=shared, how="left")
+    return _join_solutions(result, opt, how="left")
 
 
 def bgp_union(
