@@ -9,9 +9,10 @@ operators/multimodal.py — the Spark-side plumbing is real and tested
 a batch re-chunk so large blobs can't blow executor memory, typed
 output schema feeding straight into the pipeline's ``documents``
 shape) while the codec itself is pluggable: plain text/markdown/JSON
-payloads decode for real, and binary formats route to a clearly-marked
-converter hook that raises ``NotImplementedError`` unless a converter
-callable is supplied.
+payloads decode for real, and binary formats route through the
+optional-dependency hook (:func:`active_converter` — an explicitly
+registered codec, else auto-detected docling, else a clearly-marked
+``NotImplementedError`` boundary).
 
 Scale notes: ``binaryFile`` gives one task per file (no driver-side
 reads); conversion is CPU-bound per document and embarrassingly
