@@ -108,3 +108,41 @@ def test_unicode_and_leading_dot_literals():
     assert vals["euro"] == "cost: €50"
     assert vals["frac"] == ".5"
     assert vals["astral"] == "\U0001F600"
+
+
+def test_serialize_parse_fuzz_round_trip():
+    """Seeded random triple sets (IRIs, plain/lang/typed literals with
+    escapes-in-need characters) must survive serialize -> parse with
+    triple-set equality — the serializer's output is always
+    re-ingestable by its own parser."""
+    import random
+
+    rng = random.Random(41)
+    charpool = "abc XYZ 0_9-\"\\\n\r\t'é€#<>;,."
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+
+    def rand_text(maxlen=12):
+        return "".join(rng.choice(charpool) for _ in range(rng.randrange(0, maxlen)))
+
+    for trial in range(8):
+        triples = []
+        for i in range(rng.randrange(1, 25)):
+            s = f"http://ex.org/s{rng.randrange(6)}"
+            p = f"http://ex.org/p{rng.randrange(4)}"
+            kind = rng.randrange(3)
+            if kind == 0:
+                o, lit, dt = f"http://ex.org/o{rng.randrange(8)}", False, None
+            elif kind == 1:
+                o, lit, dt = rand_text(), True, rng.choice(
+                    [None, "@en", "@de-DE", xsd + "string"]
+                )
+            else:
+                o, lit, dt = str(rng.randrange(-50, 50)), True, xsd + "integer"
+            triples.append((s, p, o, lit, dt))
+        text = serialize_turtle(
+            triples, {"ex": "http://ex.org/", "xsd": xsd}
+        )
+        reparsed, _ = parse_turtle(text)
+        assert set(map(tuple, reparsed)) == set(map(tuple, triples)), (
+            trial, text[:500]
+        )
