@@ -15,11 +15,25 @@ exact relational algebra Spark executes natively:
 - SELECT DISTINCT is a ``dropDuplicates`` on the projected variables.
 
 This is the textbook BGP-to-SQL mapping (SPARQL entailment-free
-semantics = conjunctive queries over the triple relation); OPTIONAL /
-UNION / FILTER map to left joins / unionByName / Catalyst predicates
-(`bgp_optional` / `bgp_union` / `bgp_filter` below), and SPARQL 1.1
-property paths (``rdfs:subClassOf+``-style) compile to joins plus an
-iterative transitive-closure loop (`path_pairs`) in the predicate slot.
+semantics = conjunctive queries over the triple relation). The module
+covers the full query/update verb surface the reference delegates to
+Fuseki:
+
+- OPTIONAL / UNION / FILTER -> left joins / unionByName / Catalyst
+  predicates (`bgp_optional` / `bgp_union` / `bgp_filter`);
+- SPARQL 1.1 property paths (``rdfs:subClassOf+``-style) -> joins plus
+  an iterative-squaring transitive closure (`path_pairs`);
+- aggregates (COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT) -> a native
+  groupBy (`bgp_aggregate`);
+- FILTER builtins: BOUND/REGEX/STRSTARTS/STRENDS/CONTAINS over the
+  term strings, and isLiteral/isIRI/LANG/DATATYPE via term metadata
+  threaded through the solutions (``bind_term_meta=True``, joined
+  NULL-safely so untagged terms still unify);
+- CONSTRUCT / ASK / DESCRIBE (`bgp_construct` / `bgp_ask` /
+  `bgp_describe`);
+- UPDATE: DELETE WHERE, DELETE{}/WHERE{}, INSERT DATA
+  (`bgp_delete_where` / `bgp_insert_data`) — doomed sets CONSTRUCTed
+  then removed with one anti-join.
 
 Scale: each pattern scans the triples table once with its constants
 pushed down; a pattern with a constant predicate over a
