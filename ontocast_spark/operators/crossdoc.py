@@ -494,6 +494,13 @@ def incremental_canonicalize(
         F.col("label").alias("label_b"),
         F.col("types").alias("types_b"),
     )
+    # prune the canon side BEFORE its exchange: the KG's block table is
+    # corpus-proportional while the fresh batch's key set is tiny —
+    # broadcast the batch keys and semi-join so only canon rows sharing
+    # a key with this batch ever shuffle (without this, every
+    # incremental batch shuffles the whole KG's exploded block table)
+    nb_keys = nb.select("bkey").distinct()
+    cb = cb.join(F.broadcast(nb_keys), "bkey", "semi")
     pairs = nb.join(cb, "bkey").drop("bkey").dropDuplicates(["a", "b"])
     share_type = F.arrays_overlap("types_a", "types_b")
     compatible = (
