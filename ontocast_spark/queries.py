@@ -1107,6 +1107,38 @@ WHERE b < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
 """
 
 
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (classic-operator checklist): per-user event counts
+    spread into one column per event type, plus total value — Spark's
+    native ``groupBy().pivot(values=...)`` (explicit value list keeps
+    the schema static, no discovery pass); the oracle is the portable
+    CASE-aggregation form DuckDB and Spark both optimize to a single
+    hash aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in types],
+    )
+
+
+ORACLE_PIVOT_EVENTS = """
+SELECT user_id,
+       sum((event_type = 'click')::INT)::BIGINT AS n_click,
+       sum((event_type = 'error')::INT)::BIGINT AS n_error,
+       sum((event_type = 'purchase')::INT)::BIGINT AS n_purchase,
+       sum((event_type = 'signup')::INT)::BIGINT AS n_signup,
+       sum((event_type = 'view')::INT)::BIGINT AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON extraction (classic-operator checklist):
     pull ``$.k`` out of the events table's JSON ``props`` column
@@ -2199,6 +2231,7 @@ QUERIES = {
     "q_crossdoc_incremental": q_crossdoc_incremental,
     "q_pagerank": q_pagerank,
     "q_bgp_lang_filter": q_bgp_lang_filter,
+    "q_pivot_events": q_pivot_events,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -2253,6 +2286,7 @@ ORACLES = {
     "q_bgp_delete": ORACLE_BGP_DELETE,
     "q_pagerank": ORACLE_PAGERANK,
     "q_bgp_lang_filter": ORACLE_BGP_LANG_FILTER,
+    "q_pivot_events": ORACLE_PIVOT_EVENTS,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,
