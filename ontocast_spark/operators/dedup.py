@@ -168,6 +168,44 @@ def ngram_jaccard_verify(
     )
 
 
+def cross_split_leakage(
+    docs: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Eval-hygiene check: near-duplicate pairs CROSSING split
+    boundaries (a test document that near-duplicates a train document
+    invalidates the eval — the cross-split analog of benchmark
+    decontamination). Same machinery as dedup: banded MinHash-LSH
+    candidates (exact duplicates collide trivially) -> exact n-gram
+    Jaccard verify -> keep pairs whose splits differ. Returns
+    (a, b, split_a, split_b, jaccard)."""
+    cands = minhash_lsh_candidates(
+        docs, text_col, id_col, num_hashes, bands, max_bucket
+    )
+    verified = ngram_jaccard_verify(
+        docs, cands, text_col, id_col, threshold=threshold
+    )
+    sp = docs.select(F.col(id_col), F.col(split_col))
+    return (
+        verified.join(
+            sp.select(F.col(id_col).alias("a"),
+                      F.col(split_col).alias("split_a")), "a"
+        )
+        .join(
+            sp.select(F.col(id_col).alias("b"),
+                      F.col(split_col).alias("split_b")), "b"
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("a", "b", "split_a", "split_b", "jaccard")
+    )
+
+
 def dedup_corpus(
     docs: DataFrame,
     text_col: str = "text",

@@ -803,6 +803,69 @@ FROM cands
 ORACLE_NGRAM_JACCARD = _oracle_ngram_jaccard()
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage check through the real operators: assign
+    deterministic 90/5/5 splits, then find near-dup pairs (MinHash-LSH
+    k=4/2 bands + exact 3-gram Jaccard >= 0.8) whose splits differ —
+    the eval-hygiene scan a training-data pipeline runs before
+    shipping a dataset."""
+    from .operators.dataset import assign_splits
+    from .operators.dedup import cross_split_leakage
+
+    docs = _t(spark, sf_dir, "documents")
+    sp = assign_splits(docs, "doc_id", salt="r2")
+    leaks = cross_split_leakage(sp, threshold=0.8, num_hashes=4, bands=2)
+    return leaks.select(
+        "a", "b", "split_a", "split_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = f"""
+WITH sp AS (
+  SELECT doc_id,
+         CASE WHEN b < 9000 THEN 'train'
+              WHEN b < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5('r2|' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % 10000 AS b
+    FROM documents
+  )
+),
+sigs AS (
+  SELECT doc_id,
+         list_min([md5('0|' || s) for s in {_DUCK_SHINGLES}]) AS sig0,
+         list_min([md5('1|' || s) for s in {_DUCK_SHINGLES}]) AS sig1,
+         list_min([md5('2|' || s) for s in {_DUCK_SHINGLES}]) AS sig2,
+         list_min([md5('3|' || s) for s in {_DUCK_SHINGLES}]) AS sig3,
+         list_distinct({_DUCK_SHINGLES}) AS sh
+  FROM documents
+),
+bkeys AS (
+  SELECT doc_id, '0|' || sig0 || '|' || sig1 AS bkey, sh FROM sigs
+  UNION ALL
+  SELECT doc_id, '1|' || sig2 || '|' || sig3 AS bkey, sh FROM sigs
+),
+kept AS (SELECT bkey FROM bkeys GROUP BY bkey HAVING count(*) <= 512),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.sh, y.sh))::DOUBLE
+         / len(list_distinct(list_concat(x.sh, y.sh)))::DOUBLE AS jac
+  FROM bkeys x
+  JOIN kept k ON k.bkey = x.bkey
+  JOIN bkeys y ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+)
+SELECT p.a, p.b, sa.split AS split_a, sb.split AS split_b,
+       round(p.jac, 6) AS jaccard
+FROM pairs p
+JOIN sp sa ON p.a = sa.doc_id
+JOIN sp sb ON p.b = sb.doc_id
+WHERE p.jac >= 0.8 AND sa.split != sb.split
+"""
+
+
 # -------------------------------------------------- BGP (SPARQL SELECT)
 def q_bgp_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL basic-graph-pattern SELECT compiled to DataFrame joins
@@ -2232,6 +2295,7 @@ QUERIES = {
     "q_pagerank": q_pagerank,
     "q_bgp_lang_filter": q_bgp_lang_filter,
     "q_pivot_events": q_pivot_events,
+    "q_split_leakage": q_split_leakage,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -2287,6 +2351,7 @@ ORACLES = {
     "q_pagerank": ORACLE_PAGERANK,
     "q_bgp_lang_filter": ORACLE_BGP_LANG_FILTER,
     "q_pivot_events": ORACLE_PIVOT_EVENTS,
+    "q_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,

@@ -610,3 +610,26 @@ def test_pagerank_vs_reference(spark):
             for row in pagerank(e.repartition(13), iterations=5).collect()}
     for v in got:
         assert abs(got[v] - got2[v]) < 1e-12
+
+
+def test_cross_split_leakage(spark):
+    """Leakage scan: near-dup pairs across split boundaries are flagged
+    (exact dups included), same-split dups are not, unrelated docs
+    never pair."""
+    from ontocast_spark.operators.dedup import cross_split_leakage
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base + "one two three", "train"),
+        (2, base + "one two THREE", "test"),    # near-dup across splits
+        (3, base + "one two three", "train"),   # exact dup, same split
+        (4, "completely unrelated text about spark plans", "test"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    out = {(r["a"], r["b"]): (r["split_a"], r["split_b"])
+           for r in cross_split_leakage(docs, threshold=0.7,
+                                        num_hashes=8, bands=4).collect()}
+    assert (1, 2) in out and out[(1, 2)] == ("train", "test")
+    assert (2, 3) in out
+    assert (1, 3) not in out          # same split
+    assert all(4 not in pair for pair in out)
