@@ -290,6 +290,62 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-native session windows (``F.session_window``, the
+    engine's own gap-merge operator — one aggregation, no lag window
+    pass): per user, session count, event count, and the longest
+    session's first-to-last-event span. The oracle replays the gap
+    rule (new session at gap >= 30 min, session_window's
+    exclusive-end convention) with lag + cumulative sum."""
+    events = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    per_sess = (
+        events.groupBy(
+            "user_id", F.session_window(ts, "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (us(F.max("ts")) - us(F.min("ts"))).alias("span_us"),
+        )
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("span_us").alias("max_span_us"),
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, sid, count(*) AS n,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, count(*)::BIGINT AS n_sessions, sum(n)::BIGINT AS n_events,
+       max(span_us)::BIGINT AS max_span_us
+FROM per_sess GROUP BY user_id
+"""
+
+
 ORACLE_SESSIONIZE = """
 SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events FROM (
   SELECT user_id,
@@ -2296,6 +2352,7 @@ QUERIES = {
     "q_bgp_lang_filter": q_bgp_lang_filter,
     "q_pivot_events": q_pivot_events,
     "q_split_leakage": q_split_leakage,
+    "q_session_window": q_session_window,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -2352,6 +2409,7 @@ ORACLES = {
     "q_bgp_lang_filter": ORACLE_BGP_LANG_FILTER,
     "q_pivot_events": ORACLE_PIVOT_EVENTS,
     "q_split_leakage": ORACLE_SPLIT_LEAKAGE,
+    "q_session_window": ORACLE_SESSION_WINDOW,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,
