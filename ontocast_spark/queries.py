@@ -1258,6 +1258,46 @@ FROM events GROUP BY user_id
 """
 
 
+def q_unpivot_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the reshape inverse of q_pivot_events): per-doc
+    quality metrics from the wide operator output melted to
+    (doc_id, metric, value) long form — Spark's native
+    ``DataFrame.unpivot`` (zero shuffle, one Generate), oracled by the
+    equivalent UNION ALL."""
+    from .operators.text_analysis import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(docs).select(
+        "doc_id",
+        F.col("q_n_chars").cast("double").alias("q_n_chars"),
+        F.col("q_n_tokens").cast("double").alias("q_n_tokens"),
+        F.col("q_punct_ratio").cast("double").alias("q_punct_ratio"),
+    )
+    return q.unpivot(
+        "doc_id",
+        ["q_n_chars", "q_n_tokens", "q_punct_ratio"],
+        "metric",
+        "value",
+    )
+
+
+ORACLE_UNPIVOT_QUALITY = """
+WITH q AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS q_n_chars,
+         len(string_split_regex(text, '\\s+'))::DOUBLE AS q_n_tokens,
+         round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+               / greatest(length(text), 1)::DOUBLE, 4) AS q_punct_ratio
+  FROM documents
+)
+SELECT doc_id, 'q_n_chars' AS metric, q_n_chars AS value FROM q
+UNION ALL
+SELECT doc_id, 'q_n_tokens', q_n_tokens FROM q
+UNION ALL
+SELECT doc_id, 'q_punct_ratio', q_punct_ratio FROM q
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON extraction (classic-operator checklist):
     pull ``$.k`` out of the events table's JSON ``props`` column
@@ -2353,6 +2393,7 @@ QUERIES = {
     "q_pivot_events": q_pivot_events,
     "q_split_leakage": q_split_leakage,
     "q_session_window": q_session_window,
+    "q_unpivot_quality": q_unpivot_quality,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -2410,6 +2451,7 @@ ORACLES = {
     "q_pivot_events": ORACLE_PIVOT_EVENTS,
     "q_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "q_session_window": ORACLE_SESSION_WINDOW,
+    "q_unpivot_quality": ORACLE_UNPIVOT_QUALITY,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,
