@@ -1258,6 +1258,54 @@ FROM events GROUP BY user_id
 """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketch.py) — the
+    cross-engine-checkable alternative to HLL: per event_type,
+    estimated distinct user count at k=32 plus the exact count. Both
+    engines compute the IDENTICAL estimate from the same md5 k-minima
+    (sketches are normally unverifiable across engines; KMV's estimate
+    is a pure function of the hash set, so it oracles exactly)."""
+    from .operators.sketch import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = kmv_distinct(ev, "event_type", "user_id", k=32)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.round("est_distinct", 6).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+ORACLE_KMV_DISTINCT = """
+WITH hashed AS (
+  SELECT DISTINCT event_type AS g,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+         / 4294967296.0 AS h
+  FROM events
+),
+ranked AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+  FROM hashed
+),
+sk AS (
+  SELECT g, count(*) AS n_kept, max(h) AS hk
+  FROM ranked WHERE r <= 32 GROUP BY g
+),
+exact AS (
+  SELECT event_type AS g, count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT sk.g AS event_type,
+       round(CASE WHEN sk.n_kept < 32 THEN sk.n_kept::DOUBLE
+                  ELSE 31.0 / sk.hk END, 6) AS est_distinct,
+       exact.exact_distinct
+FROM sk JOIN exact USING (g)
+"""
+
+
 def q_unpivot_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (the reshape inverse of q_pivot_events): per-doc
     quality metrics from the wide operator output melted to
@@ -2394,6 +2442,7 @@ QUERIES = {
     "q_split_leakage": q_split_leakage,
     "q_session_window": q_session_window,
     "q_unpivot_quality": q_unpivot_quality,
+    "q_kmv_distinct": q_kmv_distinct,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -2452,6 +2501,7 @@ ORACLES = {
     "q_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "q_session_window": ORACLE_SESSION_WINDOW,
     "q_unpivot_quality": ORACLE_UNPIVOT_QUALITY,
+    "q_kmv_distinct": ORACLE_KMV_DISTINCT,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,

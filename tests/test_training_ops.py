@@ -633,3 +633,24 @@ def test_cross_split_leakage(spark):
     assert (2, 3) in out
     assert (1, 3) not in out          # same split
     assert all(4 not in pair for pair in out)
+
+
+def test_kmv_distinct_accuracy_and_merge_property(spark):
+    """KMV sketch: exact below k, within ~3/sqrt(k) relative error
+    above k (deterministic — no RNG, so the bound is a fixed fact of
+    the md5 hash sequence), and partition-invariant."""
+    from ontocast_spark.operators.sketch import kmv_distinct
+
+    rows = [("small", f"v{i}") for i in range(20)]
+    rows += [("big", f"x{i}") for i in range(5000)]
+    rows += [("big", f"x{i}") for i in range(100)]  # duplicates
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r["g"]: r["est_distinct"]
+           for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert out["small"] == 20.0          # below k -> exact
+    rel = abs(out["big"] - 5000) / 5000
+    assert rel < 3 / (64 ** 0.5), (out["big"], rel)
+
+    out2 = {r["g"]: r["est_distinct"]
+            for r in kmv_distinct(df.repartition(23), "g", "v", k=64).collect()}
+    assert out == out2                   # partition-invariant
