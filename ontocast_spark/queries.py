@@ -1258,6 +1258,58 @@ FROM events GROUP BY user_id
 """
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths per language (20
+    char-wide bins, clamped top bin) — one groupBy over a computed bin
+    key, the classic distribution profile. Mirrored bin arithmetic in
+    both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    bin_ = F.least(F.floor(F.length("text") / 50), F.lit(19)).cast("int")
+    return (
+        docs.groupBy("lang", bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_HISTOGRAM = """
+SELECT lang, least((length(text) // 50), 19)::INT AS bin,
+       count(*) AS n_docs
+FROM documents GROUP BY lang, bin
+"""
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Pearson correlation and sample covariance between
+    the event value and its JSON ``k`` property — the statistical
+    aggregate pair (corr / covar_samp), computed JVM-side in both
+    engines and rounded to 6 decimals."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    return (
+        ev.select("event_type", F.col("value").cast("double").alias("v"),
+                  k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.corr("v", "k"), 6).alias("corr_vk"),
+            F.round(F.covar_samp("v", "k"), 6).alias("covar_vk"),
+            F.round(F.stddev_samp("v"), 6).alias("sd_v"),
+        )
+    )
+
+
+ORACLE_CORR_STATS = """
+SELECT event_type,
+       round(corr(v, k), 6) AS corr_vk,
+       round(covar_samp(v, k), 6) AS covar_vk,
+       round(stddev_samp(v), 6) AS sd_v
+FROM (
+  SELECT event_type, value::DOUBLE AS v,
+         json_extract(props, '$.k')::DOUBLE AS k
+  FROM events
+) GROUP BY event_type
+"""
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketch.py) — the
     cross-engine-checkable alternative to HLL: per event_type,
@@ -2443,6 +2495,8 @@ QUERIES = {
     "q_session_window": q_session_window,
     "q_unpivot_quality": q_unpivot_quality,
     "q_kmv_distinct": q_kmv_distinct,
+    "q_histogram": q_histogram,
+    "q_corr_stats": q_corr_stats,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -2502,6 +2556,8 @@ ORACLES = {
     "q_session_window": ORACLE_SESSION_WINDOW,
     "q_unpivot_quality": ORACLE_UNPIVOT_QUALITY,
     "q_kmv_distinct": ORACLE_KMV_DISTINCT,
+    "q_histogram": ORACLE_HISTOGRAM,
+    "q_corr_stats": ORACLE_CORR_STATS,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,
