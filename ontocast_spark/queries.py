@@ -55,6 +55,8 @@ FROM (
 
 # ---------------------------------------------------------------- C8 top-k
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 turns per conversation by length (row_number window) —
+    the C8 head-limit analog as a per-group top-k."""
     events = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     return (
@@ -123,6 +125,8 @@ SELECT canon, count(*) AS n FROM (
 
 # ---------------------------------------------------------------- A12 dedup
 def q_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-semantics dedup counts over synthetic duplicated turns
+    (A12): distinct-vs-total row accounting."""
     docs = _t(spark, sf_dir, "documents")
     return docs.agg(
         F.count(F.lit(1)).alias("total_docs"),
@@ -230,6 +234,8 @@ SELECT l_suppkey AS entity_id FROM lineitem
 
 # ---------------------------------------------------------------- agg/join
 def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: decimal-exact grouped
+    aggregation (sum/avg/count by returnflag+linestatus)."""
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -249,6 +255,8 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nations by lineitem revenue: the classic multi-join +
+    grouped-decimal-sum shape (customer x orders x lineitem x nation)."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     return (
@@ -363,6 +371,8 @@ SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events FROM (
 
 # ------------------------------------------------ text analysis / quality
 def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc language/quality columns (char count, whitespace token
+    count, uniq-token ratio) as pure column algebra."""
     docs = _t(spark, sf_dir, "documents")
     tokens = F.split(F.col("text"), " ")
     return docs.select(
