@@ -396,6 +396,59 @@ def canonicalize_crossdoc(
     return rewritten, mapping
 
 
+def pairwise_er_metrics(
+    mapping_a: DataFrame,
+    mapping_b: DataFrame,
+    element_col: str = "original_iri",
+    cluster_col: str = "canonical_iri",
+) -> DataFrame:
+    """Pair-level precision/recall/F1 of clustering A against
+    clustering B (the gold side), over their common element universe —
+    the standard entity-resolution evaluation, computed WITHOUT
+    enumerating pairs: same-cluster pair counts come from contingency
+    cell sizes (sum over cells of n*(n-1)/2), so a 10^9-element
+    mega-cluster costs one count, not 10^18 pairs. Three groupBy
+    aggregations total. Returns one row:
+    (pairs_a, pairs_b, common_pairs, precision, recall, f1)."""
+    a = mapping_a.select(F.col(element_col).alias("e"),
+                         F.col(cluster_col).alias("ca"))
+    b = mapping_b.select(F.col(element_col).alias("e"),
+                         F.col(cluster_col).alias("cb"))
+    j = a.join(b, "e").persist()
+
+    def npairs(df, *keys):
+        return (
+            df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p"))
+            .select(F.coalesce("p", F.lit(0.0)).cast("double").alias("p"))
+        )
+
+    pa = npairs(j, "ca").select(F.col("p").alias("pairs_a"))
+    pb = npairs(j, "cb").select(F.col("p").alias("pairs_b"))
+    pc = npairs(j, "ca", "cb").select(F.col("p").alias("common_pairs"))
+    out = (
+        pa.crossJoin(pb).crossJoin(pc)
+        .select(
+            "pairs_a", "pairs_b", "common_pairs",
+            F.round(F.col("common_pairs")
+                    / F.greatest("pairs_a", F.lit(1.0)), 6).alias("precision"),
+            F.round(F.col("common_pairs")
+                    / F.greatest("pairs_b", F.lit(1.0)), 6).alias("recall"),
+        )
+        .select(
+            "*",
+            F.round(
+                F.when(F.col("precision") + F.col("recall") > 0,
+                       2 * F.col("precision") * F.col("recall")
+                       / (F.col("precision") + F.col("recall")))
+                .otherwise(F.lit(0.0)), 6).alias("f1"),
+        )
+    )
+    out = out.localCheckpoint()
+    j.unpersist()
+    return out
+
+
 def canonical_entity_meta(
     rewritten_facts: DataFrame, mapping: DataFrame | None = None
 ) -> DataFrame:

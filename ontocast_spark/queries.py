@@ -1268,6 +1268,51 @@ FROM events GROUP BY user_id
 """
 
 
+def q_er_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level ER evaluation through the real operator
+    (operators/crossdoc.py pairwise_er_metrics): precision/recall/F1
+    of the lang-clustering of documents against the source-clustering,
+    computed from contingency cell counts (sum of n*(n-1)/2 per cell —
+    never an O(n^2) pair enumeration; a mega-cluster costs one count).
+    The oracle runs the identical cell arithmetic in SQL."""
+    from .operators.crossdoc import pairwise_er_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    ma = docs.select(F.col("doc_id").cast("string").alias("original_iri"),
+                     F.col("lang").alias("canonical_iri"))
+    mb = docs.select(F.col("doc_id").cast("string").alias("original_iri"),
+                     F.col("source").alias("canonical_iri"))
+    return pairwise_er_metrics(ma, mb)
+
+
+ORACLE_ER_METRICS = """
+WITH j AS (SELECT doc_id, lang AS ca, source AS cb FROM documents),
+pa AS (
+  SELECT coalesce(sum(n * (n - 1) / 2.0), 0)::DOUBLE AS pairs_a
+  FROM (SELECT count(*)::DOUBLE AS n FROM j GROUP BY ca)
+),
+pb AS (
+  SELECT coalesce(sum(n * (n - 1) / 2.0), 0)::DOUBLE AS pairs_b
+  FROM (SELECT count(*)::DOUBLE AS n FROM j GROUP BY cb)
+),
+pc AS (
+  SELECT coalesce(sum(n * (n - 1) / 2.0), 0)::DOUBLE AS common_pairs
+  FROM (SELECT count(*)::DOUBLE AS n FROM j GROUP BY ca, cb)
+)
+SELECT pairs_a, pairs_b, common_pairs,
+       round(common_pairs / greatest(pairs_a, 1), 6) AS precision,
+       round(common_pairs / greatest(pairs_b, 1), 6) AS recall,
+       round(CASE WHEN round(common_pairs / greatest(pairs_a, 1), 6)
+                       + round(common_pairs / greatest(pairs_b, 1), 6) > 0
+             THEN 2 * round(common_pairs / greatest(pairs_a, 1), 6)
+                    * round(common_pairs / greatest(pairs_b, 1), 6)
+                  / (round(common_pairs / greatest(pairs_a, 1), 6)
+                     + round(common_pairs / greatest(pairs_b, 1), 6))
+             ELSE 0.0 END, 6) AS f1
+FROM pa, pb, pc
+"""
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of document lengths per language (20
     char-wide bins, clamped top bin) — one groupBy over a computed bin
@@ -2507,6 +2552,7 @@ QUERIES = {
     "q_kmv_distinct": q_kmv_distinct,
     "q_histogram": q_histogram,
     "q_corr_stats": q_corr_stats,
+    "q_er_metrics": q_er_metrics,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -2568,6 +2614,7 @@ ORACLES = {
     "q_kmv_distinct": ORACLE_KMV_DISTINCT,
     "q_histogram": ORACLE_HISTOGRAM,
     "q_corr_stats": ORACLE_CORR_STATS,
+    "q_er_metrics": ORACLE_ER_METRICS,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,

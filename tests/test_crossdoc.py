@@ -473,3 +473,37 @@ def test_incremental_vs_batch_corpus_agreement(spark):
     for r in map_a.collect():
         assert inc[r["original_iri"]] == r["canonical_iri"]
     facts.unpersist()
+
+
+def test_pairwise_er_metrics(spark):
+    """Contingency-based pair P/R vs a brute-force pair enumeration on
+    random clusterings (no pair explosion in the operator; identical
+    numbers)."""
+    import itertools
+    import random
+
+    from ontocast_spark.operators.crossdoc import pairwise_er_metrics
+
+    rng = random.Random(5)
+    for trial in range(3):
+        n = rng.randrange(8, 40)
+        elems = [f"e{i}" for i in range(n)]
+        ca = {e: f"A{rng.randrange(1, 6)}" for e in elems}
+        cb = {e: f"B{rng.randrange(1, 5)}" for e in elems}
+        ma = spark.createDataFrame(list(ca.items()),
+                                   "original_iri string, canonical_iri string")
+        mb = spark.createDataFrame(list(cb.items()),
+                                   "original_iri string, canonical_iri string")
+        row = pairwise_er_metrics(ma, mb).collect()[0]
+
+        def pairs(cl):
+            return {frozenset(p) for p in itertools.combinations(elems, 2)
+                    if cl[p[0]] == cl[p[1]]}
+
+        sa, sb = pairs(ca), pairs(cb)
+        assert row["pairs_a"] == len(sa)
+        assert row["pairs_b"] == len(sb)
+        assert row["common_pairs"] == len(sa & sb)
+        want_p = round(len(sa & sb) / max(len(sa), 1), 6)
+        want_r = round(len(sa & sb) / max(len(sb), 1), 6)
+        assert row["precision"] == want_p and row["recall"] == want_r, trial
