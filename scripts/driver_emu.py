@@ -62,3 +62,17 @@ for name in sorted(QUERIES):
     if status=="FAIL": bad.append((name,"mismatch"))
     print(f"{name}: rows={len(spdf)}/{len(ddf)} cols_ok={ok_cols} hash={'==' if h1==h2 else '!='} dtypes_diff={dtype_mismatch if dtype_mismatch else ''} {status}")
 print("BAD:", bad)
+
+# driver smoke of entry(): must run and return >= 0 rows with a stable schema
+import importlib.util
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", "/root/repo/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+edf = mod.entry(spark)
+n = edf.count()
+cols = [f.name for f in edf.schema.fields]
+print(f"ENTRY: rows={n} cols={cols} {'OK' if n >= 0 and cols else 'FAIL'}")
+if not cols:
+    bad.append(("entry", "no schema"))
+print("FINAL:", "ALL OK" if not bad else f"FAILURES {bad}")
