@@ -492,7 +492,13 @@ def incremental_canonicalize(
     trade-off: a new entity that would have bridged two existing canon
     groups adopts ONE of them (best score, deterministic tie-break)
     instead of merging them — a batch recanonicalization job can fold
-    such bridges later.
+    such bridges later. Prior SINGLETONS are adoptable too
+    (``canonical_entity_meta`` carries every surviving entity): when a
+    new entity adopts a singleton, the singleton's own (c -> c) row is
+    emitted so the now-multi-member group is fully represented in the
+    mapping (matching batch semantics; corpus-level agreement vs
+    batch-all is asserted at precision >= 0.95 / recall >= 0.8 in
+    tests/test_crossdoc.py).
 
     Steps (all bulk joins, no per-row Python outside the shared fuzzy
     scorer):
