@@ -224,3 +224,61 @@ def predicate_violations(triples: DataFrame) -> DataFrame:
         .distinct()
     )
     return missing.union(dom_v).union(rng_v)
+
+
+def infer_types(triples: DataFrame) -> DataFrame:
+    """RDFS domain/range type inference (rules rdfs2/rdfs3) — the
+    KG-completion counterpart of :func:`predicate_violations`: for each
+    usage (s, p, o) where the graph declares (p, rdfs:domain, D),
+    infer (s, rdf:type, D); where it declares (p, rdfs:range, R) and o
+    is an IRI, infer (o, rdf:type, R). Returns only NOVEL assertions
+    (anti-joined against declared types) as (node, type, rule).
+
+    Plan: two hash joins against the per-predicate domain/range side
+    (predicate-count-sized — broadcastable) plus one anti-join; no
+    iteration (single-step RDFS, not full materialization). Declared
+    domain/range per predicate = max(obj) for determinism, same
+    convention as predicate_violations."""
+    from pyspark.sql import functions as F
+
+    from ..kernels.rdfterms import RDF_TYPE, RDFS_DOMAIN, RDFS_RANGE
+
+    doms = (
+        triples.filter(F.col("pred") == RDFS_DOMAIN)
+        .groupBy(F.col("subj").alias("p"))
+        .agg(F.max("obj").alias("dom"))
+    )
+    rngs = (
+        triples.filter(F.col("pred") == RDFS_RANGE)
+        .groupBy(F.col("subj").alias("p"))
+        .agg(F.max("obj").alias("rng"))
+    )
+    usage = triples.filter(
+        ~F.col("pred").isin(RDF_TYPE, RDFS_DOMAIN, RDFS_RANGE)
+    )
+    inf_d = usage.join(F.broadcast(doms), usage.pred == doms.p).select(
+        F.col("subj").alias("node"),
+        F.col("dom").alias("type"),
+        F.lit("rdfs2").alias("rule"),
+    )
+    obj_usage = (
+        usage.filter(~F.col("obj_is_literal"))
+        if "obj_is_literal" in triples.columns
+        else usage
+    )
+    inf_r = obj_usage.join(F.broadcast(rngs), obj_usage.pred == rngs.p).select(
+        F.col("obj").alias("node"),
+        F.col("rng").alias("type"),
+        F.lit("rdfs3").alias("rule"),
+    )
+    declared = triples.filter(F.col("pred") == RDF_TYPE).select(
+        F.col("subj").alias("node"), F.col("obj").alias("type")
+    )
+    return (
+        inf_d.union(inf_r)
+        # min(rule), not dropDuplicates: when BOTH rules infer the same
+        # (node, type) the surviving rule must be deterministic
+        .groupBy("node", "type")
+        .agg(F.min("rule").alias("rule"))
+        .join(declared, ["node", "type"], "left_anti")
+    )

@@ -1268,6 +1268,85 @@ FROM events GROUP BY user_id
 """
 
 
+def q_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS domain/range type inference (rules rdfs2/rdfs3) through
+    the real operator (operators/validation.py infer_types): a
+    containment graph (orders -> customer -> nation -> region) plus
+    inline rdfs:domain/rdfs:range declarations; region nodes carry a
+    pre-declared type so the anti-join's novelty filter is exercised.
+    Two broadcast joins + one anti-join — KG completion, oracled."""
+    from .kernels.rdfterms import RDF_TYPE, RDFS_DOMAIN, RDFS_RANGE
+    from .operators.validation import infer_types
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    tag = lambda pre, c: F.concat(F.lit(pre), F.col(c).cast("string"))  # noqa: E731
+
+    def edge(df, s_pre, s_col, o_pre, o_col):
+        return df.select(
+            tag(s_pre, s_col).alias("subj"),
+            F.lit("within").alias("pred"),
+            tag(o_pre, o_col).alias("obj"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+
+    decls = spark.createDataFrame(
+        [("within", "http://www.w3.org/2000/01/rdf-schema#domain",
+          "T:Contained", False),
+         ("within", "http://www.w3.org/2000/01/rdf-schema#range",
+          "T:Container", False)],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    declared = nation.select(
+        tag("r:", "n_regionkey").alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.lit("T:Container").alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+    ).distinct()
+    assert RDFS_DOMAIN.endswith("domain") and RDFS_RANGE.endswith("range")
+    triples = (
+        edge(orders, "o:", "o_orderkey", "c:", "o_custkey")
+        .union(edge(customer, "c:", "c_custkey", "n:", "c_nationkey"))
+        .union(edge(nation, "n:", "n_nationkey", "r:", "n_regionkey"))
+        .union(decls)
+        .union(declared)
+    )
+    return infer_types(triples)
+
+
+ORACLE_INFER_TYPES = """
+WITH edges AS (
+  SELECT 'o:' || o_orderkey::VARCHAR AS s, 'c:' || o_custkey::VARCHAR AS o
+  FROM orders
+  UNION ALL
+  SELECT 'c:' || c_custkey::VARCHAR, 'n:' || c_nationkey::VARCHAR
+  FROM customer
+  UNION ALL
+  SELECT 'n:' || n_nationkey::VARCHAR, 'r:' || n_regionkey::VARCHAR
+  FROM nation
+),
+declared AS (
+  SELECT DISTINCT 'r:' || n_regionkey::VARCHAR AS node,
+         'T:Container' AS type
+  FROM nation
+),
+inferred AS (
+  SELECT s AS node, 'T:Contained' AS type, 'rdfs2' AS rule FROM edges
+  UNION ALL
+  SELECT o, 'T:Container', 'rdfs3' FROM edges
+),
+merged AS (
+  SELECT node, type, min(rule) AS rule FROM inferred GROUP BY node, type
+)
+SELECT m.node, m.type, m.rule
+FROM merged m
+WHERE NOT EXISTS (
+  SELECT 1 FROM declared d WHERE d.node = m.node AND d.type = m.type
+)
+"""
+
+
 def q_er_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-level ER evaluation through the real operator
     (operators/crossdoc.py pairwise_er_metrics): precision/recall/F1
@@ -2553,6 +2632,7 @@ QUERIES = {
     "q_histogram": q_histogram,
     "q_corr_stats": q_corr_stats,
     "q_er_metrics": q_er_metrics,
+    "q_infer_types": q_infer_types,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -2615,6 +2695,7 @@ ORACLES = {
     "q_histogram": ORACLE_HISTOGRAM,
     "q_corr_stats": ORACLE_CORR_STATS,
     "q_er_metrics": ORACLE_ER_METRICS,
+    "q_infer_types": ORACLE_INFER_TYPES,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,

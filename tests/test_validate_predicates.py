@@ -94,3 +94,38 @@ def test_consistent_graph_is_clean(spark):
     assert "domain_violation" not in kinds and "range_violation" not in kinds
     row = predicate_stats(df).collect()[0]
     assert row.domain_range_consistent is True
+
+
+def test_infer_types(spark):
+    """RDFS rdfs2/rdfs3 inference: domain types subjects, range types
+    IRI objects (literals never), already-declared types are filtered,
+    and both-rules-same-conclusion picks the deterministic min rule."""
+    from ontocast_spark.operators.validation import infer_types
+
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        ("employs", RDFS + "domain", "T:Org", False),
+        ("employs", RDFS + "range", "T:Person", False),
+        ("acme", "employs", "dana", False),
+        ("acme", "employs", "lee", False),
+        # dana already declared -> no novel assertion for (dana, Person)
+        ("dana", RDF_TYPE, "T:Person", False),
+        # literal object: range rule must NOT fire
+        ("acme", "label_like", "Acme Corp", True),
+        ("label_like", RDFS + "range", "T:Text", False),
+        # node inferred by BOTH rules -> single row, rule = min
+        ("selfemploys", RDFS + "domain", "T:Solo", False),
+        ("selfemploys", RDFS + "range", "T:Solo", False),
+        ("indie", "selfemploys", "indie", False),
+    ]
+    tri = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_literal boolean"
+    )
+    got = {(r["node"], r["type"]): r["rule"] for r in infer_types(tri).collect()}
+    assert got[("acme", "T:Org")] == "rdfs2"
+    assert got[("lee", "T:Person")] == "rdfs3"
+    assert ("dana", "T:Person") not in got          # already declared
+    assert ("Acme Corp", "T:Text") not in got       # literal object
+    assert got[("indie", "T:Solo")] == "rdfs2"      # deterministic min
+    assert len(got) == 4, got
