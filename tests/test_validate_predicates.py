@@ -128,4 +128,4 @@ def test_infer_types(spark):
     assert ("dana", "T:Person") not in got          # already declared
     assert ("Acme Corp", "T:Text") not in got       # literal object
     assert got[("indie", "T:Solo")] == "rdfs2"      # deterministic min
-    assert len(got) == 4, got
+    assert len(got) == 3, got
