@@ -282,3 +282,38 @@ def infer_types(triples: DataFrame) -> DataFrame:
         .agg(F.min("rule").alias("rule"))
         .join(declared, ["node", "type"], "left_anti")
     )
+
+
+RDFS_SUBCLASSOF = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+
+def materialize_subclass_types(triples: DataFrame) -> DataFrame:
+    """RDFS rule rdfs9 (subclass inheritance), materialized: for every
+    declared (x, rdf:type, C) and every superclass S reachable via
+    ``rdfs:subClassOf+``, emit the NOVEL (x, rdf:type, S) assertions
+    as (node, type). The transitive closure over the class hierarchy
+    reuses the BGP compiler's iterative-squaring loop
+    (plans/bgp.py:_closure — O(log depth) rounds, localCheckpoint
+    lineage truncation); class hierarchies are ontology-sized, so the
+    closure side of the join is tiny and broadcastable while the
+    instance side streams through one hash join."""
+    from pyspark.sql import functions as F
+
+    from ..kernels.rdfterms import RDF_TYPE
+    from ..plans.bgp import _closure
+
+    sub = triples.filter(F.col("pred") == RDFS_SUBCLASSOF).select(
+        F.col("subj").alias("s"), F.col("obj").alias("o")
+    )
+    closure = _closure(sub, max_iter=25).select(
+        F.col("s").alias("cls"), F.col("o").alias("super")
+    )
+    declared = triples.filter(F.col("pred") == RDF_TYPE).select(
+        F.col("subj").alias("node"), F.col("obj").alias("type")
+    )
+    inherited = (
+        declared.join(F.broadcast(closure), declared.type == closure.cls)
+        .select("node", F.col("super").alias("type"))
+        .distinct()
+    )
+    return inherited.join(declared, ["node", "type"], "left_anti")

@@ -1347,6 +1347,63 @@ WHERE NOT EXISTS (
 """
 
 
+def q_subclass_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS rule rdfs9 (subclass type inheritance) through the real
+    operator (operators/validation.py materialize_subclass_types):
+    customers typed with their nation class inherit the region class
+    and T:Place through a nation -> region -> T:Place subClassOf
+    hierarchy; the closure runs the BGP compiler's iterative-squaring
+    loop and the instance join broadcasts the tiny class closure.
+    Oracle: DuckDB recursive CTE."""
+    from .kernels.rdfterms import RDF_TYPE
+    from .operators.validation import RDFS_SUBCLASSOF, materialize_subclass_types
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    customer = _t(spark, sf_dir, "customer")
+    tag = lambda pre, c: F.concat(F.lit(pre), F.col(c).cast("string"))  # noqa: E731
+    triples = (
+        nation.select(tag("n:", "n_nationkey").alias("subj"),
+                      F.lit(RDFS_SUBCLASSOF).alias("pred"),
+                      tag("r:", "n_regionkey").alias("obj"))
+        .union(region.select(tag("r:", "r_regionkey").alias("subj"),
+                             F.lit(RDFS_SUBCLASSOF).alias("pred"),
+                             F.lit("T:Place").alias("obj")))
+        .union(customer.select(tag("cust:", "c_custkey").alias("subj"),
+                               F.lit(RDF_TYPE).alias("pred"),
+                               tag("n:", "c_nationkey").alias("obj")))
+    )
+    return materialize_subclass_types(triples)
+
+
+ORACLE_SUBCLASS_TYPES = """
+WITH RECURSIVE sub AS (
+  SELECT 'n:' || n_nationkey::VARCHAR AS s, 'r:' || n_regionkey::VARCHAR AS o
+  FROM nation
+  UNION ALL
+  SELECT 'r:' || r_regionkey::VARCHAR, 'T:Place' FROM region
+),
+reach(s, o) AS (
+  SELECT s, o FROM sub
+  UNION
+  SELECT r.s, e.o FROM reach r JOIN sub e ON r.o = e.s
+),
+declared AS (
+  SELECT 'cust:' || c_custkey::VARCHAR AS node,
+         'n:' || c_nationkey::VARCHAR AS type
+  FROM customer
+),
+inh AS (
+  SELECT DISTINCT d.node, r.o AS type
+  FROM declared d JOIN reach r ON d.type = r.s
+)
+SELECT i.node, i.type FROM inh i
+WHERE NOT EXISTS (
+  SELECT 1 FROM declared d WHERE d.node = i.node AND d.type = i.type
+)
+"""
+
+
 def q_er_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-level ER evaluation through the real operator
     (operators/crossdoc.py pairwise_er_metrics): precision/recall/F1
@@ -2633,6 +2690,7 @@ QUERIES = {
     "q_corr_stats": q_corr_stats,
     "q_er_metrics": q_er_metrics,
     "q_infer_types": q_infer_types,
+    "q_subclass_types": q_subclass_types,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -2696,6 +2754,7 @@ ORACLES = {
     "q_corr_stats": ORACLE_CORR_STATS,
     "q_er_metrics": ORACLE_ER_METRICS,
     "q_infer_types": ORACLE_INFER_TYPES,
+    "q_subclass_types": ORACLE_SUBCLASS_TYPES,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,

@@ -129,3 +129,28 @@ def test_infer_types(spark):
     assert ("Acme Corp", "T:Text") not in got       # literal object
     assert got[("indie", "T:Solo")] == "rdfs2"      # deterministic min
     assert len(got) == 3, got
+
+
+def test_materialize_subclass_types(spark):
+    """rdfs9: a 3-deep subClassOf chain (with a diamond) inherits all
+    ancestors; declared types are excluded; closure handles the diamond
+    without duplicates."""
+    from ontocast_spark.operators.validation import (
+        RDFS_SUBCLASSOF,
+        materialize_subclass_types,
+    )
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        ("Cat", RDFS_SUBCLASSOF, "Mammal"),
+        ("Mammal", RDFS_SUBCLASSOF, "Animal"),
+        ("Pet", RDFS_SUBCLASSOF, "Animal"),     # diamond top
+        ("Cat", RDFS_SUBCLASSOF, "Pet"),
+        ("felix", RDF_TYPE, "Cat"),
+        ("rex", RDF_TYPE, "Mammal"),
+        ("rex", RDF_TYPE, "Animal"),            # already declared
+    ]
+    tri = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {(r["node"], r["type"])
+           for r in materialize_subclass_types(tri).collect()}
+    assert got == {("felix", "Mammal"), ("felix", "Animal"), ("felix", "Pet")}
