@@ -148,3 +148,48 @@ def entity_mappings_local(facts: DataFrame) -> DataFrame:
     return facts.groupBy("conv_id").applyInPandas(
         mapping_group, schema=ENTITY_MAPPING
     )
+
+
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def resolve_sameas(triples):
+    """owl:sameAs resolution: connected components over the sameAs
+    graph pick one representative per alias set (min IRI —
+    deterministic), every subject/IRI-object rewrites to it, the
+    sameAs triples themselves drop, and the result dedups — the
+    standard alias-collapse step when ingesting external KGs that
+    assert equivalences (the reference has no sameAs handling; this is
+    the corpus-scale form: distributed CC + two hash joins, no
+    iteration outside the CC loop).
+
+    Input needs (subj, pred, obj) and optionally ``obj_is_literal``
+    (literal objects are never rewritten). Returns the same columns."""
+    from pyspark.sql import functions as F
+
+    from .cc import connected_components
+
+    edges = triples.filter(F.col("pred") == OWL_SAMEAS).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    labels = connected_components(edges)
+    mapping = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("_o"), F.col("comp").alias("_c")
+    )
+    rest = triples.filter(F.col("pred") != OWL_SAMEAS)
+    out = (
+        rest.join(mapping, rest.subj == mapping._o, "left")
+        .withColumn("subj", F.coalesce("_c", "subj"))
+        .drop("_o", "_c")
+    )
+    not_literal = (
+        ~F.col("obj_is_literal")
+        if "obj_is_literal" in triples.columns
+        else F.lit(True)
+    )
+    out = (
+        out.join(mapping, (out.obj == mapping._o) & not_literal, "left")
+        .withColumn("obj", F.coalesce("_c", "obj"))
+        .drop("_o", "_c")
+    )
+    return out.dropDuplicates(["subj", "pred", "obj"])

@@ -1347,6 +1347,76 @@ WHERE NOT EXISTS (
 """
 
 
+def q_resolve_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs alias collapse through the real operator
+    (operators/canonicalize.py resolve_sameas): every 10th customer
+    has an alias chain c -> dup -> dup2 (transitivity exercised), all
+    aliases carry in-nation edges, and resolution rewrites everything
+    onto the min-IRI representative, drops the sameAs triples, and
+    dedups. Oracle: recursive-CTE closure + min-label rewrite."""
+    from .operators.canonicalize import OWL_SAMEAS, resolve_sameas
+
+    customer = _t(spark, sf_dir, "customer")
+    tag = lambda pre, c: F.concat(F.lit(pre), F.col(c).cast("string"))  # noqa: E731
+    base = customer.select(
+        tag("c:", "c_custkey").alias("subj"),
+        F.lit("in_nation").alias("pred"),
+        tag("n:", "c_nationkey").alias("obj"),
+    )
+    alias1 = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        tag("c:", "c_custkey").alias("subj"),
+        F.lit(OWL_SAMEAS).alias("pred"),
+        tag("dup:", "c_custkey").alias("obj"),
+    )
+    alias2 = customer.filter(F.col("c_custkey") % 20 == 0).select(
+        tag("dup:", "c_custkey").alias("subj"),
+        F.lit(OWL_SAMEAS).alias("pred"),
+        tag("dup2:", "c_custkey").alias("obj"),
+    )
+    dup_facts = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        tag("dup:", "c_custkey").alias("subj"),
+        F.lit("in_nation").alias("pred"),
+        tag("n:", "c_nationkey").alias("obj"),
+    )
+    triples = base.union(alias1).union(alias2).union(dup_facts)
+    return resolve_sameas(triples)
+
+
+ORACLE_RESOLVE_SAMEAS = """
+WITH RECURSIVE e AS (
+  SELECT 'c:' || c_custkey::VARCHAR AS a, 'dup:' || c_custkey::VARCHAR AS b
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT 'dup:' || c_custkey::VARCHAR, 'dup2:' || c_custkey::VARCHAR
+  FROM customer WHERE c_custkey % 20 = 0
+),
+sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+),
+reach(node, m) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON r.m = s.a
+),
+comp AS (SELECT node, min(m) AS rep FROM reach GROUP BY node),
+facts AS (
+  SELECT 'c:' || c_custkey::VARCHAR AS subj, 'in_nation' AS pred,
+         'n:' || c_nationkey::VARCHAR AS obj
+  FROM customer
+  UNION ALL
+  SELECT 'dup:' || c_custkey::VARCHAR, 'in_nation',
+         'n:' || c_nationkey::VARCHAR
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT DISTINCT coalesce(cs.rep, f.subj) AS subj, f.pred,
+       coalesce(co.rep, f.obj) AS obj
+FROM facts f
+LEFT JOIN comp cs ON cs.node = f.subj
+LEFT JOIN comp co ON co.node = f.obj
+"""
+
+
 def q_subclass_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFS rule rdfs9 (subclass type inheritance) through the real
     operator (operators/validation.py materialize_subclass_types):
@@ -2691,6 +2761,7 @@ QUERIES = {
     "q_er_metrics": q_er_metrics,
     "q_infer_types": q_infer_types,
     "q_subclass_types": q_subclass_types,
+    "q_resolve_sameas": q_resolve_sameas,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -2755,6 +2826,7 @@ ORACLES = {
     "q_er_metrics": ORACLE_ER_METRICS,
     "q_infer_types": ORACLE_INFER_TYPES,
     "q_subclass_types": ORACLE_SUBCLASS_TYPES,
+    "q_resolve_sameas": ORACLE_RESOLVE_SAMEAS,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,

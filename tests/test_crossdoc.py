@@ -507,3 +507,30 @@ def test_pairwise_er_metrics(spark):
         want_p = round(len(sa & sb) / max(len(sa), 1), 6)
         want_r = round(len(sa & sb) / max(len(sb), 1), 6)
         assert row["precision"] == want_p and row["recall"] == want_r, trial
+
+
+def test_resolve_sameas(spark):
+    """owl:sameAs collapse: transitive chains rewrite to the min-IRI
+    representative, sameAs triples drop, literals never rewrite, and
+    payloads dedup after the collapse."""
+    from ontocast_spark.operators.canonicalize import OWL_SAMEAS, resolve_sameas
+
+    rows = [
+        ("b", OWL_SAMEAS, "c", False),
+        ("a", OWL_SAMEAS, "b", False),       # chain a~b~c -> rep 'a'
+        ("c", "likes", "z", False),
+        ("a", "likes", "z", False),          # duplicates after collapse
+        ("b", "label", "a", True),           # literal 'a' must survive
+        ("z", "knows", "b", False),          # object position rewrites
+        ("solo", "likes", "z", False),
+    ]
+    tri = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_literal boolean"
+    )
+    got = {(r["subj"], r["pred"], r["obj"]) for r in resolve_sameas(tri).collect()}
+    assert got == {
+        ("a", "likes", "z"),
+        ("a", "label", "a"),
+        ("z", "knows", "a"),
+        ("solo", "likes", "z"),
+    }
