@@ -317,3 +317,45 @@ def materialize_subclass_types(triples: DataFrame) -> DataFrame:
         .distinct()
     )
     return inherited.join(declared, ["node", "type"], "left_anti")
+
+
+RDFS_SUBPROPERTYOF = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+
+
+def materialize_subproperty_triples(triples: DataFrame) -> DataFrame:
+    """RDFS rule rdfs7 (subproperty entailment): for every usage
+    (s, p, o) and every superproperty q reachable via
+    ``rdfs:subPropertyOf+``, emit the NOVEL (s, q, o) triples —
+    completing the rule family with :func:`infer_types` (rdfs2/3) and
+    :func:`materialize_subclass_types` (rdfs9). Same shape as rdfs9:
+    tiny property-hierarchy closure (iterative squaring,
+    broadcastable) x one hash join on the usage stream, then a
+    novelty anti-join."""
+    from pyspark.sql import functions as F
+
+    from ..kernels.rdfterms import RDF_TYPE
+    from ..plans.bgp import _closure
+
+    sub = triples.filter(F.col("pred") == RDFS_SUBPROPERTYOF).select(
+        F.col("subj").alias("s"), F.col("obj").alias("o")
+    )
+    closure = _closure(sub, max_iter=25).select(
+        F.col("s").alias("p0"), F.col("o").alias("p1")
+    )
+    usage = triples.filter(
+        ~F.col("pred").isin(RDF_TYPE, RDFS_SUBPROPERTYOF)
+    )
+    extra = [c for c in triples.columns if c not in ("subj", "pred", "obj")]
+    inferred = (
+        usage.join(F.broadcast(closure), usage.pred == closure.p0)
+        .select(
+            "subj", F.col("p1").alias("pred"), "obj",
+            *[F.col(c) for c in extra],
+        )
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+    return inferred.join(
+        triples.select("subj", "pred", "obj"),
+        ["subj", "pred", "obj"],
+        "left_anti",
+    )

@@ -1347,6 +1347,58 @@ WHERE NOT EXISTS (
 """
 
 
+def q_subproperty_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS rule rdfs7 (subproperty entailment) through the real
+    operator: a placed_by -> ordered_by -> related_to subPropertyOf
+    chain over order -> customer edges; a slice of the entailed
+    ordered_by triples is pre-asserted so the novelty anti-join is
+    exercised. Oracle: recursive CTE over the property hierarchy."""
+    from .operators.validation import (
+        RDFS_SUBPROPERTYOF,
+        materialize_subproperty_triples,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    tag = lambda pre, c: F.concat(F.lit(pre), F.col(c).cast("string"))  # noqa: E731
+    usage = orders.select(
+        tag("o:", "o_orderkey").alias("subj"),
+        F.lit("placed_by").alias("pred"),
+        tag("c:", "o_custkey").alias("obj"),
+    )
+    asserted = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        tag("o:", "o_orderkey").alias("subj"),
+        F.lit("ordered_by").alias("pred"),
+        tag("c:", "o_custkey").alias("obj"),
+    )
+    hier = spark.createDataFrame(
+        [("placed_by", "ordered_by"), ("ordered_by", "related_to")],
+        "subj string, obj string",
+    ).select("subj", F.lit(RDFS_SUBPROPERTYOF).alias("pred"), "obj")
+    return materialize_subproperty_triples(usage.union(asserted).union(hier))
+
+
+ORACLE_SUBPROPERTY_TRIPLES = """
+WITH usage AS (
+  SELECT 'o:' || o_orderkey::VARCHAR AS subj,
+         'c:' || o_custkey::VARCHAR AS obj, o_orderkey
+  FROM orders
+),
+inferred AS (
+  SELECT subj, 'ordered_by' AS pred, obj FROM usage
+  UNION
+  SELECT subj, 'related_to', obj FROM usage
+),
+asserted AS (
+  SELECT subj, 'ordered_by' AS pred, obj FROM usage WHERE o_orderkey % 7 = 0
+)
+SELECT i.subj, i.pred, i.obj FROM inferred i
+WHERE NOT EXISTS (
+  SELECT 1 FROM asserted a
+  WHERE a.subj = i.subj AND a.pred = i.pred AND a.obj = i.obj
+)
+"""
+
+
 def q_resolve_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """owl:sameAs alias collapse through the real operator
     (operators/canonicalize.py resolve_sameas): every 10th customer
@@ -2762,6 +2814,7 @@ QUERIES = {
     "q_infer_types": q_infer_types,
     "q_subclass_types": q_subclass_types,
     "q_resolve_sameas": q_resolve_sameas,
+    "q_subproperty_triples": q_subproperty_triples,
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
@@ -2827,6 +2880,7 @@ ORACLES = {
     "q_infer_types": ORACLE_INFER_TYPES,
     "q_subclass_types": ORACLE_SUBCLASS_TYPES,
     "q_resolve_sameas": ORACLE_RESOLVE_SAMEAS,
+    "q_subproperty_triples": ORACLE_SUBPROPERTY_TRIPLES,
     "q_bgp_construct": ORACLE_BGP_CONSTRUCT,
     "q_simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "q_rollup_stats": ORACLE_ROLLUP_STATS,

@@ -154,3 +154,28 @@ def test_materialize_subclass_types(spark):
     got = {(r["node"], r["type"])
            for r in materialize_subclass_types(tri).collect()}
     assert got == {("felix", "Mammal"), ("felix", "Animal"), ("felix", "Pet")}
+
+
+def test_materialize_subproperty_triples(spark):
+    """rdfs7: usages entail all superproperties transitively; already-
+    asserted entailments are excluded; the hierarchy triples themselves
+    never entail."""
+    from ontocast_spark.operators.validation import (
+        RDFS_SUBPROPERTYOF,
+        materialize_subproperty_triples,
+    )
+
+    rows = [
+        ("hasCEO", RDFS_SUBPROPERTYOF, "hasOfficer"),
+        ("hasOfficer", RDFS_SUBPROPERTYOF, "hasMember"),
+        ("acme", "hasCEO", "dana"),
+        ("acme", "hasMember", "dana"),   # already asserted entailment
+        ("org", "hasOfficer", "lee"),
+    ]
+    tri = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in materialize_subproperty_triples(tri).collect()}
+    assert got == {
+        ("acme", "hasOfficer", "dana"),
+        ("org", "hasMember", "lee"),
+    }
