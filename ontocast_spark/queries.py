@@ -1304,7 +1304,6 @@ def q_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("T:Container").alias("obj"),
         F.lit(False).alias("obj_is_literal"),
     ).distinct()
-    assert RDFS_DOMAIN.endswith("domain") and RDFS_RANGE.endswith("range")
     triples = (
         edge(orders, "o:", "o_orderkey", "c:", "o_custkey")
         .union(edge(customer, "c:", "c_custkey", "n:", "c_nationkey"))
