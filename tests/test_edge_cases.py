@@ -631,3 +631,34 @@ def test_bgp_term_metadata_builtins(spark):
     # literal "b" with subject b
     loose = bgp_select(tri, [("?s", "alias", "?x"), ("?x", "label", "?l")])
     assert loose.count() == 1
+
+
+def test_inference_plan_shapes(spark):
+    """The inference suite's plan contracts: rdfs2/3 joins broadcast
+    the tiny schema side; sameAs/rdfs9 never fall into a cartesian or
+    nested-loop join."""
+    from ontocast_spark.operators.canonicalize import OWL_SAMEAS, resolve_sameas
+    from ontocast_spark.operators.validation import (
+        RDFS_SUBCLASSOF,
+        infer_types,
+        materialize_subclass_types,
+    )
+
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    tri = spark.createDataFrame(
+        [("p", RDFS + "domain", "D", False),
+         ("p", RDFS + "range", "R", False),
+         ("a", "p", "b", False),
+         ("C", RDFS_SUBCLASSOF, "S", False),
+         ("a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "C", False),
+         ("x", OWL_SAMEAS, "y", False),
+         ("y", "p", "b", False)],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    for df in (infer_types(tri), materialize_subclass_types(tri),
+               resolve_sameas(tri)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    plan = infer_types(tri)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # schema side broadcasts
