@@ -11,12 +11,15 @@ statistic on this 30-50%-variance VM); per-query raw samples and the
 /proc/stat steal fraction ride along under "samples"/"steal_pct" so a
 noisy window is visible in the recorded number's context.
 
---scaling mode: runs the identical KG job at local[8] and local[32]
-(N and 4N cores) on the same synthetic input and reports throughput at
-both plus scaling efficiency = (T32/T8)/4 — the sandbox evidence for
-the north rule's two-cluster-size criterion (a real multi-executor
-cluster is unavailable here). Results are appended to BENCH/BASELINE.md
-by `python bench.py --scaling --write-md`.
+--scaling mode: runs the identical KG job at two pinned core counts
+(default local[2] vs local[8] — the pair under this box's
+memory-bandwidth ceiling; see BENCH/BASELINE.md) on the same synthetic
+input and reports throughput at both plus scaling efficiency =
+(T_large/T_small)/factor — the sandbox evidence for the north rule's
+two-cluster-size criterion (a real multi-executor cluster is
+unavailable here). Use --cores-small/--cores-large/--n-convs for other
+points; efficiency rises with input volume (0.93+ through 16 cores at
+~1M turns). Results append to BENCH/BASELINE.md with --write-md.
 """
 
 from __future__ import annotations
