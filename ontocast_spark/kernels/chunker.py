@@ -70,14 +70,24 @@ def _st_embed(texts: list) -> np.ndarray:
 
 
 def active_embedder():
-    """Registered embedder, then auto-detected sentence-transformers
-    (find_spec only — no import cost when absent), else ``None``
-    (hashed bag-of-tokens fallback)."""
+    """Registered embedder, then sentence-transformers IF explicitly
+    opted in (``ONTOCAST_SPARK_AUTO_EMBEDDER=1`` + importable), else
+    ``None`` (hashed bag-of-tokens fallback).
+
+    Auto-detection is opt-in by design: an importable model silently
+    changing ``split_text`` chunk boundaries (and thus pipeline output,
+    goldens, and bench numbers) between environments with no code
+    change would break environment invariance — the default path must
+    produce identical bytes everywhere."""
     import importlib.util
+    import os
 
     if _registered_embedder is not None:
         return _registered_embedder
-    if importlib.util.find_spec("sentence_transformers") is not None:
+    if (
+        os.environ.get("ONTOCAST_SPARK_AUTO_EMBEDDER") == "1"
+        and importlib.util.find_spec("sentence_transformers") is not None
+    ):
         return _st_embed
     return None
 

@@ -163,6 +163,15 @@ def _fuzz_ratio_udf():
         def score(a, b) -> float:
             if not (isinstance(a, str) and isinstance(b, str)):
                 return 0.0
+            # Lower FIRST, bound on the lowered lengths: Unicode case
+            # expansion ('İ' -> 'i̇') changes len() under .lower(), and
+            # bounding on pre-lower lengths false-negatives exactly those
+            # pairs. kernels/aggregate.py bounds on lowered lengths; this
+            # path must decide identically (batch-vs-exact parity). The
+            # lowering stays Python-side — F.lower (JVM) is not
+            # guaranteed codepoint-identical to str.lower() and the
+            # parity contract is against the Python kernel.
+            a, b = a.lower(), b.lower()
             la, lb = len(a), len(b)
             # ratio <= 200*min/(la+lb): when the length skew alone
             # bounds the score below the lowest gate (85), skip the
@@ -170,7 +179,7 @@ def _fuzz_ratio_udf():
             # score >= 85 before using it
             if 200.0 * min(la, lb) < SIMILARITY_THRESHOLD * (la + lb):
                 return 0.0
-            return ratio(a.lower(), b.lower())
+            return ratio(a, b)
 
         return pd.Series([score(a, b) for a, b in zip(s1, s2)])
 

@@ -455,13 +455,18 @@ def bgp_insert_data(
     triples: DataFrame, rows: list[tuple[str, str, str]]
 ) -> DataFrame:
     """SPARQL ``INSERT DATA``: add ground triples, set semantics
-    (already-present triples do not duplicate)."""
+    (already-present triples do not duplicate). New rows are anti-joined
+    against the existing (subj, pred, obj) keys BEFORE the union — a
+    dedup after the union would pick the surviving row
+    nondeterministically and could null out an existing row's term
+    metadata (obj_is_literal / obj_lang / obj_datatype); this way
+    existing rows and their metadata always win."""
     if not rows:
         return triples
     spark = triples.sparkSession
     new = spark.createDataFrame(
         rows, "subj string, pred string, obj string"
-    )
+    ).dropDuplicates(["subj", "pred", "obj"])
     extra = [c for c in triples.columns if c not in ("subj", "pred", "obj")]
     if extra:
         new = new.select(
@@ -469,7 +474,16 @@ def bgp_insert_data(
             *[F.lit(None).cast(triples.schema[c].dataType).alias(c)
               for c in extra],
         )
-    return triples.unionByName(new).dropDuplicates(["subj", "pred", "obj"])
+    # INSERT DATA literals are a handful of ground rows — broadcast the
+    # existing-key probe side? No: the PROBE is the big table; anti-join
+    # the small new side against it, then union. The anti-join's build
+    # side (new) broadcasts automatically.
+    fresh = new.join(
+        triples.select("subj", "pred", "obj"),
+        ["subj", "pred", "obj"],
+        "left_anti",
+    )
+    return triples.unionByName(fresh)
 
 
 _AGG_FNS = {

@@ -55,8 +55,9 @@ FROM (
 
 # ---------------------------------------------------------------- C8 top-k
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 turns per conversation by length (row_number window) —
-    the C8 head-limit analog as a per-group top-k."""
+    """First 3 events per user in (ts, event_id) order (row_number
+    window) — the C8 head-``max_chunks`` limit analog as a per-group
+    head-k over the events table."""
     events = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     return (
@@ -125,8 +126,8 @@ SELECT canon, count(*) AS n FROM (
 
 # ---------------------------------------------------------------- A12 dedup
 def q_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-semantics dedup counts over synthetic duplicated turns
-    (A12): distinct-vs-total row accounting."""
+    """Set-semantics dedup accounting (A12) over the documents table:
+    total rows vs distinct text values."""
     docs = _t(spark, sf_dir, "documents")
     return docs.agg(
         F.count(F.lit(1)).alias("total_docs"),
@@ -649,15 +650,19 @@ def q_crossdoc_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_crossdoc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental adopt-or-mint canonicalization through the REAL
-    operators: the corpus splits by doc_id parity, batch A
-    canonicalizes from scratch, batch B merges incrementally
-    (reuse -> blocked adoption vs canon_meta incl. singletons -> fresh
-    mint with exact suffix-slot assignment). Returns the full merged
-    mapping. Non-SQL-expressible (iterative CC + fuzzy scorer) —
-    rows-only driver check; value-level coverage comes from the
-    corpus-agreement and slot-minting property tests plus
-    q_crossdoc_exact's oracle on the shared sub-semantics.
-    Deterministic: same input -> same mapping."""
+    operators, in the exact-lowercase-local-name sub-semantics so the
+    whole two-batch flow is DuckDB-oracle-checkable (round-4 VERDICT
+    ask; the fuzzy incremental path stays covered by the corpus-level
+    batch-vs-incremental agreement test in tests/test_crossdoc.py):
+    the corpus splits by doc_id parity, batch A canonicalizes from
+    scratch (entity per doc = ``https://kg/d<id>/<tok>``), batch B
+    merges incrementally — reuse (none here: batch IRIs are disjoint)
+    -> blocked exact adoption vs canon_meta INCLUDING prior singletons
+    (adopted singletons emit their own (c -> c) row) -> fresh mint with
+    ``_N`` suffix slots offset past the names batch A already holds.
+    Returns the full merged mapping. Block cap lifted (1e9) so the
+    capped-recall dial stays out of the oracle, same as
+    q_crossdoc_exact."""
     from .operators.crossdoc import (
         canonical_entity_meta,
         canonicalize_crossdoc,
@@ -665,24 +670,156 @@ def q_crossdoc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    label = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
+    words = F.split(F.col("text"), " ")
+    tok = F.regexp_replace(F.element_at(words, 1), r"[^a-zA-Z0-9_\-]", "")
+    label = F.array_join(F.slice(words, 1, 3), " ")
     facts = docs.select(
         (F.col("doc_id") % 2 == 0).alias("_a"),
         F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
-        F.concat(F.lit("https://kg/e/"), F.col("doc_id").cast("string")).alias("subj"),
+        F.concat(
+            F.lit("https://kg/d"), F.col("doc_id").cast("string"),
+            F.lit("/"), tok,
+        ).alias("subj"),
         F.lit("http://www.w3.org/2000/01/rdf-schema#label").alias("pred"),
         label.alias("obj"),
         F.lit(True).alias("obj_is_literal"),
         F.lit(None).cast("string").alias("obj_datatype"),
-    ).filter(F.length("obj") > 0)
+        tok.alias("_tok"),
+    ).filter((F.length("_tok") > 0) & (F.length("obj") > 0)).drop("_tok")
     fa = facts.filter(F.col("_a")).drop("_a")
     fb = facts.filter(~F.col("_a")).drop("_a")
-    rew_a, map_a = canonicalize_crossdoc(fa, kg_namespace="https://kg/canon/")
+    rew_a, map_a = canonicalize_crossdoc(
+        fa, kg_namespace="https://kg/canon/",
+        max_block_size=1_000_000_000, exact_only=True,
+    )
     meta_a = canonical_entity_meta(rew_a, map_a)
     _, full = incremental_canonicalize(
-        fb, map_a, meta_a, kg_namespace="https://kg/canon/"
+        fb, map_a, meta_a, kg_namespace="https://kg/canon/",
+        max_block_size=1_000_000_000, exact_only=True,
     )
     return full.select("original_iri", "canonical_iri")
+
+
+# DuckDB replay of the exact-only incremental flow: batch A =
+# q_crossdoc_exact-style components + minting over even doc_ids; the
+# canon side table = A's canonical names (+ lns) plus A's singletons;
+# batch B adopts by exact ln (all-tie score -> lowest target IRI,
+# canonical IRIs sort before entity IRIs), adopted prior singletons get
+# their own (c -> c) row, and the remainder mints with suffix slots
+# offset past A's mints per base name (A's slots are contiguous 0..m-1,
+# so B's j-th component of base b takes slot m+j — equivalent to the
+# operator's k-th-free-slot assignment whenever no natural ``_<digits>``
+# token collides, the same simplification ORACLE_CROSSDOC_EXACT makes).
+ORACLE_CROSSDOC_INCREMENTAL = """
+WITH ents AS (
+  SELECT 'https://kg/d' || doc_id::VARCHAR || '/' || tok AS entity,
+         lower(tok) AS ln, label, (doc_id % 2 = 0) AS in_a
+  FROM (
+    SELECT doc_id,
+           regexp_replace(split_part(text, ' ', 1), '[^a-zA-Z0-9_-]', '', 'g') AS tok,
+           array_to_string(string_split(text, ' ')[1:3], ' ') AS label
+    FROM documents
+  )
+  WHERE length(tok) > 0 AND length(label) > 0
+),
+a_comps AS (
+  SELECT entity, ln, label,
+         min(entity) OVER (PARTITION BY ln) AS comp,
+         count(*) OVER (PARTITION BY ln) AS n
+  FROM ents WHERE in_a
+),
+a_members AS (SELECT * FROM a_comps WHERE n > 1),
+a_cname AS (  -- representative = longest label, tie -> max IRI
+  SELECT comp, CASE WHEN c3 = '' THEN 'entity' ELSE c3 END AS cname
+  FROM (
+    SELECT comp,
+           regexp_replace(regexp_replace(regexp_replace(
+             ln, '[^a-zA-Z0-9_\\-.]', '_', 'g'), '_+', '_', 'g'),
+             '^_+|_+$', '', 'g') AS c3,
+           row_number() OVER (PARTITION BY comp
+             ORDER BY length(coalesce(label, '')) DESC, entity DESC) AS rn
+    FROM a_members
+  ) WHERE rn = 1
+),
+a_minted AS (
+  SELECT comp, cname, rn - 1 AS slot,
+         CASE WHEN rn = 1 THEN 'https://kg/canon/' || cname
+              ELSE 'https://kg/canon/' || cname || '_' || (rn - 1)::VARCHAR
+         END AS canonical_iri
+  FROM (
+    SELECT comp, cname,
+           row_number() OVER (PARTITION BY cname ORDER BY comp) AS rn
+    FROM a_cname
+  )
+),
+map_a AS (
+  SELECT m.entity AS original_iri, t.canonical_iri
+  FROM a_members m JOIN a_minted t USING (comp)
+),
+canon_meta AS (  -- entities surviving A's rewrite: canonicals + singletons
+  SELECT canonical_iri AS entity,
+         CASE WHEN slot = 0 THEN cname
+              ELSE cname || '_' || slot::VARCHAR END AS ln
+  FROM a_minted
+  UNION ALL
+  SELECT entity, ln FROM a_comps WHERE n = 1
+),
+b_ents AS (SELECT entity, ln, label FROM ents WHERE NOT in_a),
+adopted AS (
+  SELECT b.entity AS original_iri, min(c.entity) AS canonical_iri
+  FROM b_ents b JOIN canon_meta c USING (ln)
+  GROUP BY b.entity
+),
+singleton_self AS (
+  SELECT DISTINCT canonical_iri AS original_iri, canonical_iri
+  FROM adopted
+  WHERE canonical_iri NOT IN (SELECT canonical_iri FROM a_minted)
+),
+rest AS (
+  SELECT * FROM b_ents
+  WHERE entity NOT IN (SELECT original_iri FROM adopted)
+),
+r_comps AS (
+  SELECT entity, ln, label,
+         min(entity) OVER (PARTITION BY ln) AS comp,
+         count(*) OVER (PARTITION BY ln) AS n
+  FROM rest
+),
+r_members AS (SELECT * FROM r_comps WHERE n > 1),
+r_cname AS (
+  SELECT comp, CASE WHEN c3 = '' THEN 'entity' ELSE c3 END AS cname
+  FROM (
+    SELECT comp,
+           regexp_replace(regexp_replace(regexp_replace(
+             ln, '[^a-zA-Z0-9_\\-.]', '_', 'g'), '_+', '_', 'g'),
+             '^_+|_+$', '', 'g') AS c3,
+           row_number() OVER (PARTITION BY comp
+             ORDER BY length(coalesce(label, '')) DESC, entity DESC) AS rn
+    FROM r_members
+  ) WHERE rn = 1
+),
+a_base_counts AS (SELECT cname, count(*) AS m FROM a_minted GROUP BY cname),
+r_minted AS (
+  SELECT comp,
+         CASE WHEN slot = 0 THEN 'https://kg/canon/' || cname
+              ELSE 'https://kg/canon/' || cname || '_' || slot::VARCHAR
+         END AS canonical_iri
+  FROM (
+    SELECT comp, cname,
+           coalesce(m, 0)
+             + row_number() OVER (PARTITION BY cname ORDER BY comp) - 1 AS slot
+    FROM r_cname LEFT JOIN a_base_counts USING (cname)
+  )
+),
+map_b AS (
+  SELECT m.entity AS original_iri, t.canonical_iri
+  FROM r_members m JOIN r_minted t USING (comp)
+)
+SELECT original_iri, canonical_iri FROM map_a
+UNION ALL SELECT original_iri, canonical_iri FROM adopted
+UNION ALL SELECT original_iri, canonical_iri FROM singleton_self
+UNION ALL SELECT original_iri, canonical_iri FROM map_b
+"""
 
 
 def _kg_conv(events: DataFrame) -> DataFrame:
@@ -2752,57 +2889,15 @@ FROM members m JOIN minted t USING (comp)
 """
 
 
+# Registration order is load-bearing: the external correctness gate checks
+# the FIRST 50 entries only.  The window therefore holds (a) queries that
+# have never earned an external green row, (b) queries green in exactly one
+# round, (c) the non-SQL flagships plus their oracled invariant projections,
+# and (d) the most substantive multi-round-green operators.  Queries green
+# in >= 2 external rounds with trivial surface rotate to the tail; the
+# rotation policy lives in COVERAGE.md ("Driver-window rotation").
 QUERIES = {
-    "q_doc_assembly": q_doc_assembly,
-    "q_topk_per_group": q_topk_per_group,
-    "q_sublimate_filter": q_sublimate_filter,
-    "q_mapping_rewrite": q_mapping_rewrite,
-    "q_dedup_counts": q_dedup_counts,
-    "q_exact_dedup": q_exact_dedup,
-    "q_hash_ids": q_hash_ids,
-    "q_prefer_longer": q_prefer_longer,
-    "q_type_collect": q_type_collect,
-    "q_union_entities": q_union_entities,
-    "q_agg_pricing": q_agg_pricing,
-    "q_join_revenue": q_join_revenue,
-    "q_sessionize": q_sessionize,
-    "q_lang_quality": q_lang_quality,
-    "q_doc_fingerprint": q_doc_fingerprint,
-    "q_minhash_sig": q_minhash_sig,
-    "q_minhash_lsh_buckets": q_minhash_lsh_buckets,
-    "q_simhash": q_simhash,
-    "q_ann_topk": q_ann_topk,
-    "q_select_ontology": q_select_ontology,
-    "q_kg_pipeline": q_kg_pipeline,
-    "q_kg_doc_invariant": q_kg_doc_invariant,
-    "q_crossdoc_canon": q_crossdoc_canon,
-    "q_crossdoc_exact": q_crossdoc_exact,
-    "q_validate_predicates": q_validate_predicates,
-    "q_token_stats": q_token_stats,
-    "q_ngram_jaccard": q_ngram_jaccard,
-    "q_embedding_neardup": q_embedding_neardup,
-    "q_dedup_cluster": q_dedup_cluster,
-    "q_ivf_assign": q_ivf_assign,
-    "q_dataset_split": q_dataset_split,
-    "q_embed_quantize": q_embed_quantize,
-    "q_corpus_stats": q_corpus_stats,
-    "q_decontaminate": q_decontaminate,
-    "q_pack_sequences": q_pack_sequences,
-    "q_bgp_select": q_bgp_select,
-    "q_bgp_construct": q_bgp_construct,
-    "q_path_closure": q_path_closure,
-    "q_critique_scores": q_critique_scores,
-    "q_bgp_aggregate": q_bgp_aggregate,
-    "q_repetition_signals": q_repetition_signals,
-    "q_asof_join": q_asof_join,
-    "q_redact_pii": q_redact_pii,
-    "q_json_props": q_json_props,
-    "q_sample_mixture": q_sample_mixture,
-    "q_bgp_delete": q_bgp_delete,
-    "q_crossdoc_incremental": q_crossdoc_incremental,
-    "q_pagerank": q_pagerank,
-    "q_bgp_lang_filter": q_bgp_lang_filter,
-    "q_pivot_events": q_pivot_events,
+    # -- (a) round-3 additions, no external row yet ----------------------
     "q_split_leakage": q_split_leakage,
     "q_session_window": q_session_window,
     "q_unpivot_quality": q_unpivot_quality,
@@ -2817,6 +2912,62 @@ QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
+    # -- (b) green in exactly one round ----------------------------------
+    "q_bgp_aggregate": q_bgp_aggregate,
+    "q_repetition_signals": q_repetition_signals,
+    "q_asof_join": q_asof_join,
+    "q_redact_pii": q_redact_pii,
+    "q_json_props": q_json_props,
+    "q_sample_mixture": q_sample_mixture,
+    "q_bgp_delete": q_bgp_delete,
+    "q_pagerank": q_pagerank,
+    "q_bgp_lang_filter": q_bgp_lang_filter,
+    "q_pivot_events": q_pivot_events,
+    "q_critique_scores": q_critique_scores,
+    "q_path_closure": q_path_closure,
+    # -- (c) flagships + their oracled invariant projections -------------
+    "q_kg_pipeline": q_kg_pipeline,
+    "q_kg_doc_invariant": q_kg_doc_invariant,
+    "q_crossdoc_canon": q_crossdoc_canon,
+    "q_crossdoc_exact": q_crossdoc_exact,
+    "q_crossdoc_incremental": q_crossdoc_incremental,
+    # -- (d) substantive multi-green operators ---------------------------
+    "q_doc_assembly": q_doc_assembly,
+    "q_agg_pricing": q_agg_pricing,
+    "q_join_revenue": q_join_revenue,
+    "q_sessionize": q_sessionize,
+    "q_minhash_sig": q_minhash_sig,
+    "q_minhash_lsh_buckets": q_minhash_lsh_buckets,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_dedup_cluster": q_dedup_cluster,
+    "q_embedding_neardup": q_embedding_neardup,
+    "q_ann_topk": q_ann_topk,
+    "q_ivf_assign": q_ivf_assign,
+    "q_dataset_split": q_dataset_split,
+    "q_decontaminate": q_decontaminate,
+    "q_pack_sequences": q_pack_sequences,
+    "q_bgp_select": q_bgp_select,
+    "q_bgp_construct": q_bgp_construct,
+    "q_validate_predicates": q_validate_predicates,
+    # ---- entries below are OUTSIDE the 50-entry external window --------
+    # (>= 2 external green rows each; tests/test_oracle_parity.py keeps
+    # checking every entry locally every run)
+    "q_topk_per_group": q_topk_per_group,
+    "q_sublimate_filter": q_sublimate_filter,
+    "q_mapping_rewrite": q_mapping_rewrite,
+    "q_dedup_counts": q_dedup_counts,
+    "q_exact_dedup": q_exact_dedup,
+    "q_hash_ids": q_hash_ids,
+    "q_prefer_longer": q_prefer_longer,
+    "q_type_collect": q_type_collect,
+    "q_union_entities": q_union_entities,
+    "q_lang_quality": q_lang_quality,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_simhash": q_simhash,
+    "q_select_ontology": q_select_ontology,
+    "q_token_stats": q_token_stats,
+    "q_corpus_stats": q_corpus_stats,
+    "q_embed_quantize": q_embed_quantize,
 }
 
 ORACLES = {
@@ -2845,6 +2996,7 @@ ORACLES = {
     # SQL-expressible invariant projections ARE oracled:
     "q_kg_doc_invariant": ORACLE_KG_DOC_INVARIANT,
     "q_crossdoc_exact": ORACLE_CROSSDOC_EXACT,
+    "q_crossdoc_incremental": ORACLE_CROSSDOC_INCREMENTAL,
     "q_validate_predicates": ORACLE_VALIDATE_PREDICATES,
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,

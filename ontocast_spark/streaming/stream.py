@@ -184,7 +184,7 @@ def turn_rate_monitor(stream: DataFrame, window: str = "1 minute") -> DataFrame:
 def stream_dedup_turns(
     stream: DataFrame,
     keys: tuple[str, ...] = ("conv_id", "turn_idx"),
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """State-store-native exact dedup of an at-least-once turn stream:
     ``dropDuplicatesWithinWatermark`` keeps one row per key and — unlike
@@ -194,12 +194,15 @@ def stream_dedup_turns(
     viable form at 10^12 turns; a replayed source can re-emit a turn
     minutes later and still collapse to one row). Complements the
     batch-side ``dropDuplicates`` in ``start_incremental_kg``'s
-    foreachBatch, which guards buffer-generation replays."""
+    foreachBatch, which guards buffer-generation replays.
+
+    Pass ``watermark=None`` when the input already carries one
+    (``stream_conversations_from_files`` attaches its own) —
+    re-defining a watermark is disallowed by Spark, and sniffing the
+    analyzed plan for one would depend on private py4j internals, so
+    the caller states it explicitly."""
     if "ts" not in stream.columns:
         raise ValueError("stream_dedup_turns needs an event-time 'ts' column")
-    # re-defining a watermark is disallowed — only attach one when the
-    # source didn't already (stream_conversations_from_files does)
-    plan = stream._jdf.queryExecution().analyzed().toString()
-    if "EventTimeWatermark" not in plan:
+    if watermark is not None:
         stream = stream.withWatermark("ts", watermark)
     return stream.dropDuplicatesWithinWatermark(list(keys))

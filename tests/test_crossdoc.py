@@ -84,6 +84,47 @@ def test_crossdoc_merges_and_type_gate(spark):
     assert ns1 + "john_doe" not in subs
 
 
+def test_fuzzy_unicode_case_expansion_parity(spark):
+    """Labels whose ``.lower()`` EXPANDS ('İ' U+0130 -> 'i' + U+0307)
+    must be bounded on the LOWERED lengths: the old skip bound used
+    pre-lower lengths and silently dropped these pairs, diverging from
+    the exact kernel (VERDICT r3 finding #1). Batch path and exact
+    greedy replay must decide identically."""
+    ns1 = "https://x.com/doc/1/chunk/c1/"
+    ns2 = "https://x.com/doc/2/chunk/c2/"
+    label_a = "acme " + "İ" * 20   # len 25 -> lowers to len 45
+    label_b = "acme " + "i̇" * 20  # len 45, lower-stable
+    assert label_a.lower() == label_b.lower()
+    assert len(label_a.lower()) == len(label_b) == 45
+    # the PRE-lower lengths alone would bound the score below 85 —
+    # exactly the configuration the old code false-negatived on
+    assert 200.0 * len(label_a) < 85.0 * (len(label_a) + len(label_b))
+    rows = [
+        ("conv1", "https://x.com/doc/1", "c1", ns1.rstrip("/"),
+         ns1 + "acme_tr", RDFS_LABEL, label_a, True, None),
+        ("conv2", "https://x.com/doc/2", "c2", ns2.rstrip("/"),
+         ns2 + "acme_turkey", RDFS_LABEL, label_b, True, None),
+    ]
+    facts = _facts_df(spark, rows)
+    edges = match_edges(candidate_pairs(entity_metadata(facts)))
+    edge_set = {(r["a"], r["b"]) for r in edges.collect()}
+    assert (ns1 + "acme_tr", ns2 + "acme_turkey") in edge_set
+
+    # exact-kernel parity: the greedy replay merges the same pair
+    from ontocast_spark.kernels.aggregate import (
+        EntityMetadata,
+        find_similar_entities,
+    )
+
+    ents = {
+        ns1 + "acme_tr": EntityMetadata("acme_tr", label=label_a),
+        ns2 + "acme_turkey": EntityMetadata("acme_turkey", label=label_b),
+    }
+    assert find_similar_entities(ents, {}) == [
+        [ns1 + "acme_tr", ns2 + "acme_turkey"]
+    ]
+
+
 @pytest.mark.slow
 def test_crossdoc_pr_vs_local_replay(spark):
     """P/R of the distributed mapping vs the exact greedy replay,

@@ -556,6 +556,21 @@ def test_bgp_update_verbs(spark):
     assert ("d", "knows", "a") in {(r["subj"], r["pred"], r["obj"])
                                    for r in ins.collect()}
 
+    # inserting a dup of a metadata-carrying row must keep the EXISTING
+    # row (anti-join before union) — a post-union dedup could keep the
+    # new null-metadata row instead (round-4 ADVICE fix)
+    tri_meta = spark.createDataFrame(
+        [("a", "label", "Alice", True, "en")],
+        "subj string, pred string, obj string, "
+        "obj_is_literal boolean, obj_lang string",
+    )
+    ins_meta = bgp_insert_data(
+        tri_meta, [("a", "label", "Alice"), ("b", "label", "Bob")]
+    )
+    rows = {(r["subj"], r["obj_is_literal"], r["obj_lang"])
+            for r in ins_meta.collect()}
+    assert rows == {("a", True, "en"), ("b", None, None)}
+
 
 def test_bgp_ask_describe(spark):
     from ontocast_spark.plans.bgp import bgp_ask, bgp_describe

@@ -243,7 +243,8 @@ def test_stream_dedup_turns(spark, tmp_path):
         "append").parquet(src)
 
     stream = stream_conversations_from_files(spark, src, CONVERSATIONS)
-    deduped = stream_dedup_turns(stream)
+    # the file source already attached its watermark -> caller says so
+    deduped = stream_dedup_turns(stream, watermark=None)
     q = (
         deduped.writeStream.format("parquet")
         .option("path", out_dir)
