@@ -1,0 +1,793 @@
+"""SPARQL text front-end for the relational BGP compiler.
+
+:mod:`ontocast_spark.plans.bgp` evaluates SPARQL semantics natively
+(patterns -> filtered scans + equi-joins, paths -> iterative squaring,
+aggregates -> groupBy) but only accepts programmatic pattern lists.
+Users of the reference hand over SPARQL *text* — every query the
+reference issues is an f-string shipped to rdflib or Fuseki
+(/root/reference/ontocast/agent/sublimate_ontology.py:31-72,
+/root/reference/ontocast/tool/triple_manager/fuseki.py:188-270). This
+module parses that grammar subset into the existing machinery, so a
+query string is the user-facing API and the relational plan underneath
+is unchanged (same plans, same Catalyst pushdowns — the parser adds
+zero execution surface).
+
+Supported grammar (the subset the reference's surface actually uses,
+plus the aggregate/path forms the programmatic API already evaluates):
+
+- ``PREFIX`` / ``BASE`` prologue; prefixed names, ``<iri>`` refs,
+  ``a`` for ``rdf:type``; ``"literal"`` (``@lang`` / ``^^dt`` tags are
+  accepted and matched on the lexical form), numbers.
+- ``SELECT [DISTINCT] ?v ... | * WHERE { ... } [GROUP BY ...]
+  [ORDER BY ...] [LIMIT n]``, with ``(AGG(?v) AS ?alias)`` projections
+  (COUNT / SUM / MIN / MAX / AVG / SAMPLE / GROUP_CONCAT, COUNT(*)).
+- ``ASK { ... }``, ``CONSTRUCT { template } WHERE { ... }``,
+  ``DESCRIBE <iri>``, ``DELETE WHERE { ... }``,
+  ``DELETE { template } WHERE { ... }``, ``INSERT DATA { ... }``.
+- Group pattern: triple blocks with ``;`` / ``,`` continuations,
+  ``OPTIONAL { ... }``, ``{ A } UNION { B }``, ``FILTER (expr)``;
+  property paths in the predicate slot (``^``, ``/``, ``|``, ``+``,
+  ``*``, ``?``, parens).
+- FILTER expressions: ``||  &&  !  = != < > <= >=``, ``STR``,
+  ``STRSTARTS``, ``STRENDS``, ``CONTAINS``, ``REGEX``, ``BOUND``,
+  ``isIRI``/``isURI``, ``isLiteral``, ``LANG``, ``DATATYPE`` — each
+  compiled to the Catalyst builtins in plans/bgp.py (term-metadata
+  builtins auto-enable ``bind_term_meta`` when the triple table
+  carries the metadata columns).
+
+Out of scope (raise ``SparqlSyntaxError``): nested group graph
+patterns beyond OPTIONAL/UNION, subqueries, VALUES, MINUS, named
+graphs, SERVICE. Comparison operators in FILTER must be
+whitespace-separated from their operands when ``<``/``>`` could
+otherwise read as an IRI bracket.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bgp import (
+    Path,
+    bgp_aggregate,
+    bgp_construct,
+    bgp_delete_where,
+    bgp_describe,
+    bgp_filter,
+    bgp_insert_data,
+    bgp_optional,
+    bgp_select,
+    bgp_union,
+    fn_bound,
+    fn_datatype,
+    fn_is_iri,
+    fn_is_literal,
+    fn_lang,
+    p_alt,
+    p_inv,
+    p_iri,
+    p_opt,
+    p_plus,
+    p_seq,
+    p_star,
+)
+
+RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+# ----------------------------------------------------------- tokenizer
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+|\#[^\n]*)
+    | (?P<IRI><[^<>\s{}|^`\\]*>)
+    | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+    | (?P<STRING>(?:"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+                 (?:@[A-Za-z]+(?:-[A-Za-z0-9]+)*)?)
+    | (?P<NUM>[+-]?(?:\d+\.\d+|\d+))
+    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_][A-Za-z0-9_\-.]*
+                |[A-Za-z_][A-Za-z0-9_\-]*:)
+    | (?P<KW>[A-Za-z][A-Za-z0-9_]*)
+    | (?P<OP>\|\||&&|!=|<=|>=|\^\^|[{}().,;=<>!*+/|^])
+    """,
+    re.X,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    value: str
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise SparqlSyntaxError(
+                f"unrecognized input at {pos}: {text[pos:pos + 20]!r}"
+            )
+        pos = m.end()
+        kind = m.lastgroup
+        if kind != "WS":
+            toks.append(_Tok(kind, m.group()))
+    return toks
+
+
+def _unquote(s: str) -> str:
+    # strip an attached @lang tag (matched by lexical form; tagged
+    # matching goes through FILTER lang())
+    s = re.sub(r"@[A-Za-z]+(?:-[A-Za-z0-9]+)*$", "", s)
+    body = s[1:-1]
+    return re.sub(
+        r"\\(.)",
+        lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(m.group(1), m.group(1)),
+        body,
+    )
+
+
+# ------------------------------------------------------------- query IR
+
+
+@dataclass
+class _Group:
+    """One WHERE group: conjunctive triple patterns, OPTIONAL blocks,
+    FILTER expression ASTs, or a top-level UNION of plain groups."""
+
+    triples: list = field(default_factory=list)
+    optionals: list = field(default_factory=list)
+    filters: list = field(default_factory=list)
+    union_groups: list = field(default_factory=list)
+
+
+@dataclass
+class ParsedQuery:
+    form: str  # select | ask | construct | describe | delete | insert_data
+    variables: list[str] | None = None  # None = SELECT *
+    distinct: bool = False
+    where: _Group | None = None
+    template: list | None = None  # CONSTRUCT / DELETE template
+    describe_iri: str | None = None
+    insert_rows: list | None = None
+    group_by: list[str] = field(default_factory=list)
+    aggs: list = field(default_factory=list)  # (fn, var, alias)
+    order_by: list = field(default_factory=list)  # (var, ascending)
+    limit: int | None = None
+
+
+# --------------------------------------------------------------- parser
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.pos = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+
+    # -- token helpers
+    def _peek(self, ahead: int = 0) -> _Tok | None:
+        i = self.pos + ahead
+        return self.toks[i] if i < len(self.toks) else None
+
+    def _next(self) -> _Tok:
+        t = self._peek()
+        if t is None:
+            raise SparqlSyntaxError("unexpected end of query")
+        self.pos += 1
+        return t
+
+    def _kw(self, word: str) -> bool:
+        """Consume a case-insensitive keyword if present."""
+        t = self._peek()
+        if t is not None and t.kind == "KW" and t.value.upper() == word:
+            self.pos += 1
+            return True
+        return False
+
+    def _expect_op(self, op: str):
+        t = self._next()
+        if t.kind != "OP" or t.value != op:
+            raise SparqlSyntaxError(f"expected {op!r}, got {t.value!r}")
+
+    def _at_op(self, op: str, ahead: int = 0) -> bool:
+        t = self._peek(ahead)
+        return t is not None and t.kind == "OP" and t.value == op
+
+    # -- prologue + terms
+    def _prologue(self):
+        while True:
+            if self._kw("PREFIX"):
+                name = self._next()
+                if name.kind != "PNAME" or not name.value.endswith(":"):
+                    raise SparqlSyntaxError(f"bad PREFIX name {name.value!r}")
+                iri = self._next()
+                if iri.kind != "IRI":
+                    raise SparqlSyntaxError("PREFIX needs an <iri>")
+                self.prefixes[name.value[:-1]] = iri.value[1:-1]
+            elif self._kw("BASE"):
+                iri = self._next()
+                if iri.kind != "IRI":
+                    raise SparqlSyntaxError("BASE needs an <iri>")
+                self.base = iri.value[1:-1]
+            else:
+                return
+
+    def _resolve_pname(self, pname: str) -> str:
+        prefix, _, local = pname.partition(":")
+        if prefix not in self.prefixes:
+            raise SparqlSyntaxError(f"undeclared prefix {prefix!r}:")
+        return self.prefixes[prefix] + local
+
+    def _term(self) -> str:
+        """Subject/object term: var, IRI, prefixed name, literal,
+        number, or ``a``. Returns the pattern-term string form the BGP
+        compiler takes (``?var`` or a constant)."""
+        t = self._next()
+        if t.kind == "VAR":
+            return "?" + t.value[1:]
+        if t.kind == "IRI":
+            return self.base + t.value[1:-1] if self.base else t.value[1:-1]
+        if t.kind == "PNAME":
+            return self._resolve_pname(t.value)
+        if t.kind == "STRING":
+            val = _unquote(t.value)
+            # accept and discard ^^datatype — the triple model matches
+            # constants on the lexical form; typed matching goes
+            # through FILTER datatype()
+            if self._at_op("^^"):
+                self.pos += 1
+                dt = self._next()
+                if dt.kind not in ("IRI", "PNAME"):
+                    raise SparqlSyntaxError("^^ needs a datatype IRI")
+            return val
+        if t.kind == "NUM":
+            return t.value
+        if t.kind == "KW" and t.value == "a":
+            return RDF_TYPE_IRI
+        raise SparqlSyntaxError(f"unexpected term {t.value!r}")
+
+    # -- property paths in the predicate slot
+    def _path(self):
+        """Parse a path expression; a single bare IRI stays a plain
+        string (the fast slot-equality pattern), anything with
+        operators builds a :class:`Path`."""
+        node, plain = self._path_alt()
+        return plain if plain is not None else node
+
+    def _path_alt(self):
+        node, plain = self._path_seq()
+        if not self._at_op("|"):
+            return node, plain
+        parts = [node]
+        while self._at_op("|"):
+            self.pos += 1
+            nxt, _ = self._path_seq()
+            parts.append(nxt)
+        return p_alt(*parts), None
+
+    def _path_seq(self):
+        node, plain = self._path_unary()
+        if not self._at_op("/"):
+            return node, plain
+        parts = [node]
+        while self._at_op("/"):
+            self.pos += 1
+            nxt, _ = self._path_unary()
+            parts.append(nxt)
+        return p_seq(*parts), None
+
+    def _path_unary(self):
+        if self._at_op("^"):
+            self.pos += 1
+            node, _ = self._path_unary()
+            return p_inv(node), None
+        return self._path_primary()
+
+    def _path_primary(self):
+        t = self._peek()
+        if t is None:
+            raise SparqlSyntaxError("expected a predicate")
+        if self._at_op("("):
+            self.pos += 1
+            node, _ = self._path_alt()
+            self._expect_op(")")
+            return self._path_postfix(node, None)
+        if t.kind == "IRI":
+            self.pos += 1
+            iri = self.base + t.value[1:-1] if self.base else t.value[1:-1]
+        elif t.kind == "PNAME":
+            self.pos += 1
+            iri = self._resolve_pname(t.value)
+        elif t.kind == "KW" and t.value == "a":
+            self.pos += 1
+            iri = RDF_TYPE_IRI
+        else:
+            raise SparqlSyntaxError(f"bad predicate {t.value!r}")
+        return self._path_postfix(p_iri(iri), iri)
+
+    def _path_postfix(self, node: Path, plain: str | None):
+        # a lone `?` tokenizes as OP (the VAR rule needs a following
+        # name char), so `p? ?x` is unambiguous: OP ? then VAR ?x
+        changed = False
+        while True:
+            if self._at_op("+"):
+                self.pos += 1
+                node, changed = p_plus(node), True
+            elif self._at_op("*"):
+                self.pos += 1
+                node, changed = p_star(node), True
+            elif self._at_op("?"):
+                self.pos += 1
+                node, changed = p_opt(node), True
+            else:
+                break
+        return (node, None) if changed else (node, plain)
+
+    # -- predicate slot: var or path
+    def _pred(self):
+        t = self._peek()
+        if t is not None and t.kind == "VAR":
+            self.pos += 1
+            return "?" + t.value[1:]
+        return self._path()
+
+    # -- triple block with ; and , continuations
+    def _triples_block(self, out: list):
+        subj = self._term()
+        while True:
+            pred = self._pred()
+            while True:
+                obj = self._term()
+                out.append((subj, pred, obj))
+                if self._at_op(","):
+                    self.pos += 1
+                    continue
+                break
+            if self._at_op(";"):
+                self.pos += 1
+                if self._at_op(".") or self._at_op("}"):
+                    break
+                continue
+            break
+        if self._at_op("."):
+            self.pos += 1
+
+    # -- group graph pattern
+    def _group(self) -> _Group:
+        self._expect_op("{")
+        g = _Group()
+        # peek for `{ A } UNION { B } ...` — a group starting with `{`
+        if self._at_op("{"):
+            groups = [self._plain_group()]
+            while self._kw("UNION"):
+                groups.append(self._plain_group())
+            g.union_groups = groups
+            while self._kw("FILTER"):
+                g.filters.append(self._filter_expr())
+            self._expect_op("}")
+            return g
+        while not self._at_op("}"):
+            if self._kw("OPTIONAL"):
+                sub = self._plain_group()
+                g.optionals.append(sub)
+            elif self._kw("FILTER"):
+                g.filters.append(self._filter_expr())
+            else:
+                self._triples_block(g.triples)
+        self._expect_op("}")
+        return g
+
+    def _plain_group(self) -> list:
+        """A braced group of plain triples (UNION arms, OPTIONAL
+        bodies)."""
+        self._expect_op("{")
+        out: list = []
+        while not self._at_op("}"):
+            if self._peek() is not None and self._peek().kind == "KW" and \
+                    self._peek().value.upper() in ("OPTIONAL", "FILTER", "UNION"):
+                raise SparqlSyntaxError(
+                    "nested OPTIONAL/FILTER inside a UNION arm or OPTIONAL "
+                    "body is outside the supported subset"
+                )
+            self._triples_block(out)
+        self._expect_op("}")
+        return out
+
+    # -- FILTER expressions
+    def _filter_expr(self):
+        self._expect_op("(")
+        ast = self._expr_or()
+        self._expect_op(")")
+        return ast
+
+    def _expr_or(self):
+        node = self._expr_and()
+        while self._at_op("||"):
+            self.pos += 1
+            node = ("or", node, self._expr_and())
+        return node
+
+    def _expr_and(self):
+        node = self._expr_not()
+        while self._at_op("&&"):
+            self.pos += 1
+            node = ("and", node, self._expr_not())
+        return node
+
+    def _expr_not(self):
+        if self._at_op("!"):
+            self.pos += 1
+            return ("not", self._expr_not())
+        return self._expr_cmp()
+
+    def _expr_cmp(self):
+        left = self._expr_primary()
+        t = self._peek()
+        if t is not None and t.kind == "OP" and t.value in (
+            "=", "!=", "<", ">", "<=", ">="
+        ):
+            self.pos += 1
+            right = self._expr_primary()
+            return ("cmp", t.value, left, right)
+        return left
+
+    _FUNCS = {
+        "STR", "STRSTARTS", "STRENDS", "CONTAINS", "REGEX", "BOUND",
+        "ISIRI", "ISURI", "ISLITERAL", "LANG", "DATATYPE",
+    }
+
+    def _expr_primary(self):
+        if self._at_op("("):
+            self.pos += 1
+            node = self._expr_or()
+            self._expect_op(")")
+            return node
+        t = self._next()
+        if t.kind == "VAR":
+            return ("var", t.value[1:])
+        if t.kind == "STRING":
+            return ("str", _unquote(t.value))
+        if t.kind == "NUM":
+            return ("num", float(t.value))
+        if t.kind == "IRI":
+            return ("str", self.base + t.value[1:-1] if self.base
+                    else t.value[1:-1])
+        if t.kind == "PNAME":
+            return ("str", self._resolve_pname(t.value))
+        if t.kind == "KW":
+            name = t.value.upper()
+            if name in ("TRUE", "FALSE"):
+                return ("bool", name == "TRUE")
+            if name not in self._FUNCS:
+                raise SparqlSyntaxError(f"unsupported FILTER function {t.value}")
+            self._expect_op("(")
+            args = []
+            if not self._at_op(")"):
+                args.append(self._expr_or())
+                while self._at_op(","):
+                    self.pos += 1
+                    args.append(self._expr_or())
+            self._expect_op(")")
+            return ("call", name, args)
+        raise SparqlSyntaxError(f"unexpected token in FILTER: {t.value!r}")
+
+    # -- query forms
+    def parse(self) -> ParsedQuery:
+        self._prologue()
+        if self._kw("SELECT"):
+            q = self._select()
+        elif self._kw("ASK"):
+            q = ParsedQuery(form="ask")
+            self._kw("WHERE")
+            q.where = self._group()
+        elif self._kw("CONSTRUCT"):
+            tmpl: list = []
+            self._expect_op("{")
+            while not self._at_op("}"):
+                self._triples_block(tmpl)
+            self._expect_op("}")
+            if not self._kw("WHERE"):
+                raise SparqlSyntaxError("CONSTRUCT needs WHERE")
+            q = ParsedQuery(form="construct", template=tmpl)
+            q.where = self._group()
+        elif self._kw("DESCRIBE"):
+            t = self._next()
+            if t.kind == "IRI":
+                iri = self.base + t.value[1:-1] if self.base else t.value[1:-1]
+            elif t.kind == "PNAME":
+                iri = self._resolve_pname(t.value)
+            else:
+                raise SparqlSyntaxError("DESCRIBE needs an IRI")
+            q = ParsedQuery(form="describe", describe_iri=iri)
+        elif self._kw("DELETE"):
+            tmpl = None
+            if self._at_op("{"):
+                tmpl = []
+                self._expect_op("{")
+                while not self._at_op("}"):
+                    self._triples_block(tmpl)
+                self._expect_op("}")
+                if not self._kw("WHERE"):
+                    raise SparqlSyntaxError("DELETE {} needs WHERE {}")
+            elif not self._kw("WHERE"):
+                raise SparqlSyntaxError("expected DELETE WHERE or DELETE {}")
+            q = ParsedQuery(form="delete", template=tmpl)
+            q.where = self._group()
+        elif self._kw("INSERT"):
+            if not self._kw("DATA"):
+                raise SparqlSyntaxError("only INSERT DATA is supported")
+            rows: list = []
+            self._expect_op("{")
+            while not self._at_op("}"):
+                self._triples_block(rows)
+            self._expect_op("}")
+            for s, p, o in rows:
+                if any(isinstance(x, str) and x.startswith("?") for x in (s, p, o)) \
+                        or any(isinstance(x, Path) for x in (s, p, o)):
+                    raise SparqlSyntaxError("INSERT DATA takes ground triples")
+            q = ParsedQuery(form="insert_data", insert_rows=rows)
+        else:
+            t = self._peek()
+            raise SparqlSyntaxError(
+                f"expected a query form, got {t.value if t else 'EOF'!r}"
+            )
+        self._solution_modifiers(q)
+        if self._peek() is not None:
+            raise SparqlSyntaxError(
+                f"trailing input: {self._peek().value!r}"
+            )
+        return q
+
+    def _select(self) -> ParsedQuery:
+        q = ParsedQuery(form="select")
+        q.distinct = self._kw("DISTINCT")
+        self._kw("REDUCED")
+        variables: list[str] = []
+        star = False
+        while True:
+            t = self._peek()
+            if t is None:
+                raise SparqlSyntaxError("unterminated SELECT clause")
+            if t.kind == "OP" and t.value == "*":
+                self.pos += 1
+                star = True
+            elif t.kind == "VAR":
+                self.pos += 1
+                variables.append(t.value[1:])
+            elif t.kind == "OP" and t.value == "(":
+                self.pos += 1
+                fn_tok = self._next()
+                if fn_tok.kind != "KW":
+                    raise SparqlSyntaxError("expected an aggregate function")
+                fn = fn_tok.value.lower()
+                self._expect_op("(")
+                self._kw("DISTINCT")
+                if self._at_op("*"):
+                    self.pos += 1
+                    src = "*"
+                else:
+                    v = self._next()
+                    if v.kind != "VAR":
+                        raise SparqlSyntaxError("aggregate needs a ?var")
+                    src = v.value[1:]
+                self._expect_op(")")
+                if not self._kw("AS"):
+                    raise SparqlSyntaxError("aggregate needs AS ?alias")
+                alias_tok = self._next()
+                if alias_tok.kind != "VAR":
+                    raise SparqlSyntaxError("AS needs a ?alias")
+                q.aggs.append((fn, src, alias_tok.value[1:]))
+                self._expect_op(")")
+            else:
+                break
+        q.variables = None if star else variables
+        if not self._kw("WHERE"):
+            raise SparqlSyntaxError("SELECT needs WHERE")
+        q.where = self._group()
+        return q
+
+    def _solution_modifiers(self, q: ParsedQuery):
+        while True:
+            if self._kw("GROUP"):
+                if not self._kw("BY"):
+                    raise SparqlSyntaxError("GROUP needs BY")
+                while self._peek() is not None and self._peek().kind == "VAR":
+                    q.group_by.append(self._next().value[1:])
+            elif self._kw("ORDER"):
+                if not self._kw("BY"):
+                    raise SparqlSyntaxError("ORDER needs BY")
+                while True:
+                    t = self._peek()
+                    if t is None:
+                        break
+                    if t.kind == "VAR":
+                        self.pos += 1
+                        q.order_by.append((t.value[1:], True))
+                    elif t.kind == "KW" and t.value.upper() in ("ASC", "DESC"):
+                        self.pos += 1
+                        asc = t.value.upper() == "ASC"
+                        self._expect_op("(")
+                        v = self._next()
+                        if v.kind != "VAR":
+                            raise SparqlSyntaxError("ORDER BY needs a ?var")
+                        self._expect_op(")")
+                        q.order_by.append((v.value[1:], asc))
+                    else:
+                        break
+            elif self._kw("LIMIT"):
+                n = self._next()
+                if n.kind != "NUM":
+                    raise SparqlSyntaxError("LIMIT needs a number")
+                q.limit = int(n.value)
+            else:
+                return
+
+
+def parse_sparql(text: str) -> ParsedQuery:
+    """Parse SPARQL text into the query IR (prologue resolved, terms in
+    the BGP compiler's string/:class:`Path` forms)."""
+    return _Parser(text).parse()
+
+
+# ------------------------------------------------------------ compiler
+
+_META_CALLS = {"ISIRI", "ISURI", "ISLITERAL", "LANG", "DATATYPE"}
+
+
+def _expr_uses_meta(ast) -> bool:
+    if not isinstance(ast, tuple):
+        return False
+    if ast[0] == "call" and ast[1] in _META_CALLS:
+        return True
+    for a in ast[1:]:
+        if isinstance(a, tuple) and _expr_uses_meta(a):
+            return True
+        if isinstance(a, list) and any(_expr_uses_meta(x) for x in a):
+            return True
+    return False
+
+
+def _compile_expr(ast):
+    """FILTER AST -> Catalyst Column."""
+    kind = ast[0]
+    if kind == "or":
+        return _compile_expr(ast[1]) | _compile_expr(ast[2])
+    if kind == "and":
+        return _compile_expr(ast[1]) & _compile_expr(ast[2])
+    if kind == "not":
+        return ~_compile_expr(ast[1])
+    if kind == "var":
+        return F.col(ast[1])
+    if kind == "str":
+        return F.lit(ast[1])
+    if kind == "num":
+        return F.lit(ast[1])
+    if kind == "bool":
+        return F.lit(ast[1])
+    if kind == "cmp":
+        op, left, right = ast[1], ast[2], ast[3]
+        numeric = left[0] == "num" or right[0] == "num"
+
+        def side(x):
+            c = _compile_expr(x)
+            # SPARQL numeric comparison over lexical forms: cast the
+            # non-literal side so `?price > 100` compares numbers
+            return c.cast("double") if numeric and x[0] != "num" else c
+
+        lc, rc = side(left), side(right)
+        return {
+            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+            ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
+        }[op]
+    if kind == "call":
+        name, args = ast[1], ast[2]
+        if name == "STR":
+            return _compile_expr(args[0])  # terms are already strings
+        if name == "BOUND":
+            return fn_bound(args[0][1])
+        if name in ("ISIRI", "ISURI"):
+            return fn_is_iri(args[0][1])
+        if name == "ISLITERAL":
+            return fn_is_literal(args[0][1])
+        if name == "LANG":
+            return fn_lang(args[0][1])
+        if name == "DATATYPE":
+            return fn_datatype(args[0][1])
+        if name == "REGEX":
+            if args[1][0] != "str":
+                raise SparqlSyntaxError("REGEX needs a literal pattern")
+            return _compile_expr(args[0]).rlike(args[1][1])
+        if name in ("STRSTARTS", "STRENDS", "CONTAINS"):
+            a, b = _compile_expr(args[0]), _compile_expr(args[1])
+            return {
+                "STRSTARTS": a.startswith(b),
+                "STRENDS": a.endswith(b),
+                "CONTAINS": a.contains(b),
+            }[name]
+    raise SparqlSyntaxError(f"cannot compile FILTER node {ast!r}")
+
+
+def _meta_arg_vars(ast, acc: set):
+    if not isinstance(ast, tuple):
+        return
+    if ast[0] == "call" and ast[1] in _META_CALLS:
+        for a in ast[2]:
+            if isinstance(a, tuple) and a[0] == "var":
+                acc.add(a[1])
+    for a in ast[1:]:
+        if isinstance(a, tuple):
+            _meta_arg_vars(a, acc)
+        elif isinstance(a, list):
+            for x in a:
+                _meta_arg_vars(x, acc)
+
+
+def sparql(triples: DataFrame, text: str):
+    """Evaluate a SPARQL query string against a (subj, pred, obj[,
+    term-metadata]) triple DataFrame. Returns a DataFrame for SELECT /
+    CONSTRUCT / DESCRIBE / DELETE / INSERT DATA forms, a bool for ASK —
+    the same returns as the programmatic plans/bgp.py API it compiles
+    into."""
+    q = parse_sparql(text)
+    if q.form == "describe":
+        return bgp_describe(triples, q.describe_iri)
+    if q.form == "insert_data":
+        return bgp_insert_data(triples, q.insert_rows)
+    if q.form == "delete":
+        if q.where.filters or q.where.optionals or q.where.union_groups:
+            raise SparqlSyntaxError(
+                "DELETE supports a plain triple-pattern WHERE"
+            )
+        return bgp_delete_where(triples, q.where.triples, delete=q.template)
+
+    g = q.where
+    needs_meta = any(_expr_uses_meta(f) for f in g.filters)
+    if needs_meta and "obj_is_literal" not in triples.columns:
+        raise SparqlSyntaxError(
+            "isIRI/isLiteral/lang/datatype need obj_is_literal/obj_lang/"
+            "obj_datatype columns on the triple table"
+        )
+    if g.union_groups:
+        sols = bgp_union(triples, g.union_groups)
+    else:
+        sols = bgp_select(
+            triples, g.triples,
+            distinct=q.form != "select" or q.distinct or bool(q.aggs),
+            bind_term_meta=needs_meta,
+        )
+        for opt in g.optionals:
+            sols = bgp_optional(sols, triples, opt, bind_term_meta=needs_meta)
+    for f in g.filters:
+        sols = bgp_filter(sols, _compile_expr(f))
+
+    if q.form == "ask":
+        return not sols.limit(1).isEmpty()
+
+    plain = [c for c in sols.columns if "__" not in c]
+    if q.form == "construct":
+        return bgp_construct(sols.select(*plain).dropDuplicates(), q.template)
+
+    # SELECT
+    if q.aggs:
+        out = bgp_aggregate(sols.select(*plain), q.group_by, q.aggs)
+    else:
+        vars_ = q.variables if q.variables is not None else plain
+        out = sols.select(*vars_)
+        if q.distinct:
+            out = out.dropDuplicates()
+    if q.order_by:
+        out = out.orderBy(*[F.col(v).asc() if a else F.col(v).desc()
+                            for v, a in q.order_by])
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out

@@ -1115,6 +1115,56 @@ WHERE t1.pred = 'has_part' AND t2.pred = 'brand'
 """
 
 
+def q_sparql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL *text* front-end (plans/sparql.py): the q_bgp_select
+    pattern handed over as a query STRING — the API surface a user of
+    the reference actually has (its queries are f-strings shipped to
+    rdflib/Fuseki, sublimate_ontology.py:31-72, fuseki.py:188-270) —
+    parsed into the same relational BGP plan, plus a FILTER builtin
+    (STRSTARTS) compiled to a Catalyst predicate."""
+    from .plans.sparql import sparql
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    triples = (
+        li.select(
+            F.col("l_orderkey").cast("string").alias("subj"),
+            F.lit("has_part").alias("pred"),
+            F.col("l_partkey").cast("string").alias("obj"),
+        )
+        .union(
+            part.select(
+                F.col("p_partkey").cast("string").alias("subj"),
+                F.lit("brand").alias("pred"),
+                F.col("p_brand").alias("obj"),
+            )
+        )
+    )
+    text = """
+    SELECT DISTINCT ?o ?p ?b WHERE {
+      ?o <has_part> ?p .
+      ?p <brand> ?b .
+      FILTER(STRSTARTS(?b, "Brand#1"))
+    }
+    """
+    return sparql(triples, text)
+
+
+ORACLE_SPARQL_TEXT = """
+WITH triples AS (
+  SELECT l_orderkey::VARCHAR AS subj, 'has_part' AS pred,
+         l_partkey::VARCHAR AS obj
+  FROM lineitem
+  UNION ALL
+  SELECT p_partkey::VARCHAR, 'brand', p_brand FROM part
+)
+SELECT DISTINCT t1.subj AS o, t1.obj AS p, t2.obj AS b
+FROM triples t1 JOIN triples t2 ON t1.obj = t2.subj
+WHERE t1.pred = 'has_part' AND t2.pred = 'brand'
+  AND t2.obj LIKE 'Brand#1%'
+"""
+
+
 def q_critique_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4/E5 critique scorers (operators/critique.py) over a
     deterministic triple fixture derived from the documents table:
@@ -2931,6 +2981,8 @@ QUERIES = {
     "q_crossdoc_canon": q_crossdoc_canon,
     "q_crossdoc_exact": q_crossdoc_exact,
     "q_crossdoc_incremental": q_crossdoc_incremental,
+    # -- round-4 additions (reserved window slots) -----------------------
+    "q_sparql_text": q_sparql_text,
     # -- (d) substantive multi-green operators ---------------------------
     "q_doc_assembly": q_doc_assembly,
     "q_agg_pricing": q_agg_pricing,
@@ -2997,6 +3049,7 @@ ORACLES = {
     "q_kg_doc_invariant": ORACLE_KG_DOC_INVARIANT,
     "q_crossdoc_exact": ORACLE_CROSSDOC_EXACT,
     "q_crossdoc_incremental": ORACLE_CROSSDOC_INCREMENTAL,
+    "q_sparql_text": ORACLE_SPARQL_TEXT,
     "q_validate_predicates": ORACLE_VALIDATE_PREDICATES,
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,

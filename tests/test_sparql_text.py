@@ -1,0 +1,236 @@
+"""SPARQL text front-end (plans/sparql.py): the reference's own
+embedded query strings (agent/sublimate_ontology.py:31-72, the Fuseki
+surface fuseki.py:188-270) must parse and evaluate to the same results
+as the programmatic BGP API."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontocast_spark.plans.bgp import bgp_select
+from ontocast_spark.plans.sparql import (
+    SparqlSyntaxError,
+    parse_sparql,
+    sparql,
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _triples(spark, rows, meta=False):
+    if meta:
+        return spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, obj_is_literal boolean, "
+            "obj_lang string, obj_datatype string",
+        )
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_reference_sublimate_roundtrip(spark):
+    """The two f-string queries the reference runs to split a chunk
+    graph into facts vs ontology (sublimate_ontology.py:31-72) parse
+    and produce complementary partitions of the graph."""
+    cd = "https://example.com/doc/1/chunk/abc/"
+    rows = [
+        (cd + "acme", RDF_TYPE, "https://onto/Company", False, None, None),
+        (cd + "acme", "https://onto/employs", cd + "dana", False, None, None),
+        ("https://onto/Company", "https://w3/label", "Company", True, "en", None),
+        ("https://onto/employs", RDF_TYPE, "https://onto/Property", False, None, None),
+        # facts row where only the OBJECT is in the chunk namespace
+        ("https://onto/root", "https://onto/contains", cd + "acme", False, None, None),
+        # literal object mentioning the namespace string must NOT count
+        ("https://onto/note", "https://w3/label", cd + "x", True, None, None),
+    ]
+    tri = _triples(spark, rows, meta=True)
+
+    query_facts = f"""
+        PREFIX cd: <{cd}>
+
+        SELECT ?s ?p ?o
+        WHERE {{
+        ?s ?p ?o .
+        FILTER (
+            STRSTARTS(STR(?s), STR(cd:)) ||
+            STRSTARTS(STR(?p), STR(cd:)) ||
+            (isIRI(?o) && STRSTARTS(STR(?o), STR(cd:)))
+        )
+        }}
+    """
+    query_ontology = f"""
+    PREFIX cd: <{cd}>
+
+    SELECT ?s ?p ?o
+    WHERE {{
+    ?s ?p ?o .
+    FILTER (
+        !(
+            STRSTARTS(STR(?s), STR(cd:)) ||
+            STRSTARTS(STR(?p), STR(cd:)) ||
+            (isIRI(?o) && STRSTARTS(STR(?o), STR(cd:)))
+        )
+    )
+    }}
+    """
+    facts = {(r["s"], r["p"], r["o"]) for r in sparql(tri, query_facts).collect()}
+    onto = {(r["s"], r["p"], r["o"]) for r in sparql(tri, query_ontology).collect()}
+    allr = {(s, p, o) for s, p, o, *_ in rows}
+    assert facts | onto == allr
+    assert facts & onto == set()
+    assert (cd + "acme", RDF_TYPE, "https://onto/Company") in facts
+    assert ("https://onto/root", "https://onto/contains", cd + "acme") in facts
+    # the literal that merely LOOKS like a chunk IRI stays ontology-side
+    assert ("https://onto/note", "https://w3/label", cd + "x") in onto
+    assert ("https://onto/Company", "https://w3/label", "Company") in onto
+
+
+def test_select_join_matches_programmatic(spark):
+    tri = _triples(spark, [
+        ("o1", "has_part", "p1"), ("o2", "has_part", "p2"),
+        ("p1", "brand", "Brand#13"), ("p2", "brand", "Brand#42"),
+    ])
+    text = """
+    SELECT ?o ?b WHERE {
+      ?o <has_part> ?p .
+      ?p <brand> ?b .
+      FILTER(STRENDS(?b, "13"))
+    }
+    """
+    got = {(r["o"], r["b"]) for r in sparql(tri, text).collect()}
+    want_sols = bgp_select(tri, [("?o", "has_part", "?p"), ("?p", "brand", "?b")])
+    want = {(r["o"], r["b"])
+            for r in want_sols.filter(F.col("b").endswith("13")).select("o", "b").collect()}
+    assert got == want == {("o1", "Brand#13")}
+
+
+def test_prefixed_names_and_a_keyword(spark):
+    tri = _triples(spark, [
+        ("e1", RDF_TYPE, "https://onto/Person"),
+        ("e2", RDF_TYPE, "https://onto/Company"),
+    ])
+    text = """
+    PREFIX onto: <https://onto/>
+    SELECT ?e WHERE { ?e a onto:Person . }
+    """
+    assert [r["e"] for r in sparql(tri, text).collect()] == ["e1"]
+
+
+def test_union_and_optional(spark):
+    tri = _triples(spark, [
+        ("a", "knows", "b"), ("b", "likes", "c"),
+        ("a", "age", "30"),
+    ])
+    text = """
+    SELECT ?x WHERE { { ?x <knows> ?y } UNION { ?x <likes> ?y } }
+    """
+    assert {r["x"] for r in sparql(tri, text).collect()} == {"a", "b"}
+
+    text2 = """
+    SELECT ?x ?age WHERE {
+      ?x <knows> ?y .
+      OPTIONAL { ?x <age> ?age }
+    }
+    """
+    got = {(r["x"], r["age"]) for r in sparql(tri, text2).collect()}
+    assert got == {("a", "30")}
+    text3 = """
+    SELECT ?x ?age WHERE {
+      ?x <likes> ?y .
+      OPTIONAL { ?x <age> ?age }
+      FILTER(!BOUND(?age))
+    }
+    """
+    got3 = {(r["x"], r["age"]) for r in sparql(tri, text3).collect()}
+    assert got3 == {("b", None)}
+
+
+def test_property_path_text(spark):
+    tri = _triples(spark, [
+        ("a", "within", "b"), ("b", "within", "c"), ("c", "within", "d"),
+    ])
+    text = "SELECT ?x ?y WHERE { ?x <within>+ ?y }"
+    got = {(r["x"], r["y"]) for r in sparql(tri, text).collect()}
+    assert got == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    }
+    # sequence + inverse through prefixed names
+    text2 = """
+    PREFIX p: <https://p/>
+    SELECT ?x ?y WHERE { ?x ^<within> ?y }
+    """
+    got2 = {(r["x"], r["y"]) for r in sparql(tri, text2).collect()}
+    assert got2 == {("b", "a"), ("c", "b"), ("d", "c")}
+
+
+def test_ask_construct_delete_insert(spark):
+    tri = _triples(spark, [
+        ("a", "knows", "b"), ("b", "knows", "c"),
+    ])
+    assert sparql(tri, "ASK { ?x <knows> <c> }") is True
+    assert sparql(tri, "ASK { ?x <knows> <zzz> }") is False
+
+    out = sparql(tri, """
+        CONSTRUCT { ?y <known_by> ?x } WHERE { ?x <knows> ?y }
+    """)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert got == {("b", "known_by", "a"), ("c", "known_by", "b")}
+
+    left = sparql(tri, "DELETE WHERE { ?x <knows> <c> }")
+    assert {(r["subj"], r["obj"]) for r in left.collect()} == {("a", "b")}
+
+    ins = sparql(tri, "INSERT DATA { <d> <knows> <a> . <a> <knows> <b> }")
+    assert ins.count() == 3
+
+
+def test_aggregates_group_by(spark):
+    tri = _triples(spark, [
+        ("a", "score", "1"), ("a", "score", "2"), ("b", "score", "5"),
+    ])
+    text = """
+    SELECT ?x (COUNT(?s) AS ?n) (SUM(?s) AS ?total)
+    WHERE { ?x <score> ?s } GROUP BY ?x
+    """
+    got = {(r["x"], r["n"], float(r["total"]))
+           for r in sparql(tri, text).collect()}
+    assert got == {("a", 2, 3.0), ("b", 1, 5.0)}
+
+
+def test_order_limit(spark):
+    tri = _triples(spark, [(f"e{i}", "v", str(i)) for i in range(5)])
+    text = "SELECT ?x WHERE { ?x <v> ?n } ORDER BY DESC(?n) LIMIT 2"
+    assert [r["x"] for r in sparql(tri, text).collect()] == ["e4", "e3"]
+
+
+def test_numeric_filter_comparison(spark):
+    tri = _triples(spark, [
+        ("a", "price", "150"), ("b", "price", "50"),
+    ])
+    text = "SELECT ?x WHERE { ?x <price> ?p . FILTER(?p > 100) }"
+    assert [r["x"] for r in sparql(tri, text).collect()] == ["a"]
+
+
+def test_semicolon_comma_continuations(spark):
+    tri = _triples(spark, [
+        ("a", "knows", "b"), ("a", "knows", "c"), ("a", "age", "30"),
+    ])
+    text = """
+    SELECT ?x WHERE { ?x <knows> <b>, <c> ; <age> "30" . }
+    """
+    assert [r["x"] for r in sparql(tri, text).collect()] == ["a"]
+
+
+def test_parse_errors():
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("SELECT ?x WHERE { ?x ?p ?o } VALUES ?x { <a> }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("SELECT ?x WHERE { ?x qq:name ?o }")  # undeclared prefix
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("INSERT DATA { ?x <p> <o> }")  # non-ground insert
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("SELECT ?x WHERE { { ?x <p> ?o . FILTER(?x = 1) } UNION { ?x <q> ?o } }")
+
+
+def test_meta_builtins_require_columns(spark):
+    tri = _triples(spark, [("a", "p", "b")])
+    with pytest.raises(SparqlSyntaxError):
+        sparql(tri, "SELECT ?o WHERE { ?s ?p ?o . FILTER(isIRI(?o)) }")
