@@ -148,44 +148,47 @@ def find_similar_entities(
     the ratio below the lower threshold skip the LCS entirely
     (LCS <= min(la, lb), so ratio <= 200*min/(la+lb))."""
     groups: list[list[str]] = []
-    processed: set[str] = set()
-    entities_list = list(entities.keys())
-    ln_lower = {e: m.local_name.lower() for e, m in entities.items()}
-    lb_lower = {
-        e: (m.label.lower() if m.label is not None else "")
-        for e, m in entities.items()
-    }
-    for i, e1 in enumerate(entities_list):
-        if e1 in processed:
+    # prefetch per-entity fields into one tuple list — the O(n^2) inner
+    # loop then touches no dicts (same iteration order, same decisions)
+    items = []
+    for e, m in entities.items():
+        lb = m.label.lower() if m.label is not None else ""
+        # length bound uses the LOWERED label's length (Unicode case
+        # expansion; see operators/crossdoc.py)
+        items.append((
+            e, m.local_name.lower(), lb, len(lb),
+            entity_types.get(e) or None,  # empty set -> None (falsy)
+        ))
+    n = len(items)
+    processed = bytearray(n)
+    for i in range(n):
+        if processed[i]:
             continue
+        e1, ln1, label1, l1, types1 = items[i]
         group = [e1]
-        ln1 = ln_lower[e1]
-        label1 = lb_lower[e1]
-        l1 = len(label1)
-        types1 = entity_types.get(e1, set())
-        has_types1 = bool(types1)
-        processed.add(e1)
-        for e2 in entities_list[i + 1 :]:
-            if e2 in processed:
+        processed[i] = 1
+        for j in range(i + 1, n):
+            if processed[j]:
                 continue
-            types2 = entity_types.get(e2, set())
-            shared = types1 & types2 if (has_types1 and types2) else set()
-            if has_types1 and types2 and not shared:
-                continue  # conflicting type info
-            if ln1 == ln_lower[e2]:
+            e2, ln2, label2, l2, types2 = items[j]
+            if types1 is not None and types2 is not None:
+                shared = types1 & types2
+                if not shared:
+                    continue  # conflicting type info
+            else:
+                shared = None
+            if ln1 == ln2:
                 group.append(e2)
-                processed.add(e2)
+                processed[j] = 1
                 continue
-            label2 = lb_lower[e2]
             if label1 and label2:
                 threshold = SEMANTIC_THRESHOLD if shared else SIMILARITY_THRESHOLD
-                l2 = len(label2)
-                if 200.0 * min(l1, l2) < threshold * (l1 + l2):
+                if 200.0 * (l1 if l1 < l2 else l2) < threshold * (l1 + l2):
                     continue  # ratio upper bound below threshold
                 r = cached_ratio(label1, label2)
                 if r >= threshold:
                     group.append(e2)
-                    processed.add(e2)
+                    processed[j] = 1
         if len(group) > 1:
             groups.append(group)
     return groups

@@ -87,6 +87,24 @@ def connected_components(triples) -> list[set[str]]:
     return components
 
 
+def _degree_label_maps(triples):
+    """Whole-graph degree + labeled maps. Degree per entity equals the
+    per-component count the reference computes (every triple touching an
+    entity involves only that entity's own component), so computing the
+    maps ONCE and slicing per component is decision-identical to the
+    per-component scan — but O(T + C) instead of O(T x C)."""
+    degrees: dict[str, int] = {}
+    labeled: set[str] = set()
+    get = degrees.get
+    for s, p, o, lit, _ in triples:
+        degrees[s] = get(s, 0) + 1
+        if not lit and o != s:
+            degrees[o] = get(o, 0) + 1
+        if p in (RDFS_LABEL, RDFS_COMMENT):
+            labeled.add(s)
+    return degrees, labeled
+
+
 def choose_representative(triples, component: set[str]) -> str | None:
     """Max-degree entity, preferring labeled/commented ones.
 
@@ -97,16 +115,8 @@ def choose_representative(triples, component: set[str]) -> str | None:
     """
     if not component:
         return None
-    degrees: dict[str, int] = dict.fromkeys(component, 0)
-    labeled: set[str] = set()
-    for s, p, o, lit, _ in triples:
-        ends = {s} if (lit or s == o) else {s, o}
-        for e in ends:
-            if e in degrees:
-                degrees[e] += 1
-        if s in degrees and p in (RDFS_LABEL, RDFS_COMMENT):
-            labeled.add(s)
-    pool = labeled if labeled else component
+    degrees, labeled = _degree_label_maps(triples)
+    pool = (labeled & component) or component
     return max(sorted(pool), key=lambda e: degrees.get(e, 0))
 
 
@@ -124,10 +134,12 @@ def connect_via_hub(triples, chunk_iri: str) -> set[Triple]:
     hub_id = hub.split("/")[-1]
     graph.add((hub, RDF_TYPE, SCHEMA_TEXT_DIGITAL_DOCUMENT, False, None))
     graph.add((hub, RDFS_LABEL, f"Chunk {hub_id}", True, None))
+    degrees, labeled = _degree_label_maps(triples)
     for component in components:
-        rep = choose_representative(triples, component)
-        if rep is None:
+        if not component:
             continue
+        pool = (labeled & component) or component
+        rep = max(sorted(pool), key=lambda e: degrees.get(e, 0))
         graph.add((hub, SCHEMA_HAS_PART, rep, False, None))
         graph.add((rep, PROV_WAS_QUOTED_FROM, hub, False, None))
     return graph

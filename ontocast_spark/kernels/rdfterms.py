@@ -119,6 +119,9 @@ def _clean_derived_id(value: str) -> str:
     return _CLEAN_ID_RE.sub("", value).lower() or ONTOLOGY_NULL_ID
 
 
+_FAST_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+
+
 @lru_cache(maxsize=1 << 16)
 def derive_ontology_id(iri: str) -> str:
     """Local-name / ontology-id derivation (pure; memoized — IRIs repeat
@@ -133,6 +136,22 @@ def derive_ontology_id(iri: str) -> str:
     normalized = iri.strip().rstrip("/#")
     if normalized in CONVENTIONAL_MAPPINGS:
         return CONVENTIONAL_MAPPINGS[normalized]
+    # fast path for clean scheme://netloc/path IRIs (the overwhelmingly
+    # common shape — chunk-namespace IRIs are unique per chunk, so the
+    # lru_cache misses and urlparse dominated): with a valid scheme and
+    # no #fragment / ?query / ;params, urlparse's netloc/path split is
+    # exactly the first-"/"-after-"://" split
+    if (
+        "#" not in normalized and "?" not in normalized
+        and ";" not in normalized and _FAST_SCHEME_RE.match(normalized)
+    ):
+        after = normalized.split("://", 1)[1]
+        slash = after.find("/")
+        if slash >= 0:
+            return _clean_derived_id(after[slash + 1 :].rsplit("/", 1)[-1])
+        if after:
+            return _clean_derived_id(after.split(".")[0])
+        return _clean_derived_id(normalized)
     parsed = urlparse(normalized)
     candidate = (
         parsed.path.rsplit("/", 1)[-1]

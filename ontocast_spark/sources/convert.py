@@ -25,6 +25,8 @@ from __future__ import annotations
 import importlib.util
 import json
 import os
+import re
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -82,6 +84,92 @@ def active_converter() -> Callable | None:
     return None
 
 
+# --- minimal stdlib PDF text extraction --------------------------------
+# The honest-stub boundary for S2 used to cover ALL binary formats; PDFs
+# with plain (uncompressed or Flate-compressed) text content streams are
+# decodable with the stdlib alone, so that subset now decodes for real
+# (reference behavior: tool/converter.py:42-58 via docling). Registered
+# codecs and docling still take precedence; DOCX/PPTX and PDFs whose
+# content streams carry no text operators (scanned pages, CID-encoded
+# fonts, encryption) keep the NotImplementedError boundary.
+
+_PDF_STREAM_RE = re.compile(rb"stream\r?\n")
+_PDF_TEXT_OP_RE = re.compile(
+    r"\(((?:\\.|[^\\()])*)\)\s*Tj"          # (string) Tj
+    r"|\[((?:\\.|[^\\\]])*)\]\s*TJ"          # [(s1) -kern (s2)] TJ
+    r"|<([0-9A-Fa-f\s]+)>\s*Tj"              # <hex> Tj
+)
+_PDF_STR_RE = re.compile(r"\(((?:\\.|[^\\()])*)\)")
+_PDF_ESCAPES = {
+    "n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+    "(": "(", ")": ")", "\\": "\\",
+}
+
+
+def _pdf_unescape(s: str) -> str:
+    def sub(m: re.Match) -> str:
+        body = m.group(1)
+        if body.isdigit():  # octal escape \ddd
+            return chr(int(body, 8) & 0xFF)
+        return _PDF_ESCAPES.get(body, body)
+
+    return re.sub(r"\\([0-7]{1,3}|.)", sub, s)
+
+
+def _pdf_content_streams(raw: bytes) -> list[bytes]:
+    """Every stream body, Flate-decompressed when its object dict says
+    so (filter detected by scanning back to the enclosing ``obj`` —
+    object dicts nest, so a bracket parse is not needed for this)."""
+    out = []
+    for m in _PDF_STREAM_RE.finditer(raw):
+        end = raw.find(b"endstream", m.end())
+        if end < 0:
+            continue
+        body = raw[m.end():end].rstrip(b"\r\n")
+        head_start = raw.rfind(b"obj", 0, m.start())
+        head = raw[max(head_start, 0):m.start()]
+        if b"/FlateDecode" in head:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        out.append(body)
+    return out
+
+
+def minimal_pdf_text(raw: bytes) -> str:
+    """Extract the text-showing operators (``Tj`` / ``TJ``, literal and
+    hex strings, escape + octal sequences) from a PDF's content
+    streams — the uncompressed/Flate subset a generated or simple
+    text PDF uses. One output line per show-text operator. Raises
+    ``NotImplementedError`` when no text operator decodes (scanned or
+    CID-encoded documents need a real codec)."""
+    if not raw.startswith(b"%PDF"):
+        raise NotImplementedError("not a PDF payload")
+    lines: list[str] = []
+    for stream in _pdf_content_streams(raw):
+        content = stream.decode("latin-1", errors="replace")
+        for m in _PDF_TEXT_OP_RE.finditer(content):
+            lit, arr, hexs = m.group(1), m.group(2), m.group(3)
+            if lit is not None:
+                lines.append(_pdf_unescape(lit))
+            elif arr is not None:
+                parts = [_pdf_unescape(x.group(1))
+                         for x in _PDF_STR_RE.finditer(arr)]
+                lines.append("".join(parts))
+            else:
+                digits = re.sub(r"\s", "", hexs)
+                if len(digits) % 2:
+                    digits += "0"
+                lines.append(bytes.fromhex(digits).decode("latin-1"))
+    if not lines:
+        raise NotImplementedError(
+            "PDF carries no decodable text operators (scanned/CID/"
+            "encrypted documents need a registered codec or docling)"
+        )
+    return "\n".join(lines)
+
+
 def read_binary_documents(spark: SparkSession, path: str) -> DataFrame:
     """Distributed binary-document scan: (path, length, content)."""
     return (
@@ -109,6 +197,10 @@ def _decode_payload(
         return ext.lstrip("."), raw.decode("utf-8", errors="replace")
     if converter is not None:
         return ext.lstrip("."), converter(ext, raw)
+    if ext == ".pdf":
+        # stdlib fallback for the plain-text-stream PDF subset; raises
+        # NotImplementedError itself for PDFs it cannot honestly decode
+        return "pdf", minimal_pdf_text(raw)
     raise NotImplementedError(
         f"binary document conversion for {ext!r} requires a converter "
         "(the reference uses docling, unavailable here); pass "

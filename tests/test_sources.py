@@ -274,6 +274,101 @@ def test_convert_documents_registered_codec_hook(spark, tmp_path):
     assert convert_mod.active_converter() is None
 
 
+def _make_pdf(lines, compress=False):
+    """Build a small but structurally valid PDF whose one content
+    stream shows ``lines`` via mixed Tj / TJ / hex-string operators —
+    the uncompressed (or FlateDecode) text subset the stdlib extractor
+    covers."""
+    import zlib as _zlib
+
+    def esc(s):
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    ops = ["BT /F1 12 Tf 72 720 Td"]
+    for i, line in enumerate(lines):
+        if i % 3 == 0:
+            ops.append(f"({esc(line)}) Tj")
+        elif i % 3 == 1:
+            mid = len(line) // 2
+            ops.append(f"[({esc(line[:mid])}) -250 ({esc(line[mid:])})] TJ")
+        else:
+            ops.append(f"<{line.encode('latin-1').hex()}> Tj")
+        ops.append("0 -14 Td")
+    ops.append("ET")
+    content = " ".join(ops).encode("latin-1")
+    filt = b""
+    if compress:
+        content = _zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + filt
+        + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = [b"%PDF-1.4"]
+    offsets = []
+    pos = len(out[0]) + 1
+    for i, body in enumerate(objs, start=1):
+        obj = f"{i} 0 obj\n".encode() + body + b"\nendobj"
+        offsets.append(pos)
+        out.append(obj)
+        pos += len(obj) + 1
+    xref = [f"xref\n0 {len(objs) + 1}\n0000000000 65535 f ".encode()]
+    for off in offsets:
+        xref.append(f"{off:010d} 00000 n ".encode())
+    out.append(b"\n".join(xref))
+    out.append(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(pos).encode() + b"\n%%EOF"
+    )
+    return b"\n".join(out)
+
+
+def test_minimal_pdf_text_extraction(spark, tmp_path):
+    """Actual PDF bytes decode through convert_documents with NO
+    registered codec: the stdlib extractor handles literal strings
+    (escapes included), TJ arrays, hex strings, and FlateDecode streams
+    (reference behavior tool/converter.py:42-58 for the text subset).
+    Un-decodable PDFs keep the honest NotImplementedError boundary."""
+    import pytest as _pytest
+
+    from ontocast_spark.sources.convert import (
+        convert_documents,
+        minimal_pdf_text,
+        read_binary_documents,
+    )
+
+    lines = [
+        "Acme Corp employs Dana Fox.",
+        "Revenue was (approximately) $12.5 million.",
+        "Final hex line",
+    ]
+    plain = _make_pdf(lines)
+    flate = _make_pdf(lines, compress=True)
+    assert minimal_pdf_text(plain).splitlines() == lines
+    assert minimal_pdf_text(flate) == minimal_pdf_text(plain)
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "plain.pdf").write_bytes(plain)
+    (d / "flate.pdf").write_bytes(flate)
+    rows = {
+        r["doc_path"].split("/")[-1]: r
+        for r in convert_documents(read_binary_documents(spark, str(d))).collect()
+    }
+    assert rows["plain.pdf"]["fmt"] == "pdf"
+    assert "Acme Corp employs Dana Fox." in rows["plain.pdf"]["text"]
+    assert rows["flate.pdf"]["text"] == rows["plain.pdf"]["text"]
+
+    # a PDF with no text operators still refuses honestly
+    with _pytest.raises(NotImplementedError):
+        minimal_pdf_text(b"%PDF-1.4\nno streams here\n%%EOF")
+
+
 def test_media_decoder_registered_codec_hook(spark):
     """Same hook on the multimodal side: decoder='auto' picks up a
     registered codec, 'fake' still forces the stub, 'strict' raises
