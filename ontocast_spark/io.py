@@ -99,14 +99,23 @@ def write_stage(
 
 
 def _parquet_file_counts(path: str) -> list[int]:
-    """num_rows per data file, read from parquet footers only."""
+    """num_rows per data file, read from parquet footers only.
+
+    Skips hidden files and directories (``_temporary``, ``_SUCCESS``,
+    ``.*.crc``) exactly like Spark's file index: a run killed mid-write
+    leaves torn task attempts under ``_temporary/``, and the lineage
+    walk of a later resume run must not read them (found by
+    tests/test_resume.py::test_crash_resume_at_scale)."""
     import pyarrow.parquet as pq
 
     counts = []
-    for root, _, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for name in sorted(files):
-            if name.endswith(".parquet"):
-                counts.append(pq.ParquetFile(os.path.join(root, name)).metadata.num_rows)
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                counts.append(
+                    pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+                )
     return counts
 
 
