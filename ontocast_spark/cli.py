@@ -41,6 +41,14 @@ packing), writing corpus/, packing/, dropped/::
         --input docs.parquet --out /path/corpus_out \
         [--benchmark bench.parquet] [--languages en,de] \
         [--pack-budget 2048]
+
+``sparql`` — run a SPARQL query string/file against a triples table
+through the text front-end (plans/sparql.py); SELECT/CONSTRUCT/
+DESCRIBE/UPDATE results write as parquet (or show), ASK prints
+true/false::
+
+    spark-submit ... -m ontocast_spark.cli sparql \
+        --triples wh/kg_canon --query-file q.rq [--out /path/answers]
 """
 
 from __future__ import annotations
@@ -151,7 +159,41 @@ def _cmd_corpus(argv) -> None:
     print(f"corpus: {kept} docs kept, {dropped} dropped")
 
 
-_COMMANDS = {"pipeline", "canonicalize", "dedup", "corpus"}
+def _cmd_sparql(argv) -> None:
+    ap = argparse.ArgumentParser(
+        description="run a SPARQL query against a triples table"
+    )
+    ap.add_argument("--triples", required=True,
+                    help="parquet path or table of (subj, pred, obj[, "
+                         "obj_is_literal, obj_lang, obj_datatype]) rows")
+    ap.add_argument("--query", default=None, help="SPARQL query text")
+    ap.add_argument("--query-file", default=None, help="file with the query")
+    ap.add_argument("--out", default=None,
+                    help="write results as parquet; omitted = show()")
+    ap.add_argument("--limit-show", type=int, default=50)
+    args = ap.parse_args(argv)
+    if not (args.query or args.query_file):
+        raise SystemExit("one of --query / --query-file is required")
+
+    from .plans.sparql import sparql
+
+    text = args.query or open(args.query_file, encoding="utf-8").read()
+    spark = SparkSession.builder.appName("ontocast-sparql").getOrCreate()
+    triples = (spark.read.parquet(args.triples)
+               if "/" in args.triples or args.triples.endswith(".parquet")
+               else spark.read.table(args.triples))
+    result = sparql(triples, text)
+    if isinstance(result, bool):  # ASK
+        print("true" if result else "false")
+        return
+    if args.out:
+        result.write.mode("overwrite").parquet(args.out)
+        print(f"rows: {spark.read.parquet(args.out).count()}")
+    else:
+        result.show(args.limit_show, truncate=False)
+
+
+_COMMANDS = {"pipeline", "canonicalize", "dedup", "corpus", "sparql"}
 
 
 def main(argv=None) -> None:
@@ -167,6 +209,8 @@ def main(argv=None) -> None:
         return _cmd_dedup(argv)
     if cmd == "corpus":
         return _cmd_corpus(argv)
+    if cmd == "sparql":
+        return _cmd_sparql(argv)
     ap = argparse.ArgumentParser(description="ontocast_spark KG pipeline")
     ap.add_argument("--input", default=None,
                     help="parquet path or Iceberg table of conversations")

@@ -36,6 +36,47 @@ def kmv_hash(col) -> "F.Column":
     )
 
 
+def kmv_sample_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Per-group quantile estimates from a DETERMINISTIC k-min-hash row
+    sample — the cross-engine-checkable alternative to
+    ``approx_percentile`` (whose GK/KLL internals no other engine
+    reproduces, same argument as KMV vs HLL).
+
+    The k rows with the smallest ``md5(id)`` hashes form a uniform
+    without-replacement sample of the group (hashing a UNIQUE row id —
+    hashing the value would bias toward distinct values); exact
+    interpolated percentiles over that sample estimate the group
+    quantiles with the usual order-statistic error ~ 1/sqrt(k). The
+    min-k-by-hash sample is mergeable (union, keep k smallest), so
+    per-partition partials combine associatively at 100 TB; groups
+    with <= k rows are sampled exactly (the estimate is then exact).
+    Plan shape: one window shuffle on the group key, state bounded at
+    k rows per group, then one aggregate."""
+    hashed = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+        kmv_hash(F.col(id_col)).alias("h"),
+    )
+    w = Window.partitionBy("g").orderBy("h", "v")
+    sampled = hashed.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k
+    )
+    aggs = [
+        F.round(F.percentile("v", F.lit(q)), 6).alias(f"p{round(q * 100)}")
+        for q in quantiles
+    ]
+    return sampled.groupBy("g").agg(
+        F.count(F.lit(1)).alias("sample_n"), *aggs
+    ).withColumnRenamed("g", group_col)
+
+
 def kmv_distinct(
     df: DataFrame,
     group_col: str,

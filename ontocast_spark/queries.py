@@ -1809,6 +1809,41 @@ FROM (
 """
 
 
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sampled-quantile sketch through the real operator
+    (operators/sketch.py kmv_sample_quantiles) — the cross-engine-
+    checkable alternative to approx_percentile: per event_type, p50 and
+    p95 of the event value estimated over the k=256 min-md5(event_id)
+    row sample. Both engines select the IDENTICAL sample and compute
+    the identical interpolated percentiles, so the sketch oracles
+    exactly (same argument as q_kmv_distinct vs HLL)."""
+    from .operators.sketch import kmv_sample_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_sample_quantiles(
+        ev, "event_type", "value", "event_id", k=256, quantiles=(0.5, 0.95)
+    ).select("event_type", "sample_n", "p50", "p95")
+
+
+ORACLE_SKETCH_QUANTILES = """
+WITH hashed AS (
+  SELECT event_type AS g, value AS v,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT
+         / 4294967296.0 AS h
+  FROM events
+),
+sampled AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY h, v) AS r
+  FROM hashed
+)
+SELECT g AS event_type,
+       count(*) AS sample_n,
+       round(quantile_cont(v, 0.5), 6) AS p50,
+       round(quantile_cont(v, 0.95), 6) AS p95
+FROM sampled WHERE r <= 256 GROUP BY g
+"""
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketch.py) — the
     cross-engine-checkable alternative to HLL: per event_type,
@@ -2983,6 +3018,7 @@ QUERIES = {
     "q_crossdoc_incremental": q_crossdoc_incremental,
     # -- round-4 additions (reserved window slots) -----------------------
     "q_sparql_text": q_sparql_text,
+    "q_sketch_quantiles": q_sketch_quantiles,
     # -- (d) substantive multi-green operators ---------------------------
     "q_doc_assembly": q_doc_assembly,
     "q_agg_pricing": q_agg_pricing,
@@ -3050,6 +3086,7 @@ ORACLES = {
     "q_crossdoc_exact": ORACLE_CROSSDOC_EXACT,
     "q_crossdoc_incremental": ORACLE_CROSSDOC_INCREMENTAL,
     "q_sparql_text": ORACLE_SPARQL_TEXT,
+    "q_sketch_quantiles": ORACLE_SKETCH_QUANTILES,
     "q_validate_predicates": ORACLE_VALIDATE_PREDICATES,
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,

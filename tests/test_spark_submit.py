@@ -135,3 +135,17 @@ def test_cli_subcommands_roundtrip(spark, tmp_path):
           for r in spark.read.parquet(f"{base}/c2/mapping").collect()}
     for o, c in m1.items():
         assert m2[o] == c  # stability through the CLI files
+
+    # sparql subcommand: query text against the facts table, parquet out
+    qfile = tmp_path / "q.rq"
+    qfile.write_text(
+        'SELECT ?s ?l WHERE { ?s '
+        f'<{RDFS}> ?l . FILTER(STRSTARTS(?l, "ACME")) }}'
+    )
+    main(["sparql", "--triples", f"{base}/facts.parquet",
+          "--query-file", str(qfile), "--out", f"{base}/sq"])
+    got = {(r["s"], r["l"]) for r in spark.read.parquet(f"{base}/sq").collect()}
+    assert got == {
+        ("https://x/doc/1/chunk/h/acme", "ACME Corp"),
+        ("https://x/doc/2/chunk/h/acme", "ACME Corporation"),
+    }

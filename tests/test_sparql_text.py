@@ -219,6 +219,63 @@ def test_semicolon_comma_continuations(spark):
     assert [r["x"] for r in sparql(tri, text).collect()] == ["a"]
 
 
+def test_random_bgp_text_equivalence(spark):
+    """Seeded random BGPs serialized to SPARQL text must evaluate
+    identically to the programmatic bgp_select on a random graph —
+    the parser is plan/semantics-neutral by construction, this pins
+    it across pattern shapes (shared vars, constants in every slot,
+    repeated vars, 1-3 patterns)."""
+    import random
+
+    rng = random.Random(1234)
+    nodes = [f"https://g/n{i}" for i in range(8)]
+    preds = [f"https://g/p{i}" for i in range(4)]
+    rows = [
+        (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+        for _ in range(60)
+    ]
+    tri = _triples(spark, rows)
+
+    def term(vars_pool):
+        r = rng.random()
+        if r < 0.55:
+            return "?" + rng.choice(vars_pool)
+        if r < 0.85:
+            return rng.choice(nodes)
+        return rng.choice(preds)
+
+    checked = 0
+    for _ in range(25):
+        vars_pool = ["a", "b", "c"]
+        n_pat = rng.randint(1, 3)
+        pats = []
+        for _ in range(n_pat):
+            s = term(vars_pool)
+            p = "?" + rng.choice(vars_pool) if rng.random() < 0.3 \
+                else rng.choice(preds)
+            o = term(vars_pool)
+            pats.append((s, p, o))
+        used = sorted({x[1:] for pat in pats for x in pat
+                       if x.startswith("?")})
+        if not used:
+            continue
+        want = bgp_select(tri, pats)
+
+        def fmt(t):
+            return t if t.startswith("?") else f"<{t}>"
+
+        text = ("SELECT DISTINCT " + " ".join("?" + v for v in used)
+                + " WHERE { "
+                + " . ".join(" ".join(fmt(x) for x in pat) for pat in pats)
+                + " }")
+        got = sparql(tri, text)
+        want_rows = sorted(map(tuple, want.select(*used).distinct().collect()))
+        got_rows = sorted(map(tuple, got.collect()))
+        assert got_rows == want_rows, (text, pats)
+        checked += 1
+    assert checked >= 15  # the generator actually exercised the space
+
+
 def test_parse_errors():
     with pytest.raises(SparqlSyntaxError):
         parse_sparql("SELECT ?x WHERE { ?x ?p ?o } VALUES ?x { <a> }")

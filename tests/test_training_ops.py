@@ -654,3 +654,52 @@ def test_kmv_distinct_accuracy_and_merge_property(spark):
     out2 = {r["g"]: r["est_distinct"]
             for r in kmv_distinct(df.repartition(23), "g", "v", k=64).collect()}
     assert out == out2                   # partition-invariant
+
+
+def test_kmv_sample_quantiles(spark):
+    """Sampled-quantile sketch: exact below k (the sample IS the
+    group), close above k, deterministic at any parallelism, and the
+    k-min sample merges associatively (union of partials == whole)."""
+    from ontocast_spark.operators.sketch import kmv_sample_quantiles
+
+    rows = [("small", i, float(i)) for i in range(100)]
+    rows += [("big", 1000 + i, float(i % 1000)) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+
+    out = {r["g"]: (r["sample_n"], r["p50"], r["p95"]) for r in
+           kmv_sample_quantiles(df, "g", "v", "id", k=256).collect()}
+    # below k: sample == group -> exact interpolated percentiles
+    assert out["small"] == (100, 49.5, 94.05)
+    # above k: order-statistic estimate within ~3/sqrt(k) of truth
+    n, p50, p95 = out["big"]
+    assert n == 256
+    assert abs(p50 - 499.5) / 1000 < 3 / (256 ** 0.5)
+    assert abs(p95 - 949.0) / 1000 < 3 / (256 ** 0.5)
+
+    out2 = {r["g"]: (r["sample_n"], r["p50"], r["p95"]) for r in
+            kmv_sample_quantiles(df.repartition(17), "g", "v", "id",
+                                 k=256).collect()}
+    assert out == out2                   # partition-invariant
+
+    # mergeability: sketching each half then keeping the k smallest of
+    # the union selects the same sample as sketching the whole
+    big = [r for r in rows if r[0] == "big"]
+    half1 = spark.createDataFrame(big[:5000], "g string, id long, v double")
+    half2 = spark.createDataFrame(big[5000:], "g string, id long, v double")
+    from ontocast_spark.operators.sketch import kmv_hash
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def sample_set(sdf, k=256):
+        w = Window.partitionBy("g").orderBy("h", "v")
+        return {
+            (r["g"], r["v"], r["h"]) for r in
+            sdf.select("g", "v", kmv_hash(F.col("id")).alias("h"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k).collect()
+        }
+    merged = sample_set(half1) | sample_set(half2)
+    top = set(sorted(merged, key=lambda t: (t[2], t[1]))[:256])
+    whole = sample_set(spark.createDataFrame(
+        big, "g string, id long, v double"))
+    assert top == whole
