@@ -58,6 +58,15 @@ import argparse
 from pyspark.sql import SparkSession
 
 
+def _read_parquet_or_table(spark: SparkSession, arg: str):
+    """One rule for every subcommand: a path-looking argument (contains
+    ``/`` or ends in ``.parquet``) reads as parquet, anything else as a
+    catalog table — the three previous inline copies had drifted."""
+    if "/" in arg or arg.endswith(".parquet"):
+        return spark.read.parquet(arg)
+    return spark.read.table(arg)
+
+
 def _cmd_canonicalize(argv) -> None:
     ap = argparse.ArgumentParser(description="cross-doc canonicalization")
     ap.add_argument("--facts", required=True,
@@ -78,8 +87,7 @@ def _cmd_canonicalize(argv) -> None:
     )
 
     spark = SparkSession.builder.appName("ontocast-canonicalize").getOrCreate()
-    facts = (spark.read.parquet(args.facts)
-             if "/" in args.facts else spark.read.table(args.facts))
+    facts = _read_parquet_or_table(spark, args.facts)
     if args.existing_mapping:
         existing = spark.read.parquet(args.existing_mapping)
         meta = spark.read.parquet(args.canon_meta)
@@ -112,9 +120,7 @@ def _cmd_dedup(argv) -> None:
     from .operators.dedup import dedup_corpus
 
     spark = SparkSession.builder.appName("ontocast-dedup").getOrCreate()
-    docs = (spark.read.parquet(args.input)
-            if "/" in args.input or args.input.endswith(".parquet")
-            else spark.read.table(args.input))
+    docs = _read_parquet_or_table(spark, args.input)
     deduped, clusters = dedup_corpus(
         docs, threshold=args.threshold,
         num_hashes=args.num_hashes, bands=args.bands,
@@ -141,9 +147,7 @@ def _cmd_corpus(argv) -> None:
     from .operators.corpus import CorpusBuildConfig, build_training_corpus
 
     spark = SparkSession.builder.appName("ontocast-corpus").getOrCreate()
-    docs = (spark.read.parquet(args.input)
-            if "/" in args.input or args.input.endswith(".parquet")
-            else spark.read.table(args.input))
+    docs = _read_parquet_or_table(spark, args.input)
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     cfg = CorpusBuildConfig(
         dedup_threshold=args.dedup_threshold,
@@ -179,9 +183,7 @@ def _cmd_sparql(argv) -> None:
 
     text = args.query or open(args.query_file, encoding="utf-8").read()
     spark = SparkSession.builder.appName("ontocast-sparql").getOrCreate()
-    triples = (spark.read.parquet(args.triples)
-               if "/" in args.triples or args.triples.endswith(".parquet")
-               else spark.read.table(args.triples))
+    triples = _read_parquet_or_table(spark, args.triples)
     result = sparql(triples, text)
     if isinstance(result, bool):  # ASK
         print("true" if result else "false")

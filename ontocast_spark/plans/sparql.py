@@ -37,9 +37,11 @@ plus the aggregate/path forms the programmatic API already evaluates):
 
 Out of scope (raise ``SparqlSyntaxError``): nested group graph
 patterns beyond OPTIONAL/UNION, subqueries, VALUES, MINUS, named
-graphs, SERVICE. Comparison operators in FILTER must be
-whitespace-separated from their operands when ``<``/``>`` could
-otherwise read as an IRI bracket.
+graphs, SERVICE, term-metadata builtins over a UNION, property paths
+in CONSTRUCT/UPDATE templates, REGEX flags outside Java's ``imsx``.
+Comparison operators in FILTER must be whitespace-separated from
+their operands when ``<``/``>`` could otherwise read as an IRI
+bracket.
 """
 
 from __future__ import annotations
@@ -626,8 +628,10 @@ class _Parser:
                         break
             elif self._kw("LIMIT"):
                 n = self._next()
-                if n.kind != "NUM":
-                    raise SparqlSyntaxError("LIMIT needs a number")
+                if n.kind != "NUM" or not n.value.isdigit():
+                    raise SparqlSyntaxError(
+                        "LIMIT needs a non-negative integer"
+                    )
                 q.limit = int(n.value)
             else:
                 return
@@ -706,7 +710,17 @@ def _compile_expr(ast):
         if name == "REGEX":
             if args[1][0] != "str":
                 raise SparqlSyntaxError("REGEX needs a literal pattern")
-            return _compile_expr(args[0]).rlike(args[1][1])
+            pattern = args[1][1]
+            if len(args) > 2:
+                # SPARQL flags -> Java inline flags; only the subset
+                # Java regex understands is accepted (i/m/s/x)
+                if args[2][0] != "str" or not set(args[2][1]) <= set("imsx"):
+                    raise SparqlSyntaxError(
+                        f"unsupported REGEX flags {args[2]!r}"
+                    )
+                if args[2][1]:
+                    pattern = f"(?{args[2][1]}){pattern}"
+            return _compile_expr(args[0]).rlike(pattern)
         if name in ("STRSTARTS", "STRENDS", "CONTAINS"):
             a, b = _compile_expr(args[0]), _compile_expr(args[1])
             return {
@@ -732,6 +746,18 @@ def _meta_arg_vars(ast, acc: set):
                 _meta_arg_vars(x, acc)
 
 
+def _reject_paths(patterns, where: str) -> None:
+    """SPARQL forbids property paths in CONSTRUCT/UPDATE templates —
+    fail with a parse-level error instead of a deep Spark literal
+    error (a :class:`Path` cannot instantiate a triple)."""
+    for pat in patterns or ():
+        for term in pat:
+            if isinstance(term, Path):
+                raise SparqlSyntaxError(
+                    f"property path not allowed in {where}"
+                )
+
+
 def sparql(triples: DataFrame, text: str):
     """Evaluate a SPARQL query string against a (subj, pred, obj[,
     term-metadata]) triple DataFrame. Returns a DataFrame for SELECT /
@@ -748,6 +774,9 @@ def sparql(triples: DataFrame, text: str):
             raise SparqlSyntaxError(
                 "DELETE supports a plain triple-pattern WHERE"
             )
+        # SPARQL forbids property paths in update templates; with no
+        # explicit template the WHERE patterns ARE the template
+        _reject_paths(q.template or q.where.triples, "DELETE template")
         return bgp_delete_where(triples, q.where.triples, delete=q.template)
 
     g = q.where
@@ -756,6 +785,11 @@ def sparql(triples: DataFrame, text: str):
         raise SparqlSyntaxError(
             "isIRI/isLiteral/lang/datatype need obj_is_literal/obj_lang/"
             "obj_datatype columns on the triple table"
+        )
+    if needs_meta and g.union_groups:
+        raise SparqlSyntaxError(
+            "term-metadata builtins over a UNION are outside the "
+            "supported subset (bgp_union does not bind term metadata)"
         )
     if g.union_groups:
         sols = bgp_union(triples, g.union_groups)
@@ -775,6 +809,7 @@ def sparql(triples: DataFrame, text: str):
 
     plain = [c for c in sols.columns if "__" not in c]
     if q.form == "construct":
+        _reject_paths(q.template, "CONSTRUCT template")
         return bgp_construct(sols.select(*plain).dropDuplicates(), q.template)
 
     # SELECT

@@ -125,7 +125,14 @@ def _pdf_content_streams(raw: bytes) -> list[bytes]:
         end = raw.find(b"endstream", m.end())
         if end < 0:
             continue
-        body = raw[m.end():end].rstrip(b"\r\n")
+        body = raw[m.end():end]
+        # strip AT MOST one EOL before 'endstream' (the spec's optional
+        # separator) — rstripping all 0x0A/0x0D bytes can eat real
+        # Flate data/checksum bytes that legitimately end in them
+        if body.endswith(b"\r\n"):
+            body = body[:-2]
+        elif body.endswith((b"\n", b"\r")):
+            body = body[:-1]
         head_start = raw.rfind(b"obj", 0, m.start())
         head = raw[max(head_start, 0):m.start()]
         if b"/FlateDecode" in head:
@@ -161,7 +168,14 @@ def minimal_pdf_text(raw: bytes) -> str:
                 digits = re.sub(r"\s", "", hexs)
                 if len(digits) % 2:
                     digits += "0"
-                lines.append(bytes.fromhex(digits).decode("latin-1"))
+                decoded = bytes.fromhex(digits).decode("latin-1")
+                # NUL bytes mean a 2-byte CID encoding (Identity-H) —
+                # latin-1 would yield interleaved mojibake; skip the
+                # operator so an all-CID document hits the honest
+                # NotImplementedError boundary instead of emitting junk
+                if "\x00" in decoded:
+                    continue
+                lines.append(decoded)
     if not lines:
         raise NotImplementedError(
             "PDF carries no decodable text operators (scanned/CID/"

@@ -62,12 +62,23 @@ def register_bolt_client(factory: Callable | None) -> None:
     _registered_bolt_factory = factory
 
 
+# one bolt driver per (uri, auth) per process: GraphDatabase.driver
+# holds a connection pool, and executors call make_client once per
+# conversation group — without this memo every group would leak a pool
+# for the worker's lifetime
+_worker_bolt_drivers: dict = {}
+
+
 def _bolt_factory(uri: str, auth: tuple | None, database: str):
     """Adapter over the real ``neo4j`` bolt driver (lazy import, only
     reached when the package is installed)."""
     from neo4j import GraphDatabase
 
-    driver = GraphDatabase.driver(uri, auth=auth)
+    key = (uri, auth)
+    driver = _worker_bolt_drivers.get(key)
+    if driver is None:
+        driver = GraphDatabase.driver(uri, auth=auth)
+        _worker_bolt_drivers[key] = driver
 
     class _BoltClient:
         def run(self, cypher: str, params: dict | None = None) -> list[dict]:
@@ -122,15 +133,17 @@ class Neo4jHttpClient:
 def make_client(
     uri: str, auth: tuple | None = None, database: str = "neo4j"
 ):
-    """Transport resolution: registered factory, then the bolt driver
-    when importable, else the HTTP transactional API for http(s) URIs.
+    """Transport resolution: registered factory first; an http(s) URI
+    always means the HTTP transactional API (the bolt driver does not
+    speak http — auto-detecting it here would crash on valid input);
+    any other scheme (bolt://, neo4j://, ...) needs the bolt driver.
     A bolt URI with no bolt transport raises — honestly."""
     if _registered_bolt_factory is not None:
         return _registered_bolt_factory(uri, auth, database)
-    if importlib.util.find_spec("neo4j") is not None:
-        return _bolt_factory(uri, auth, database)
     if uri.startswith(("http://", "https://")):
         return Neo4jHttpClient(uri, auth, database)
+    if importlib.util.find_spec("neo4j") is not None:
+        return _bolt_factory(uri, auth, database)
     raise NotImplementedError(
         f"no transport for {uri!r}: install the neo4j bolt driver, "
         "register_bolt_client(factory), or use an http(s) URI "

@@ -196,13 +196,15 @@ def stream_dedup_turns(
     batch-side ``dropDuplicates`` in ``start_incremental_kg``'s
     foreachBatch, which guards buffer-generation replays.
 
-    Pass ``watermark=None`` when the input already carries one
-    (``stream_conversations_from_files`` attaches its own) —
-    re-defining a watermark is disallowed by Spark, and sniffing the
-    analyzed plan for one would depend on private py4j internals, so
-    the caller states it explicitly."""
+    An existing watermark on ``ts`` is detected through the PUBLIC
+    column-metadata key ``spark.watermarkDelayMs`` (what
+    ``withWatermark`` stamps on the column) — no private plan
+    internals — and is never re-attached over;
+    ``stream_conversations_from_files`` streams therefore work with
+    the defaults. Pass ``watermark=None`` to force-skip attaching."""
     if "ts" not in stream.columns:
         raise ValueError("stream_dedup_turns needs an event-time 'ts' column")
-    if watermark is not None:
+    has_wm = "spark.watermarkDelayMs" in (stream.schema["ts"].metadata or {})
+    if watermark is not None and not has_wm:
         stream = stream.withWatermark("ts", watermark)
     return stream.dropDuplicatesWithinWatermark(list(keys))

@@ -368,6 +368,18 @@ def test_minimal_pdf_text_extraction(spark, tmp_path):
     with _pytest.raises(NotImplementedError):
         minimal_pdf_text(b"%PDF-1.4\nno streams here\n%%EOF")
 
+    # 2-byte CID hex strings (Identity-H fonts) decode to NUL-ridden
+    # mojibake under latin-1 — the extractor must skip them and an
+    # all-CID document must hit the honest boundary, not emit junk
+    cid_hex = "Hello".encode("utf-16-be").hex()
+    cid_pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 40 >>\nstream\n"
+        + f"BT <{cid_hex}> Tj ET".encode()
+        + b"\nendstream\nendobj\n%%EOF"
+    )
+    with _pytest.raises(NotImplementedError):
+        minimal_pdf_text(cid_pdf)
+
 
 def test_media_decoder_registered_codec_hook(spark):
     """Same hook on the multimodal side: decoder='auto' picks up a

@@ -285,6 +285,34 @@ def test_parse_errors():
         parse_sparql("INSERT DATA { ?x <p> <o> }")  # non-ground insert
     with pytest.raises(SparqlSyntaxError):
         parse_sparql("SELECT ?x WHERE { { ?x <p> ?o . FILTER(?x = 1) } UNION { ?x <q> ?o } }")
+    with pytest.raises(SparqlSyntaxError):  # LIMIT must be an integer
+        parse_sparql("SELECT ?x WHERE { ?x <p> ?o } LIMIT 3.5")
+
+
+def test_regex_flags_and_subset_guards(spark):
+    tri = _triples(spark, [
+        ("a", "label", "ACME Corp"), ("b", "label", "acme corp"),
+    ])
+    # REGEX 3rd arg: 'i' compiles to Java's inline flag
+    got = {r["x"] for r in sparql(
+        tri, 'SELECT ?x WHERE { ?x <label> ?l . FILTER(REGEX(?l, "^acme", "i")) }'
+    ).collect()}
+    assert got == {"a", "b"}
+    with pytest.raises(SparqlSyntaxError):  # unsupported flag
+        sparql(tri, 'SELECT ?x WHERE { ?x <label> ?l . FILTER(REGEX(?l, "a", "q")) }')
+    # property paths cannot instantiate update/construct templates
+    with pytest.raises(SparqlSyntaxError):
+        sparql(tri, "DELETE WHERE { ?a <p>+ ?b }")
+    with pytest.raises(SparqlSyntaxError):
+        sparql(tri, "CONSTRUCT { ?a <p>+ ?b } WHERE { ?a <label> ?b }")
+    # term-metadata builtins over UNION: clear subset error, not a deep
+    # AnalysisException from the missing metadata columns
+    tri_meta = _triples(spark, [("a", "p", "b", False, None, None)], meta=True)
+    with pytest.raises(SparqlSyntaxError):
+        sparql(tri_meta, """
+            SELECT ?o WHERE {
+              { ?s <p> ?o } UNION { ?s <q> ?o } FILTER(isIRI(?o))
+            }""")
 
 
 def test_meta_builtins_require_columns(spark):

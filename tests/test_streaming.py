@@ -243,8 +243,10 @@ def test_stream_dedup_turns(spark, tmp_path):
         "append").parquet(src)
 
     stream = stream_conversations_from_files(spark, src, CONVERSATIONS)
-    # the file source already attached its watermark -> caller says so
-    deduped = stream_dedup_turns(stream, watermark=None)
+    # the file source already attached its watermark; defaults must
+    # detect it via the public column metadata and not stack another
+    assert "spark.watermarkDelayMs" in stream.schema["ts"].metadata
+    deduped = stream_dedup_turns(stream)
     q = (
         deduped.writeStream.format("parquet")
         .option("path", out_dir)
