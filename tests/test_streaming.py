@@ -210,6 +210,47 @@ def test_stateful_session_assembly(spark, tmp_path):
     assert a["doc_iri"] == batch["doc_iri"]
 
 
+def test_enrich_turns_static(spark, tmp_path):
+    """Stream-static broadcast join: turns enrich against a static dim
+    without shuffling the stream side, and unmatched conversations
+    keep NULLs (left join)."""
+    import datetime as dt
+
+    from ontocast_spark.schemas import CONVERSATIONS
+    from ontocast_spark.streaming.stream import (
+        enrich_turns_static,
+        stream_conversations_from_files,
+    )
+
+    src = str(tmp_path / "turns")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", "hi", None, t0),
+        ("c2", 0, "user", "yo", None, t0),
+    ]
+    spark.createDataFrame(rows, schema=CONVERSATIONS).coalesce(1)\
+        .write.parquet(src)
+    dim = spark.createDataFrame(
+        [("c1", "tenant-a")], "conv_id string, tenant string"
+    )
+    stream = stream_conversations_from_files(spark, src, CONVERSATIONS)
+    enriched = enrich_turns_static(stream, dim)
+    # plan evidence: the dim side broadcasts (no stream-side exchange)
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["conv_id"], r["tenant"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {("c1", "tenant-a"), ("c2", None)}
+
+
 def test_stream_dedup_turns(spark, tmp_path):
     """dropDuplicatesWithinWatermark collapses replayed turns across
     micro-batches while the duplicate is inside the watermark window

@@ -703,3 +703,13 @@ def test_kmv_sample_quantiles(spark):
     whole = sample_set(spark.createDataFrame(
         big, "g string, id long, v double"))
     assert top == whole
+
+    # plan shape: ONE exchange, and the rank-limit pushdown puts a
+    # Partial WindowGroupLimit BELOW it — each map task pre-trims to k
+    # rows per group before any data moves (the plan-level form of the
+    # sketch's mergeability; shuffle volume bounded at k rows/group/task)
+    plan = (kmv_sample_quantiles(df, "g", "v", "id", k=256)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1, plan
+    # both the map-side (Partial) and reduce-side (Final) rank limits
+    assert plan.count("WindowGroupLimit") == 2, plan
