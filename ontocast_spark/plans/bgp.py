@@ -290,9 +290,19 @@ def bgp_select(
     columns join along with the variable, a variable bound at an
     object position in one pattern and a subject position in another
     only unifies on non-literal terms — the term-aware equality SPARQL
-    requires and plain string join would miss."""
+    requires and plain string join would miss.
+
+    **Named graphs**: a 4-term pattern ``(s, p, o, g)`` additionally
+    binds/filters the triple table's ``graph`` column (SPARQL
+    ``GRAPH g { s p o }``); a shared ``?g`` across the block's
+    patterns joins them within one graph, exactly like any other
+    variable. Requires the table to carry a ``graph`` column."""
     if not patterns:
         raise ValueError("empty basic graph pattern")
+    if any(len(p) == 4 for p in patterns) and "graph" not in triples.columns:
+        raise ValueError(
+            "GRAPH patterns need a 'graph' column on the triple table"
+        )
     meta_srcs = (
         [(src, sfx, dflt) for src, sfx, dflt in _TERM_META
          if src in triples.columns]
@@ -300,17 +310,29 @@ def bgp_select(
         else []
     )
     result: DataFrame | None = None
-    for s, p, o in patterns:
+    for pat in patterns:
+        s, p, o = pat[0], pat[1], pat[2]
+        g = pat[3] if len(pat) == 4 else None
         is_path = isinstance(p, Path) or (
             isinstance(p, str) and p.startswith("<")
         )
         if is_path:
+            if g is not None:
+                raise ValueError(
+                    "property paths inside GRAPH blocks are unsupported"
+                )
             t = path_pairs(triples, p)
             slot_terms = [("s", s), ("o", o)]
             pattern_meta: list = []  # path endpoints are IRIs/nodes
         else:
             t = triples
             slot_terms = list(zip(_SLOTS, (s, p, o)))
+            if g is not None:
+                # SPARQL: GRAPH ?g ranges over NAMED graphs only — a
+                # NULL graph value is the default graph and never binds
+                if isinstance(g, str) and g.startswith("?"):
+                    t = t.filter(F.col("graph").isNotNull())
+                slot_terms.append(("graph", g))
             pattern_meta = meta_srcs
         seen: dict[str, str] = {}  # var -> first slot bound
         cols = []

@@ -27,7 +27,10 @@ plus the aggregate/path forms the programmatic API already evaluates):
 - Group pattern: triple blocks with ``;`` / ``,`` continuations,
   ``OPTIONAL { ... }``, ``{ A } UNION { B }``, ``FILTER (expr)``;
   property paths in the predicate slot (``^``, ``/``, ``|``, ``+``,
-  ``*``, ``?``, parens).
+  ``*``, ``?``, parens); ``GRAPH ?g|<iri> { ... }`` blocks when the
+  triple table carries a ``graph`` column (a shared ``?g`` joins the
+  block's patterns within one graph — the reference's ontology
+  discovery query shape, fuseki.py:212-218).
 - FILTER expressions: ``||  &&  !  = != < > <= >=``, ``STR``,
   ``STRSTARTS``, ``STRENDS``, ``CONTAINS``, ``REGEX``, ``BOUND``,
   ``isIRI``/``isURI``, ``isLiteral``, ``LANG``, ``DATATYPE`` — each
@@ -36,9 +39,10 @@ plus the aggregate/path forms the programmatic API already evaluates):
   carries the metadata columns).
 
 Out of scope (raise ``SparqlSyntaxError``): nested group graph
-patterns beyond OPTIONAL/UNION, subqueries, VALUES, MINUS, named
-graphs, SERVICE, term-metadata builtins over a UNION, property paths
-in CONSTRUCT/UPDATE templates, REGEX flags outside Java's ``imsx``.
+patterns beyond OPTIONAL/UNION/GRAPH, subqueries, VALUES, MINUS,
+SERVICE, term-metadata builtins over a UNION, property paths in
+CONSTRUCT/UPDATE templates or GRAPH blocks, REGEX flags outside
+Java's ``imsx``.
 Comparison operators in FILTER must be whitespace-separated from
 their operands when ``<``/``>`` could otherwise read as an IRI
 bracket.
@@ -384,10 +388,33 @@ class _Parser:
                 g.optionals.append(sub)
             elif self._kw("FILTER"):
                 g.filters.append(self._filter_expr())
+            elif self._kw("GRAPH"):
+                g.triples.extend(self._graph_block())
             else:
                 self._triples_block(g.triples)
         self._expect_op("}")
         return g
+
+    def _graph_block(self) -> list:
+        """``GRAPH ?g|<iri> { triples }`` -> 4-term patterns binding
+        the triple table's ``graph`` column (the reference's ontology
+        discovery queries run GRAPH blocks inside UNION arms,
+        fuseki.py:212-218)."""
+        t = self._next()
+        if t.kind == "VAR":
+            gterm = "?" + t.value[1:]
+        elif t.kind == "IRI":
+            gterm = self.base + t.value[1:-1] if self.base else t.value[1:-1]
+        elif t.kind == "PNAME":
+            gterm = self._resolve_pname(t.value)
+        else:
+            raise SparqlSyntaxError("GRAPH needs a ?var or an IRI")
+        self._expect_op("{")
+        inner: list = []
+        while not self._at_op("}"):
+            self._triples_block(inner)
+        self._expect_op("}")
+        return [(s, p, o, gterm) for s, p, o in inner]
 
     def _plain_group(self) -> list:
         """A braced group of plain triples (UNION arms, OPTIONAL
@@ -395,6 +422,9 @@ class _Parser:
         self._expect_op("{")
         out: list = []
         while not self._at_op("}"):
+            if self._kw("GRAPH"):
+                out.extend(self._graph_block())
+                continue
             if self._peek() is not None and self._peek().kind == "KW" and \
                     self._peek().value.upper() in ("OPTIONAL", "FILTER", "UNION"):
                 raise SparqlSyntaxError(
@@ -790,6 +820,12 @@ def sparql(triples: DataFrame, text: str):
         raise SparqlSyntaxError(
             "term-metadata builtins over a UNION are outside the "
             "supported subset (bgp_union does not bind term metadata)"
+        )
+    all_pats = list(g.triples) + [p for grp in g.union_groups for p in grp] \
+        + [p for opt in g.optionals for p in opt]
+    if any(len(p) == 4 for p in all_pats) and "graph" not in triples.columns:
+        raise SparqlSyntaxError(
+            "GRAPH blocks need a 'graph' column on the triple table"
         )
     if g.union_groups:
         sols = bgp_union(triples, g.union_groups)

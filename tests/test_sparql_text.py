@@ -219,6 +219,46 @@ def test_semicolon_comma_continuations(spark):
     assert [r["x"] for r in sparql(tri, text).collect()] == ["a"]
 
 
+def test_reference_fuseki_discovery_query(spark):
+    """The reference's ontology-discovery query runs VERBATIM
+    (fuseki.py:212-218): GRAPH ?g blocks inside UNION arms over a
+    graph-column triple table — named-graph hits and default-graph
+    hits union, deduped by DISTINCT."""
+    OWL_ONT = "http://www.w3.org/2002/07/owl#Ontology"
+    tri = spark.createDataFrame(
+        [
+            ("https://onto/a", RDF_TYPE, OWL_ONT, "https://g/onto-a"),
+            ("https://onto/b", RDF_TYPE, OWL_ONT, None),  # default graph
+            ("https://onto/a", RDF_TYPE, OWL_ONT, None),  # both places
+            ("https://x/doc", RDF_TYPE, "https://onto/Doc", "https://g/facts"),
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    list_query = """
+    SELECT DISTINCT ?s WHERE {
+      { GRAPH ?g { ?s a <http://www.w3.org/2002/07/owl#Ontology> } }
+      UNION
+      { ?s a <http://www.w3.org/2002/07/owl#Ontology> }
+    }
+    """
+    got = {r["s"] for r in sparql(tri, list_query).collect()}
+    assert got == {"https://onto/a", "https://onto/b"}
+
+    # GRAPH <iri> filters; shared ?g correlates patterns in one graph
+    got2 = {tuple(r) for r in sparql(tri, """
+        SELECT ?s ?g WHERE { GRAPH ?g { ?s a <%s> } }
+    """ % OWL_ONT).collect()}
+    assert got2 == {("https://onto/a", "https://g/onto-a")}
+    got3 = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { GRAPH <https://g/facts> { ?s ?p ?o } }
+    """).collect()}
+    assert got3 == {"https://x/doc"}
+    # no graph column -> clear subset error
+    with pytest.raises(SparqlSyntaxError):
+        sparql(tri.drop("graph"),
+               "SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o } }")
+
+
 def test_random_bgp_text_equivalence(spark):
     """Seeded random BGPs serialized to SPARQL text must evaluate
     identically to the programmatic bgp_select on a random graph —
