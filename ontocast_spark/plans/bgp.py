@@ -432,6 +432,44 @@ def bgp_union(
     return out.dropDuplicates()
 
 
+def bgp_minus(
+    result: DataFrame,
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+) -> DataFrame:
+    """SPARQL ``MINUS``: remove solutions compatible with some solution
+    of ``patterns`` on their shared variables — one left-anti join.
+    Spec corner honored: with NO shared variable, MINUS removes
+    nothing (every pair of solutions is incompatible by definition,
+    SPARQL 1.1 §8.3.3)."""
+    minus = bgp_select(triples, patterns, distinct=True)
+    shared = sorted(set(result.columns) & set(minus.columns))
+    if not shared:
+        return result
+    return result.join(minus.select(*shared), on=shared, how="left_anti")
+
+
+def bgp_values(
+    result: DataFrame | None,
+    spark,
+    variables: list[str],
+    rows: list[tuple],
+) -> DataFrame:
+    """SPARQL ``VALUES``: constrain (or seed) solutions with an inline
+    table. Joined on the shared variables — the inline table is tiny,
+    so Catalyst broadcasts it; with no prior solutions it IS the
+    solution set."""
+    inline = spark.createDataFrame(
+        rows, ", ".join(f"{v} string" for v in variables)
+    ).dropDuplicates()
+    if result is None:
+        return inline
+    shared = sorted(set(result.columns) & set(inline.columns))
+    if not shared:
+        return result.crossJoin(F.broadcast(inline))
+    return result.join(F.broadcast(inline), on=shared, how="inner")
+
+
 def bgp_filter(result: DataFrame, condition) -> DataFrame:
     """SPARQL FILTER: a Catalyst predicate over the solution variables
     (``F.col("price") > 100``, ``F.col("name").startswith(...)``, any

@@ -30,7 +30,10 @@ plus the aggregate/path forms the programmatic API already evaluates):
   ``*``, ``?``, parens); ``GRAPH ?g|<iri> { ... }`` blocks when the
   triple table carries a ``graph`` column (a shared ``?g`` joins the
   block's patterns within one graph — the reference's ontology
-  discovery query shape, fuseki.py:212-218).
+  discovery query shape, fuseki.py:212-218); ``MINUS { ... }``
+  (left-anti join on shared vars; removes nothing when none are
+  shared, per spec) and ``VALUES ?x { ... }`` / ``VALUES (?x ?y)
+  { (...) ... }`` inline data (broadcast-joined).
 - FILTER expressions: ``||  &&  !  = != < > <= >=``, ``STR``,
   ``STRSTARTS``, ``STRENDS``, ``CONTAINS``, ``REGEX``, ``BOUND``,
   ``isIRI``/``isURI``, ``isLiteral``, ``LANG``, ``DATATYPE`` — each
@@ -39,8 +42,8 @@ plus the aggregate/path forms the programmatic API already evaluates):
   carries the metadata columns).
 
 Out of scope (raise ``SparqlSyntaxError``): nested group graph
-patterns beyond OPTIONAL/UNION/GRAPH, subqueries, VALUES, MINUS,
-SERVICE, term-metadata builtins over a UNION, property paths in
+patterns beyond OPTIONAL/UNION/GRAPH/MINUS, subqueries, VALUES UNDEF
+rows, SERVICE, term-metadata builtins over a UNION, property paths in
 CONSTRUCT/UPDATE templates or GRAPH blocks, REGEX flags outside
 Java's ``imsx``.
 Comparison operators in FILTER must be whitespace-separated from
@@ -65,9 +68,11 @@ from .bgp import (
     bgp_describe,
     bgp_filter,
     bgp_insert_data,
+    bgp_minus,
     bgp_optional,
     bgp_select,
     bgp_union,
+    bgp_values,
     fn_bound,
     fn_datatype,
     fn_is_iri,
@@ -147,12 +152,15 @@ def _unquote(s: str) -> str:
 @dataclass
 class _Group:
     """One WHERE group: conjunctive triple patterns, OPTIONAL blocks,
-    FILTER expression ASTs, or a top-level UNION of plain groups."""
+    FILTER expression ASTs, MINUS blocks, VALUES clauses, or a
+    top-level UNION of plain groups."""
 
     triples: list = field(default_factory=list)
     optionals: list = field(default_factory=list)
     filters: list = field(default_factory=list)
     union_groups: list = field(default_factory=list)
+    minuses: list = field(default_factory=list)
+    values: list = field(default_factory=list)  # (vars, rows) clauses
 
 
 @dataclass
@@ -390,10 +398,62 @@ class _Parser:
                 g.filters.append(self._filter_expr())
             elif self._kw("GRAPH"):
                 g.triples.extend(self._graph_block())
+            elif self._kw("MINUS"):
+                g.minuses.append(self._plain_group())
+            elif self._kw("VALUES"):
+                g.values.append(self._values_clause())
             else:
                 self._triples_block(g.triples)
         self._expect_op("}")
         return g
+
+    def _values_term(self):
+        t = self._peek()
+        if t is not None and t.kind == "KW" and t.value.upper() == "UNDEF":
+            raise SparqlSyntaxError(
+                "VALUES UNDEF (wildcard rows) is outside the supported "
+                "subset"
+            )
+        v = self._term()
+        if isinstance(v, Path) or (isinstance(v, str) and v.startswith("?")):
+            raise SparqlSyntaxError("VALUES rows take constants")
+        return v
+
+    def _values_clause(self):
+        """``VALUES ?x { <a> ... }`` or ``VALUES (?x ?y) { (<a> <b>)
+        ... }`` -> (vars, rows)."""
+        t = self._peek()
+        if t is not None and t.kind == "VAR":
+            self.pos += 1
+            vars_ = [t.value[1:]]
+            single = True
+        else:
+            self._expect_op("(")
+            vars_ = []
+            while self._peek() is not None and self._peek().kind == "VAR":
+                vars_.append(self._next().value[1:])
+            self._expect_op(")")
+            single = False
+        if not vars_:
+            raise SparqlSyntaxError("VALUES needs at least one ?var")
+        self._expect_op("{")
+        rows = []
+        while not self._at_op("}"):
+            if single:
+                rows.append((self._values_term(),))
+            else:
+                self._expect_op("(")
+                row = []
+                while not self._at_op(")"):
+                    row.append(self._values_term())
+                self._expect_op(")")
+                if len(row) != len(vars_):
+                    raise SparqlSyntaxError(
+                        f"VALUES row arity {len(row)} != {len(vars_)}"
+                    )
+                rows.append(tuple(row))
+        self._expect_op("}")
+        return vars_, rows
 
     def _graph_block(self) -> list:
         """``GRAPH ?g|<iri> { triples }`` -> 4-term patterns binding
@@ -800,7 +860,8 @@ def sparql(triples: DataFrame, text: str):
     if q.form == "insert_data":
         return bgp_insert_data(triples, q.insert_rows)
     if q.form == "delete":
-        if q.where.filters or q.where.optionals or q.where.union_groups:
+        if (q.where.filters or q.where.optionals or q.where.union_groups
+                or q.where.minuses or q.where.values):
             raise SparqlSyntaxError(
                 "DELETE supports a plain triple-pattern WHERE"
             )
@@ -829,7 +890,7 @@ def sparql(triples: DataFrame, text: str):
         )
     if g.union_groups:
         sols = bgp_union(triples, g.union_groups)
-    else:
+    elif g.triples:
         sols = bgp_select(
             triples, g.triples,
             distinct=q.form != "select" or q.distinct or bool(q.aggs),
@@ -837,6 +898,14 @@ def sparql(triples: DataFrame, text: str):
         )
         for opt in g.optionals:
             sols = bgp_optional(sols, triples, opt, bind_term_meta=needs_meta)
+    elif g.values:
+        sols = None  # VALUES-only group: the inline table IS the base
+    else:
+        raise SparqlSyntaxError("empty WHERE group")
+    for vars_, rows in g.values:
+        sols = bgp_values(sols, triples.sparkSession, vars_, rows)
+    for m in g.minuses:
+        sols = bgp_minus(sols, triples, m)
     for f in g.filters:
         sols = bgp_filter(sols, _compile_expr(f))
 

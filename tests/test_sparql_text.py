@@ -316,6 +316,41 @@ def test_random_bgp_text_equivalence(spark):
     assert checked >= 15  # the generator actually exercised the space
 
 
+def test_minus_and_values(spark):
+    tri = _triples(spark, [
+        ("a", "knows", "b"), ("b", "knows", "c"), ("c", "knows", "d"),
+        ("b", "blocked", "yes"),
+    ])
+    # MINUS removes solutions compatible on shared vars
+    got = {r["x"] for r in sparql(tri, """
+        SELECT ?x WHERE { ?x <knows> ?y . MINUS { ?x <blocked> ?z } }
+    """).collect()}
+    assert got == {"a", "c"}
+    # spec corner: MINUS with NO shared variable removes nothing
+    got2 = {r["x"] for r in sparql(tri, """
+        SELECT ?x WHERE { ?x <knows> ?y . MINUS { ?p <blocked> ?z } }
+    """).collect()}
+    assert got2 == {"a", "b", "c"}
+    # VALUES constrains; single-var and multi-var forms
+    got3 = {r["x"] for r in sparql(tri, """
+        SELECT ?x WHERE { ?x <knows> ?y . VALUES ?x { <a> <c> <zzz> } }
+    """).collect()}
+    assert got3 == {"a", "c"}
+    got4 = {(r["x"], r["y"]) for r in sparql(tri, """
+        SELECT ?x ?y WHERE {
+          ?x <knows> ?y . VALUES (?x ?y) { (<a> <b>) (<b> <d>) }
+        }
+    """).collect()}
+    assert got4 == {("a", "b")}
+    # VALUES-only group: the inline table IS the solution set
+    got5 = {r["x"] for r in sparql(
+        tri, "SELECT ?x WHERE { VALUES ?x { <p> <q> } }"
+    ).collect()}
+    assert got5 == {"p", "q"}
+    with pytest.raises(SparqlSyntaxError):  # UNDEF out of subset
+        sparql(tri, "SELECT ?x WHERE { VALUES ?x { UNDEF } }")
+
+
 def test_parse_errors():
     with pytest.raises(SparqlSyntaxError):
         parse_sparql("SELECT ?x WHERE { ?x ?p ?o } VALUES ?x { <a> }")
