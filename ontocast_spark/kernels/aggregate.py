@@ -206,41 +206,40 @@ def find_similar_predicates(
     """Greedy predicate grouping with domain/range gate
     (aggregate.py:692-764)."""
     groups: list[list[str]] = []
-    processed: set[str] = set()
-    preds_list = list(predicates.keys())
-    ln_lower = {p: m.local_name.lower() for p, m in predicates.items()}
-    lb_lower = {
-        p: (m.label.lower() if m.label is not None else None)
-        for p, m in predicates.items()
-    }
-    for i, p1 in enumerate(preds_list):
-        if p1 in processed:
+    # same prefetch as find_similar_entities: the O(n^2) loop reads one
+    # tuple list, no dicts (identical iteration order and decisions)
+    items = []
+    for p, m in predicates.items():
+        lb = m.label.lower() if m.label is not None else None
+        items.append((p, m.local_name.lower(), lb,
+                      len(lb) if lb is not None else 0, m))
+    n = len(items)
+    processed = bytearray(n)
+    for i in range(n):
+        if processed[i]:
             continue
+        p1, ln1, label1, l1, info1 = items[i]
         group = [p1]
-        info1 = predicates[p1]
-        ln1 = ln_lower[p1]
-        label1 = lb_lower[p1]
-        processed.add(p1)
-        for p2 in preds_list[i + 1 :]:
-            if p2 in processed:
+        processed[i] = 1
+        for j in range(i + 1, n):
+            if processed[j]:
                 continue
-            info2 = predicates[p2]
-            if ln1 == ln_lower[p2]:
+            p2, ln2, label2, l2, info2 = items[j]
+            if ln1 == ln2:
                 if _domain_range_compatible(info1, info2):
                     group.append(p2)
-                    processed.add(p2)
+                    processed[j] = 1
                 continue
-            label2 = lb_lower[p2]
             if label1 is not None and label2 is not None:
-                l1, l2 = len(label1), len(label2)
-                if 200.0 * min(l1, l2) < SIMILARITY_THRESHOLD * (l1 + l2):
+                if 200.0 * (l1 if l1 < l2 else l2) \
+                        < SIMILARITY_THRESHOLD * (l1 + l2):
                     continue
                 r = cached_ratio(label1, label2)
                 if r >= SIMILARITY_THRESHOLD and _domain_range_compatible(
                     info1, info2
                 ):
                     group.append(p2)
-                    processed.add(p2)
+                    processed[j] = 1
         if len(group) > 1:
             groups.append(group)
     return groups
