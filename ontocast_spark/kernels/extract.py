@@ -171,10 +171,15 @@ def _extract_sentence(
     if cache is None:
         cache = {}
         ontology._sent_cache = cache
+    # long sentences rarely repeat and their raw text is the cache KEY —
+    # skip caching them so a pathological corpus can't turn the bounded
+    # entry count into gigabytes of key strings per worker
+    cacheable = len(sentence) <= 2000
     key = (ontology_id, sentence)
-    hit = cache.get(key)
-    if hit is not None:
-        return hit
+    if cacheable:
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
 
     triples: set[tuple] = set()
     used_terms: set[str] = set()
@@ -255,7 +260,7 @@ def _extract_sentence(
                 used_terms.add(t.term_iri)
 
     result = (frozenset(triples), frozenset(used_terms))
-    if len(cache) < _SENT_CACHE_MAX:
+    if cacheable and len(cache) < _SENT_CACHE_MAX:
         cache[key] = result
     return result
 

@@ -235,7 +235,12 @@ def write_conversation_graph(client, triples: list[tuple]) -> int:
     number of statements issued."""
     rels: dict[str, list[dict]] = {}
     props: list[dict] = []
-    for s, p, o, lit, _ in triples:
+    # sorted replay: UNWIND applies rows in order and SET += is
+    # last-wins, so two literal values for the same (subj, pred) must
+    # arrive in a deterministic order — shuffle order is not one
+    for s, p, o, lit, _ in sorted(
+        triples, key=lambda t: (t[0], t[1], t[2], bool(t[3]), t[4] or "")
+    ):
         if lit:
             props.append({"subj": s, "props": {p: o}})
         else:
