@@ -333,6 +333,13 @@ def bgp_select(
                 if isinstance(g, str) and g.startswith("?"):
                     t = t.filter(F.col("graph").isNotNull())
                 slot_terms.append(("graph", g))
+            elif "graph" in triples.columns:
+                # spec default-graph semantics on a quad table: a plain
+                # pattern matches the DEFAULT graph (NULL rows) only —
+                # the reference's discovery query relies on this (its
+                # UNION arm without GRAPH covers the default graph);
+                # union-default-graph behavior = drop/null the column
+                t = t.filter(F.col("graph").isNull())
             pattern_meta = meta_srcs
         seen: dict[str, str] = {}  # var -> first slot bound
         cols = []
@@ -437,16 +444,26 @@ def bgp_minus(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
 ) -> DataFrame:
-    """SPARQL ``MINUS``: remove solutions compatible with some solution
-    of ``patterns`` on their shared variables — one left-anti join.
-    Spec corner honored: with NO shared variable, MINUS removes
-    nothing (every pair of solutions is incompatible by definition,
-    SPARQL 1.1 §8.3.3)."""
+    """SPARQL ``MINUS``: remove solutions for which some solution of
+    ``patterns`` is compatible AND shares at least one bound variable
+    (SPARQL 1.1 §8.3.3) — one left-anti join. Spec corners honored:
+    with NO shared variable nothing is removed, and an UNBOUND (NULL,
+    from OPTIONAL) value on one side is compatible with anything but
+    does not count toward the domain overlap."""
     minus = bgp_select(triples, patterns, distinct=True)
     shared = sorted(set(result.columns) & set(minus.columns))
     if not shared:
         return result
-    return result.join(minus.select(*shared), on=shared, how="left_anti")
+    lhs, rhs = result.alias("_l"), minus.select(*shared).alias("_r")
+    compatible = F.lit(True)
+    overlap = F.lit(False)
+    for v in shared:
+        lv, rv = F.col(f"_l.{v}"), F.col(f"_r.{v}")
+        compatible = compatible & (lv.isNull() | rv.isNull() | (lv == rv))
+        overlap = overlap | (lv.isNotNull() & rv.isNotNull())
+    return lhs.join(rhs, compatible & overlap, "left_anti").select(
+        *[F.col(f"_l.{c}").alias(c) for c in result.columns]
+    )
 
 
 def bgp_values(
@@ -456,9 +473,11 @@ def bgp_values(
     rows: list[tuple],
 ) -> DataFrame:
     """SPARQL ``VALUES``: constrain (or seed) solutions with an inline
-    table. Joined on the shared variables — the inline table is tiny,
-    so Catalyst broadcasts it; with no prior solutions it IS the
-    solution set."""
+    table. Compatibility join on the shared variables — an UNBOUND
+    (NULL, from OPTIONAL) solution value is compatible with any inline
+    value and TAKES the row's binding (spec join semantics). The
+    inline table is tiny, so it broadcasts; with no prior solutions it
+    IS the solution set."""
     inline = spark.createDataFrame(
         rows, ", ".join(f"{v} string" for v in variables)
     ).dropDuplicates()
@@ -467,7 +486,20 @@ def bgp_values(
     shared = sorted(set(result.columns) & set(inline.columns))
     if not shared:
         return result.crossJoin(F.broadcast(inline))
-    return result.join(F.broadcast(inline), on=shared, how="inner")
+    lhs, rhs = result.alias("_l"), F.broadcast(inline.alias("_r"))
+    cond = F.lit(True)
+    for v in shared:
+        lv, rv = F.col(f"_l.{v}"), F.col(f"_r.{v}")
+        cond = cond & (lv.isNull() | (lv == rv))
+    extra = [v for v in inline.columns if v not in shared]
+    return lhs.join(rhs, cond, "inner").select(
+        *[
+            F.coalesce(F.col(f"_l.{c}"), F.col(f"_r.{c}")).alias(c)
+            if c in shared else F.col(f"_l.{c}").alias(c)
+            for c in result.columns
+        ],
+        *[F.col(f"_r.{c}").alias(c) for c in extra],
+    )
 
 
 def bgp_filter(result: DataFrame, condition) -> DataFrame:

@@ -868,6 +868,10 @@ def sparql(triples: DataFrame, text: str):
         # SPARQL forbids property paths in update templates; with no
         # explicit template the WHERE patterns ARE the template
         _reject_paths(q.template or q.where.triples, "DELETE template")
+        if any(len(p) == 4 for p in q.where.triples):
+            raise SparqlSyntaxError(
+                "GRAPH blocks in DELETE are outside the supported subset"
+            )
         return bgp_delete_where(triples, q.where.triples, delete=q.template)
 
     g = q.where
@@ -883,10 +887,16 @@ def sparql(triples: DataFrame, text: str):
             "supported subset (bgp_union does not bind term metadata)"
         )
     all_pats = list(g.triples) + [p for grp in g.union_groups for p in grp] \
-        + [p for opt in g.optionals for p in opt]
+        + [p for opt in g.optionals for p in opt] \
+        + [p for m in g.minuses for p in m]
     if any(len(p) == 4 for p in all_pats) and "graph" not in triples.columns:
         raise SparqlSyntaxError(
             "GRAPH blocks need a 'graph' column on the triple table"
+        )
+    if g.optionals and not g.triples:
+        raise SparqlSyntaxError(
+            "OPTIONAL needs a basic-pattern base in this subset (a "
+            "VALUES-only group cannot anchor it)"
         )
     if g.union_groups:
         sols = bgp_union(triples, g.union_groups)

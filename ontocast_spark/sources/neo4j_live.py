@@ -239,7 +239,9 @@ def write_conversation_graph(client, triples: list[tuple]) -> int:
     # last-wins, so two literal values for the same (subj, pred) must
     # arrive in a deterministic order — shuffle order is not one
     for s, p, o, lit, _ in sorted(
-        triples, key=lambda t: (t[0], t[1], t[2], bool(t[3]), t[4] or "")
+        triples,
+        key=lambda t: (t[0] or "", t[1] or "", t[2] or "",
+                       bool(t[3]), t[4] or ""),
     ):
         if lit:
             props.append({"subj": s, "props": {p: o}})

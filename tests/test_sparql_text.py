@@ -253,10 +253,24 @@ def test_reference_fuseki_discovery_query(spark):
         SELECT ?s WHERE { GRAPH <https://g/facts> { ?s ?p ?o } }
     """).collect()}
     assert got3 == {"https://x/doc"}
-    # no graph column -> clear subset error
+    # spec default-graph semantics: a plain pattern on a quad table
+    # matches the DEFAULT graph (NULL rows) only — x/doc lives solely
+    # in a named graph and must NOT match without GRAPH
+    got4 = {r["s"] for r in sparql(
+        tri, "SELECT ?s WHERE { ?s a <https://onto/Doc> }"
+    ).collect()}
+    assert got4 == set()
+    # no graph column -> clear subset error (incl. inside MINUS)
     with pytest.raises(SparqlSyntaxError):
         sparql(tri.drop("graph"),
                "SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o } }")
+    with pytest.raises(SparqlSyntaxError):
+        sparql(tri.drop("graph"), """
+            SELECT ?s WHERE { ?s ?p ?o . MINUS { GRAPH ?g { ?s ?p ?o } } }
+        """)
+    # GRAPH in DELETE: explicit subset error, not an unpack crash
+    with pytest.raises(SparqlSyntaxError):
+        sparql(tri, "DELETE WHERE { GRAPH ?g { ?s ?p ?o } }")
 
 
 def test_random_bgp_text_equivalence(spark):
@@ -349,6 +363,27 @@ def test_minus_and_values(spark):
     assert got5 == {"p", "q"}
     with pytest.raises(SparqlSyntaxError):  # UNDEF out of subset
         sparql(tri, "SELECT ?x WHERE { VALUES ?x { UNDEF } }")
+
+    # spec: an OPTIONAL-unbound shared var is COMPATIBLE in MINUS (the
+    # unbound var is outside the domain; x alone overlaps and agrees)
+    got6 = {r["x"] for r in sparql(tri, """
+        SELECT ?x WHERE {
+          ?x <knows> ?y . OPTIONAL { ?x <nick> ?n }
+          MINUS { ?x <blocked> ?n }
+        }
+    """).collect()}
+    assert got6 == {"a", "c"}  # b removed: n unbound, x overlaps+agrees
+    # spec: VALUES binds an OPTIONAL-unbound shared var from the row
+    got7 = {(r["x"], r["n"]) for r in sparql(tri, """
+        SELECT ?x ?n WHERE {
+          ?x <knows> ?y . OPTIONAL { ?x <nick> ?n }
+          VALUES ?n { <nickname> }
+        }
+    """).collect()}
+    assert got7 == {("a", "nickname"), ("b", "nickname"), ("c", "nickname")}
+    # a VALUES-only group cannot anchor OPTIONAL (subset guard)
+    with pytest.raises(SparqlSyntaxError):
+        sparql(tri, "SELECT * WHERE { VALUES ?x { <a> } OPTIONAL { ?x <knows> ?y } }")
 
 
 def test_parse_errors():

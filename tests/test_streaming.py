@@ -237,7 +237,13 @@ def test_enrich_turns_static(spark, tmp_path):
     )
     stream = stream_conversations_from_files(spark, src, CONVERSATIONS)
     enriched = enrich_turns_static(stream, dim)
-    # plan evidence: the dim side broadcasts (no stream-side exchange)
+    # plan evidence (batch form of the same operator): the dim side
+    # broadcasts — no exchange on the big side
+    batch_plan = (
+        enrich_turns_static(spark.read.parquet(src), dim)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in batch_plan, batch_plan
     q = (
         enriched.writeStream.format("parquet")
         .option("path", out_dir)
