@@ -466,6 +466,27 @@ def bgp_minus(
     )
 
 
+def bgp_exists(
+    result: DataFrame,
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    negate: bool = False,
+) -> DataFrame:
+    """SPARQL ``FILTER EXISTS { P }`` / ``FILTER NOT EXISTS { P }``:
+    keep solutions for which the pattern has (no) match under the
+    current bindings — one semi (anti) join on the shared variables.
+    With NO shared variable the pattern is an independent probe: all
+    solutions pass or none do (evaluated once with a ``limit(1)``)."""
+    probe = bgp_select(triples, patterns, distinct=True)
+    shared = sorted(set(result.columns) & set(probe.columns))
+    if not shared:
+        any_match = not probe.limit(1).isEmpty()
+        keep = any_match != negate
+        return result if keep else result.limit(0)
+    how = "left_anti" if negate else "left_semi"
+    return result.join(probe.select(*shared), on=shared, how=how)
+
+
 def bgp_values(
     result: DataFrame | None,
     spark,

@@ -32,8 +32,10 @@ plus the aggregate/path forms the programmatic API already evaluates):
   block's patterns within one graph — the reference's ontology
   discovery query shape, fuseki.py:212-218); ``MINUS { ... }``
   (left-anti join on shared vars; removes nothing when none are
-  shared, per spec) and ``VALUES ?x { ... }`` / ``VALUES (?x ?y)
-  { (...) ... }`` inline data (broadcast-joined).
+  shared, per spec); ``FILTER [NOT] EXISTS { ... }`` (semi/anti join
+  on shared vars; an unshared probe evaluates once); and ``VALUES ?x
+  { ... }`` / ``VALUES (?x ?y) { (...) ... }`` inline data
+  (broadcast-joined).
 - FILTER expressions: ``||  &&  !  = != < > <= >=``, ``STR``,
   ``STRSTARTS``, ``STRENDS``, ``CONTAINS``, ``REGEX``, ``BOUND``,
   ``isIRI``/``isURI``, ``isLiteral``, ``LANG``, ``DATATYPE`` — each
@@ -66,6 +68,7 @@ from .bgp import (
     bgp_construct,
     bgp_delete_where,
     bgp_describe,
+    bgp_exists,
     bgp_filter,
     bgp_insert_data,
     bgp_minus,
@@ -161,6 +164,7 @@ class _Group:
     union_groups: list = field(default_factory=list)
     minuses: list = field(default_factory=list)
     values: list = field(default_factory=list)  # (vars, rows) clauses
+    exists: list = field(default_factory=list)  # (negate, patterns)
 
 
 @dataclass
@@ -395,7 +399,28 @@ class _Parser:
                 sub = self._plain_group()
                 g.optionals.append(sub)
             elif self._kw("FILTER"):
-                g.filters.append(self._filter_expr())
+                # FILTER [NOT] EXISTS { P } is a join-level construct,
+                # not an expression (also accepted in its parenthesized
+                # form FILTER(NOT EXISTS {P}))
+                wrapped = self._at_op("(") and self._peek(1) is not None \
+                    and self._peek(1).kind == "KW" \
+                    and self._peek(1).value.upper() in ("EXISTS", "NOT")
+                if wrapped:
+                    self.pos += 1
+                if self._kw("NOT"):
+                    if not self._kw("EXISTS"):
+                        raise SparqlSyntaxError("expected EXISTS after NOT")
+                    g.exists.append((True, self._plain_group()))
+                    if wrapped:
+                        self._expect_op(")")
+                elif self._kw("EXISTS"):
+                    g.exists.append((False, self._plain_group()))
+                    if wrapped:
+                        self._expect_op(")")
+                else:
+                    if wrapped:
+                        self.pos -= 1  # plain ( expr ) — reparse fully
+                    g.filters.append(self._filter_expr())
             elif self._kw("GRAPH"):
                 g.triples.extend(self._graph_block())
             elif self._kw("MINUS"):
@@ -861,7 +886,7 @@ def sparql(triples: DataFrame, text: str):
         return bgp_insert_data(triples, q.insert_rows)
     if q.form == "delete":
         if (q.where.filters or q.where.optionals or q.where.union_groups
-                or q.where.minuses or q.where.values):
+                or q.where.minuses or q.where.values or q.where.exists):
             raise SparqlSyntaxError(
                 "DELETE supports a plain triple-pattern WHERE"
             )
@@ -888,7 +913,8 @@ def sparql(triples: DataFrame, text: str):
         )
     all_pats = list(g.triples) + [p for grp in g.union_groups for p in grp] \
         + [p for opt in g.optionals for p in opt] \
-        + [p for m in g.minuses for p in m]
+        + [p for m in g.minuses for p in m] \
+        + [p for _, ex in g.exists for p in ex]
     if any(len(p) == 4 for p in all_pats) and "graph" not in triples.columns:
         raise SparqlSyntaxError(
             "GRAPH blocks need a 'graph' column on the triple table"
@@ -916,6 +942,8 @@ def sparql(triples: DataFrame, text: str):
         sols = bgp_values(sols, triples.sparkSession, vars_, rows)
     for m in g.minuses:
         sols = bgp_minus(sols, triples, m)
+    for negate, pats in g.exists:
+        sols = bgp_exists(sols, triples, pats, negate=negate)
     for f in g.filters:
         sols = bgp_filter(sols, _compile_expr(f))
 

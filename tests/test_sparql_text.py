@@ -385,6 +385,26 @@ def test_minus_and_values(spark):
     with pytest.raises(SparqlSyntaxError):
         sparql(tri, "SELECT * WHERE { VALUES ?x { <a> } OPTIONAL { ?x <knows> ?y } }")
 
+    # FILTER [NOT] EXISTS: semi/anti join on the shared vars, both the
+    # bare and parenthesized forms
+    got8 = {r["x"] for r in sparql(tri, """
+        SELECT ?x WHERE { ?x <knows> ?y . FILTER NOT EXISTS { ?x <blocked> ?z } }
+    """).collect()}
+    assert got8 == {"a", "c"}
+    got9 = {r["x"] for r in sparql(tri, """
+        SELECT ?x WHERE { ?x <knows> ?y . FILTER(EXISTS { ?x <blocked> ?z }) }
+    """).collect()}
+    assert got9 == {"b"}
+    # unshared probe: scalar condition over the whole solution set
+    got10 = {r["x"] for r in sparql(tri, """
+        SELECT ?x WHERE { ?x <knows> ?y . FILTER NOT EXISTS { ?p <nope> ?q } }
+    """).collect()}
+    assert got10 == {"a", "b", "c"}
+    got11 = sparql(tri, """
+        SELECT ?x WHERE { ?x <knows> ?y . FILTER EXISTS { ?p <nope> ?q } }
+    """).count()
+    assert got11 == 0
+
 
 def test_parse_errors():
     with pytest.raises(SparqlSyntaxError):
