@@ -38,10 +38,12 @@ plus the aggregate/path forms the programmatic API already evaluates):
   (broadcast-joined).
 - FILTER expressions: ``||  &&  !  = != < > <= >=``, ``STR``,
   ``STRSTARTS``, ``STRENDS``, ``CONTAINS``, ``REGEX``, ``BOUND``,
-  ``isIRI``/``isURI``, ``isLiteral``, ``LANG``, ``DATATYPE`` — each
-  compiled to the Catalyst builtins in plans/bgp.py (term-metadata
-  builtins auto-enable ``bind_term_meta`` when the triple table
-  carries the metadata columns).
+  ``isIRI``/``isURI``, ``isLiteral``, ``LANG``, ``DATATYPE``,
+  ``CONCAT``, ``STRLEN``, ``UCASE``, ``LCASE`` — each compiled to the
+  Catalyst builtins in plans/bgp.py (term-metadata builtins
+  auto-enable ``bind_term_meta`` when the triple table carries the
+  metadata columns); ``BIND (expr AS ?var)`` evaluates the same
+  expression grammar into a new column.
 
 Out of scope (raise ``SparqlSyntaxError``): nested group graph
 patterns beyond OPTIONAL/UNION/GRAPH/MINUS, subqueries, VALUES UNDEF
@@ -165,6 +167,7 @@ class _Group:
     minuses: list = field(default_factory=list)
     values: list = field(default_factory=list)  # (vars, rows) clauses
     exists: list = field(default_factory=list)  # (negate, patterns)
+    binds: list = field(default_factory=list)  # (expr_ast, var) clauses
 
 
 @dataclass
@@ -427,6 +430,16 @@ class _Parser:
                 g.minuses.append(self._plain_group())
             elif self._kw("VALUES"):
                 g.values.append(self._values_clause())
+            elif self._kw("BIND"):
+                self._expect_op("(")
+                expr = self._expr_or()
+                if not self._kw("AS"):
+                    raise SparqlSyntaxError("BIND needs AS ?var")
+                v = self._next()
+                if v.kind != "VAR":
+                    raise SparqlSyntaxError("BIND AS needs a ?var")
+                self._expect_op(")")
+                g.binds.append((expr, v.value[1:]))
             else:
                 self._triples_block(g.triples)
         self._expect_op("}")
@@ -561,6 +574,7 @@ class _Parser:
     _FUNCS = {
         "STR", "STRSTARTS", "STRENDS", "CONTAINS", "REGEX", "BOUND",
         "ISIRI", "ISURI", "ISLITERAL", "LANG", "DATATYPE",
+        "CONCAT", "STRLEN", "UCASE", "LCASE",
     }
 
     def _expr_primary(self):
@@ -843,6 +857,14 @@ def _compile_expr(ast):
                 "STRENDS": a.endswith(b),
                 "CONTAINS": a.contains(b),
             }[name]
+        if name == "CONCAT":
+            return F.concat(*[_compile_expr(a) for a in args])
+        if name == "STRLEN":
+            return F.length(_compile_expr(args[0]))
+        if name == "UCASE":
+            return F.upper(_compile_expr(args[0]))
+        if name == "LCASE":
+            return F.lower(_compile_expr(args[0]))
     raise SparqlSyntaxError(f"cannot compile FILTER node {ast!r}")
 
 
@@ -886,7 +908,8 @@ def sparql(triples: DataFrame, text: str):
         return bgp_insert_data(triples, q.insert_rows)
     if q.form == "delete":
         if (q.where.filters or q.where.optionals or q.where.union_groups
-                or q.where.minuses or q.where.values or q.where.exists):
+                or q.where.minuses or q.where.values or q.where.exists
+                or q.where.binds):
             raise SparqlSyntaxError(
                 "DELETE supports a plain triple-pattern WHERE"
             )
@@ -944,6 +967,12 @@ def sparql(triples: DataFrame, text: str):
         sols = bgp_minus(sols, triples, m)
     for negate, pats in g.exists:
         sols = bgp_exists(sols, triples, pats, negate=negate)
+    for expr, var in g.binds:
+        if var in sols.columns:
+            raise SparqlSyntaxError(
+                f"BIND target ?{var} is already bound"
+            )
+        sols = sols.withColumn(var, _compile_expr(expr))
     for f in g.filters:
         sols = bgp_filter(sols, _compile_expr(f))
 

@@ -405,6 +405,20 @@ def test_minus_and_values(spark):
     """).count()
     assert got11 == 0
 
+    # BIND: new column from the expression grammar; filters see it
+    got12 = {(r["x"], r["pair"]) for r in sparql(tri, """
+        SELECT ?x ?pair WHERE {
+          ?x <knows> ?y .
+          BIND(CONCAT(UCASE(?x), "-", ?y) AS ?pair)
+          FILTER(STRLEN(?pair) = 3)
+        }
+    """).collect()}
+    assert got12 == {("a", "A-b"), ("b", "B-c"), ("c", "C-d")}
+    with pytest.raises(SparqlSyntaxError):  # rebinding a bound var
+        sparql(tri, """
+            SELECT ?x WHERE { ?x <knows> ?y . BIND(STR(?y) AS ?x) }
+        """)
+
 
 def test_parse_errors():
     with pytest.raises(SparqlSyntaxError):
