@@ -1165,6 +1165,70 @@ WHERE t1.pred = 'has_part' AND t2.pred = 'brand'
 """
 
 
+def q_sparql_minus_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 MINUS + FILTER NOT EXISTS + VALUES through the text
+    front-end over an orders/customer triples view: customers in
+    segment BUILDING (VALUES-constrained) who placed an order (BGP)
+    but have no order with priority 1-URGENT (NOT EXISTS), minus those
+    in nation 0 (MINUS) — each verb compiles to one semi/anti/
+    broadcast join."""
+    from .plans.sparql import sparql as run_sparql
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    triples = (
+        orders.select(
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("subj"),
+            F.lit("placed_by").alias("pred"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("obj"),
+        )
+        .union(orders.select(
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")),
+            F.lit("priority"), F.col("o_orderpriority"),
+        ))
+        .union(customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")),
+            F.lit("segment"), F.col("c_mktsegment"),
+        ))
+        .union(customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")),
+            F.lit("nation"), F.col("c_nationkey").cast("string"),
+        ))
+    )
+    text = """
+    SELECT DISTINCT ?c WHERE {
+      ?o <placed_by> ?c .
+      ?c <segment> ?seg .
+      VALUES ?seg { "BUILDING" }
+      FILTER NOT EXISTS { ?o2 <placed_by> ?c . ?o2 <priority> "1-URGENT" }
+      MINUS { ?c <nation> "0" }
+    }
+    """
+    return run_sparql(triples, text)
+
+
+ORACLE_SPARQL_MINUS_EXISTS = """
+WITH placed AS (
+  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS c FROM orders
+),
+building AS (
+  SELECT 'c' || c_custkey::VARCHAR AS c FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+),
+urgent AS (
+  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS c FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+nation0 AS (
+  SELECT 'c' || c_custkey::VARCHAR AS c FROM customer WHERE c_nationkey = 0
+)
+SELECT p.c FROM placed p
+JOIN building b USING (c)
+WHERE p.c NOT IN (SELECT c FROM urgent)
+  AND p.c NOT IN (SELECT c FROM nation0)
+"""
+
+
 def q_critique_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4/E5 critique scorers (operators/critique.py) over a
     deterministic triple fixture derived from the documents table:
@@ -3056,6 +3120,7 @@ QUERIES = {
     "q_token_stats": q_token_stats,
     "q_corpus_stats": q_corpus_stats,
     "q_embed_quantize": q_embed_quantize,
+    "q_sparql_minus_exists": q_sparql_minus_exists,
 }
 
 ORACLES = {
@@ -3087,6 +3152,7 @@ ORACLES = {
     "q_crossdoc_incremental": ORACLE_CROSSDOC_INCREMENTAL,
     "q_sparql_text": ORACLE_SPARQL_TEXT,
     "q_sketch_quantiles": ORACLE_SKETCH_QUANTILES,
+    "q_sparql_minus_exists": ORACLE_SPARQL_MINUS_EXISTS,
     "q_validate_predicates": ORACLE_VALIDATE_PREDICATES,
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
