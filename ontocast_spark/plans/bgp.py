@@ -475,16 +475,27 @@ def bgp_exists(
     """SPARQL ``FILTER EXISTS { P }`` / ``FILTER NOT EXISTS { P }``:
     keep solutions for which the pattern has (no) match under the
     current bindings — one semi (anti) join on the shared variables.
-    With NO shared variable the pattern is an independent probe: all
-    solutions pass or none do (evaluated once with a ``limit(1)``)."""
+    Spec substitution semantics (§8.1.1): only BOUND values
+    substitute, so an unbound (NULL, from OPTIONAL) shared variable
+    stays free in the pattern and is compatible with any probe value.
+    With NO shared variable the pattern is an independent probe —
+    expressed lazily as a ``limit(1)`` join so no Spark action runs at
+    plan-build time and the verdict recomputes per action like every
+    other construct here."""
     probe = bgp_select(triples, patterns, distinct=True)
     shared = sorted(set(result.columns) & set(probe.columns))
-    if not shared:
-        any_match = not probe.limit(1).isEmpty()
-        keep = any_match != negate
-        return result if keep else result.limit(0)
     how = "left_anti" if negate else "left_semi"
-    return result.join(probe.select(*shared), on=shared, how=how)
+    if not shared:
+        one = probe.limit(1).select(F.lit(1).alias("__probe"))
+        return result.join(one, F.lit(True), how)
+    lhs, rhs = result.alias("_l"), probe.select(*shared).alias("_r")
+    cond = F.lit(True)
+    for v in shared:
+        lv, rv = F.col(f"_l.{v}"), F.col(f"_r.{v}")
+        cond = cond & (lv.isNull() | (lv == rv))
+    return lhs.join(rhs, cond, how).select(
+        *[F.col(f"_l.{c}").alias(c) for c in result.columns]
+    )
 
 
 def bgp_values(

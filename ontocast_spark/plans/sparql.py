@@ -421,8 +421,9 @@ class _Parser:
                     if wrapped:
                         self._expect_op(")")
                 else:
-                    if wrapped:
-                        self.pos -= 1  # plain ( expr ) — reparse fully
+                    # wrapped is only True when the next keyword IS
+                    # NOT/EXISTS, so this branch always sees a plain
+                    # parenthesized expression
                     g.filters.append(self._filter_expr())
             elif self._kw("GRAPH"):
                 g.triples.extend(self._graph_block())
@@ -923,7 +924,9 @@ def sparql(triples: DataFrame, text: str):
         return bgp_delete_where(triples, q.where.triples, delete=q.template)
 
     g = q.where
-    needs_meta = any(_expr_uses_meta(f) for f in g.filters)
+    needs_meta = any(_expr_uses_meta(f) for f in g.filters) or any(
+        _expr_uses_meta(e) for e, _ in g.binds
+    )
     if needs_meta and "obj_is_literal" not in triples.columns:
         raise SparqlSyntaxError(
             "isIRI/isLiteral/lang/datatype need obj_is_literal/obj_lang/"
@@ -963,16 +966,20 @@ def sparql(triples: DataFrame, text: str):
         raise SparqlSyntaxError("empty WHERE group")
     for vars_, rows in g.values:
         sols = bgp_values(sols, triples.sparkSession, vars_, rows)
-    for m in g.minuses:
-        sols = bgp_minus(sols, triples, m)
-    for negate, pats in g.exists:
-        sols = bgp_exists(sols, triples, pats, negate=negate)
+    # fixed clause order for this subset: BIND runs before MINUS/EXISTS
+    # so their patterns can correlate on BIND-introduced variables
+    # (EXISTS over a variable absent from the solutions would silently
+    # degrade to an uncorrelated all-or-nothing probe)
     for expr, var in g.binds:
         if var in sols.columns:
             raise SparqlSyntaxError(
                 f"BIND target ?{var} is already bound"
             )
         sols = sols.withColumn(var, _compile_expr(expr))
+    for m in g.minuses:
+        sols = bgp_minus(sols, triples, m)
+    for negate, pats in g.exists:
+        sols = bgp_exists(sols, triples, pats, negate=negate)
     for f in g.filters:
         sols = bgp_filter(sols, _compile_expr(f))
 

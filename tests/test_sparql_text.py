@@ -405,6 +405,40 @@ def test_minus_and_values(spark):
     """).count()
     assert got11 == 0
 
+    # EXISTS correlates on BIND-introduced variables (BIND runs first)
+    tri_up = _triples(spark, [
+        ("a", "knows", "b"), ("c", "knows", "d"),
+        ("A", "vip", "yes"),
+    ])
+    got_bind_exists = {r["x"] for r in sparql(tri_up, """
+        SELECT ?x WHERE {
+          ?x <knows> ?y . BIND(UCASE(?x) AS ?u)
+          FILTER EXISTS { ?u <vip> ?v }
+        }
+    """).collect()}
+    assert got_bind_exists == {"a"}
+    # spec §8.1.1: an OPTIONAL-unbound shared var is NOT substituted —
+    # it stays free in the EXISTS pattern and matches anything
+    tri_opt = _triples(spark, [
+        ("a", "knows", "b"), ("a", "nick", "n1"), ("c", "knows", "d"),
+        ("n1", "tag", "t"),
+    ])
+    got_null_exists = {r["x"] for r in sparql(tri_opt, """
+        SELECT ?x WHERE {
+          ?x <knows> ?y . OPTIONAL { ?x <nick> ?n }
+          FILTER EXISTS { ?n <tag> ?t }
+        }
+    """).collect()}
+    assert got_null_exists == {"a", "c"}  # c: ?n free -> pattern matches
+    # BIND with a term-metadata builtin enables bind_term_meta
+    tri_meta2 = _triples(spark, [
+        ("s", "label", "Wort", True, "de", None),
+    ], meta=True)
+    got_bind_lang = [(r["o"], r["lg"]) for r in sparql(tri_meta2, """
+        SELECT ?o ?lg WHERE { ?s <label> ?o . BIND(LANG(?o) AS ?lg) }
+    """).collect()]
+    assert got_bind_lang == [("Wort", "de")]
+
     # BIND: new column from the expression grammar; filters see it
     got12 = {(r["x"], r["pair"]) for r in sparql(tri, """
         SELECT ?x ?pair WHERE {
