@@ -49,6 +49,17 @@ from pyspark.sql import functions as F
 
 _SLOTS = ("subj", "pred", "obj")
 
+#: Exact suffixes of the term-metadata columns ``bind_term_meta`` adds.
+#: Filter on these (not on a ``"__" in c`` substring) so a legitimate
+#: SPARQL variable like ``?my__var`` is never mistaken for metadata.
+META_SUFFIXES = ("__is_literal", "__lang", "__datatype")
+
+
+def is_meta_col(name: str) -> bool:
+    """True for the internal term-metadata columns threaded through
+    solutions by ``bind_term_meta`` (``<var>__is_literal`` etc.)."""
+    return name.endswith(META_SUFFIXES)
+
 
 class Path:
     """AST node for the supported SPARQL 1.1 property-path subset:
@@ -377,14 +388,14 @@ def _join_solutions(result: DataFrame, t: DataFrame, how: str = "inner"):
     column-name join would drop valid unifications whose metadata is
     NULL on both sides."""
     shared = sorted(set(result.columns) & set(t.columns))
-    meta_shared = [c for c in shared if "__" in c]
+    meta_shared = [c for c in shared if is_meta_col(c)]
     if not shared:
         if how != "inner":
             raise ValueError("outer solution join needs a shared variable")
         return result.crossJoin(t)
     if not meta_shared:
         return result.join(t, on=shared, how=how)
-    plain = [c for c in shared if "__" not in c]
+    plain = [c for c in shared if not is_meta_col(c)]
     lhs, rhs = result.alias("_l"), t.alias("_r")
     cond = F.lit(True)
     for c in plain:
@@ -439,31 +450,57 @@ def bgp_union(
     return out.dropDuplicates()
 
 
+def _all_bound(shared: list[str]):
+    cond = F.lit(True)
+    for v in shared:
+        cond = cond & F.col(v).isNotNull()
+    return cond
+
+
 def bgp_minus(
     result: DataFrame,
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
+    left_nullable: bool = True,
 ) -> DataFrame:
     """SPARQL ``MINUS``: remove solutions for which some solution of
     ``patterns`` is compatible AND shares at least one bound variable
-    (SPARQL 1.1 §8.3.3) — one left-anti join. Spec corners honored:
-    with NO shared variable nothing is removed, and an UNBOUND (NULL,
-    from OPTIONAL) value on one side is compatible with anything but
-    does not count toward the domain overlap."""
+    (SPARQL 1.1 §8.3.3). Spec corners honored: with NO shared variable
+    nothing is removed, and an UNBOUND (NULL, from OPTIONAL) value on
+    the left is compatible with anything but does not count toward the
+    domain overlap.
+
+    Scale: the probe side is a plain group in this engine's subset
+    (OPTIONAL is rejected inside MINUS bodies), so its solutions carry
+    no NULLs. A fully-bound left solution is then removed iff an equal
+    probe row exists on every shared variable — a plain hash
+    ``left_anti`` equi-join, never a nested-loop. Only left rows with
+    an actual NULL in a shared variable (possible only downstream of
+    OPTIONAL / UNION / VALUES UNDEF / BIND) take the general
+    compatibility path; with ``left_nullable=False`` (statically known
+    all-bound solutions) that branch is not even planned."""
     minus = bgp_select(triples, patterns, distinct=True)
     shared = sorted(set(result.columns) & set(minus.columns))
     if not shared:
         return result
-    lhs, rhs = result.alias("_l"), minus.select(*shared).alias("_r")
+    probe = minus.select(*shared)
+    if not left_nullable:
+        return result.join(probe, on=shared, how="left_anti")
+    bound = result.filter(_all_bound(shared)).join(
+        probe, on=shared, how="left_anti"
+    )
+    lhs = result.filter(~_all_bound(shared)).alias("_l")
+    rhs = probe.alias("_r")
     compatible = F.lit(True)
     overlap = F.lit(False)
     for v in shared:
         lv, rv = F.col(f"_l.{v}"), F.col(f"_r.{v}")
         compatible = compatible & (lv.isNull() | rv.isNull() | (lv == rv))
         overlap = overlap | (lv.isNotNull() & rv.isNotNull())
-    return lhs.join(rhs, compatible & overlap, "left_anti").select(
+    rest = lhs.join(rhs, compatible & overlap, "left_anti").select(
         *[F.col(f"_l.{c}").alias(c) for c in result.columns]
     )
+    return bound.unionByName(rest)
 
 
 def bgp_exists(
@@ -471,31 +508,45 @@ def bgp_exists(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
     negate: bool = False,
+    left_nullable: bool = True,
 ) -> DataFrame:
     """SPARQL ``FILTER EXISTS { P }`` / ``FILTER NOT EXISTS { P }``:
     keep solutions for which the pattern has (no) match under the
-    current bindings — one semi (anti) join on the shared variables.
+    current bindings — a semi (anti) join on the shared variables.
     Spec substitution semantics (§8.1.1): only BOUND values
     substitute, so an unbound (NULL, from OPTIONAL) shared variable
     stays free in the pattern and is compatible with any probe value.
     With NO shared variable the pattern is an independent probe —
     expressed lazily as a ``limit(1)`` join so no Spark action runs at
     plan-build time and the verdict recomputes per action like every
-    other construct here."""
+    other construct here.
+
+    Scale: same split-path plan as :func:`bgp_minus` — probe solutions
+    are NULL-free (plain group), so fully-bound left rows ride a plain
+    hash ``left_semi``/``left_anti`` equi-join; only the NULL-carrying
+    remainder (empty unless OPTIONAL/UNION/UNDEF/BIND ran upstream)
+    keeps the nested-loop compatibility condition, and
+    ``left_nullable=False`` removes that branch from the plan."""
     probe = bgp_select(triples, patterns, distinct=True)
     shared = sorted(set(result.columns) & set(probe.columns))
     how = "left_anti" if negate else "left_semi"
     if not shared:
         one = probe.limit(1).select(F.lit(1).alias("__probe"))
         return result.join(one, F.lit(True), how)
-    lhs, rhs = result.alias("_l"), probe.select(*shared).alias("_r")
+    probe = probe.select(*shared)
+    if not left_nullable:
+        return result.join(probe, on=shared, how=how)
+    bound = result.filter(_all_bound(shared)).join(probe, on=shared, how=how)
+    lhs = result.filter(~_all_bound(shared)).alias("_l")
+    rhs = probe.alias("_r")
     cond = F.lit(True)
     for v in shared:
         lv, rv = F.col(f"_l.{v}"), F.col(f"_r.{v}")
         cond = cond & (lv.isNull() | (lv == rv))
-    return lhs.join(rhs, cond, how).select(
+    rest = lhs.join(rhs, cond, how).select(
         *[F.col(f"_l.{c}").alias(c) for c in result.columns]
     )
+    return bound.unionByName(rest)
 
 
 def bgp_values(
@@ -506,10 +557,11 @@ def bgp_values(
 ) -> DataFrame:
     """SPARQL ``VALUES``: constrain (or seed) solutions with an inline
     table. Compatibility join on the shared variables — an UNBOUND
-    (NULL, from OPTIONAL) solution value is compatible with any inline
-    value and TAKES the row's binding (spec join semantics). The
-    inline table is tiny, so it broadcasts; with no prior solutions it
-    IS the solution set."""
+    value on either side (NULL: OPTIONAL on the solution side, UNDEF
+    in the inline data) is compatible with anything, and the bound
+    side's binding wins (spec join semantics). The inline table is
+    tiny, so it broadcasts; with no prior solutions it IS the solution
+    set."""
     inline = spark.createDataFrame(
         rows, ", ".join(f"{v} string" for v in variables)
     ).dropDuplicates()
@@ -522,7 +574,7 @@ def bgp_values(
     cond = F.lit(True)
     for v in shared:
         lv, rv = F.col(f"_l.{v}"), F.col(f"_r.{v}")
-        cond = cond & (lv.isNull() | (lv == rv))
+        cond = cond & (lv.isNull() | rv.isNull() | (lv == rv))
     extra = [v for v in inline.columns if v not in shared]
     return lhs.join(rhs, cond, "inner").select(
         *[

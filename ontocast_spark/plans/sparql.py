@@ -83,6 +83,7 @@ from .bgp import (
     fn_is_iri,
     fn_is_literal,
     fn_lang,
+    is_meta_col,
     p_alt,
     p_inv,
     p_iri,
@@ -134,6 +135,16 @@ def _tokenize(text: str) -> list[_Tok]:
             )
         pos = m.end()
         kind = m.lastgroup
+        if kind == "VAR" and m.group()[1:].endswith(
+            ("__is_literal", "__lang", "__datatype")
+        ):
+            # these exact suffixes are reserved for the internal
+            # term-metadata columns (plans/bgp.py META_SUFFIXES); any
+            # other ?my__var is a legal variable and passes through
+            raise SparqlSyntaxError(
+                f"variable name {m.group()!r} collides with a reserved "
+                "term-metadata suffix"
+            )
         if kind != "WS":
             toks.append(_Tok(kind, m.group()))
     return toks
@@ -449,10 +460,11 @@ class _Parser:
     def _values_term(self):
         t = self._peek()
         if t is not None and t.kind == "KW" and t.value.upper() == "UNDEF":
-            raise SparqlSyntaxError(
-                "VALUES UNDEF (wildcard rows) is outside the supported "
-                "subset"
-            )
+            # UNDEF is the spec's wildcard: an unbound slot, i.e. NULL
+            # in the inline table — bgp_values' compatibility join
+            # already treats NULL as compatible-with-anything
+            self.pos += 1
+            return None
         v = self._term()
         if isinstance(v, Path) or (isinstance(v, str) and v.startswith("?")):
             raise SparqlSyntaxError("VALUES rows take constants")
@@ -976,32 +988,64 @@ def sparql(triples: DataFrame, text: str):
                 f"BIND target ?{var} is already bound"
             )
         sols = sols.withColumn(var, _compile_expr(expr))
+    # The left solution set can only carry NULL variable bindings
+    # downstream of OPTIONAL, UNION (variable alignment), VALUES UNDEF,
+    # or BIND (an expression may evaluate to NULL). Statically
+    # OPTIONAL-free/bind-free queries therefore compile MINUS/EXISTS to
+    # plain hash anti/semi equi-joins with no nested-loop branch.
+    left_nullable = bool(
+        g.optionals or g.union_groups or g.binds
+        or any(any(v is None for row in rows for v in row)
+               for _, rows in g.values)
+    )
     for m in g.minuses:
-        sols = bgp_minus(sols, triples, m)
+        sols = bgp_minus(sols, triples, m, left_nullable=left_nullable)
     for negate, pats in g.exists:
-        sols = bgp_exists(sols, triples, pats, negate=negate)
+        sols = bgp_exists(sols, triples, pats, negate=negate,
+                          left_nullable=left_nullable)
     for f in g.filters:
         sols = bgp_filter(sols, _compile_expr(f))
 
     if q.form == "ask":
         return not sols.limit(1).isEmpty()
 
-    plain = [c for c in sols.columns if "__" not in c]
+    plain = [c for c in sols.columns if not is_meta_col(c)]
     if q.form == "construct":
         _reject_paths(q.template, "CONSTRUCT template")
         return bgp_construct(sols.select(*plain).dropDuplicates(), q.template)
 
     # SELECT
+    order_cols = [F.col(v).asc() if a else F.col(v).desc()
+                  for v, a in q.order_by] if q.order_by else []
     if q.aggs:
         out = bgp_aggregate(sols.select(*plain), q.group_by, q.aggs)
+        for v, _ in q.order_by:
+            if v not in out.columns:
+                raise SparqlSyntaxError(
+                    f"ORDER BY ?{v} is not in the aggregate output"
+                )
+        if order_cols:
+            out = out.orderBy(*order_cols)
     else:
         vars_ = q.variables if q.variables is not None else plain
-        out = sols.select(*vars_)
+        for v, _ in q.order_by:
+            if v not in sols.columns:
+                raise SparqlSyntaxError(f"ORDER BY ?{v} is not bound")
+            if q.distinct and v not in vars_:
+                # SPARQL 1.1 §15.1: with DISTINCT the sort variables
+                # must appear in the projection
+                raise SparqlSyntaxError(
+                    f"SELECT DISTINCT cannot ORDER BY unprojected ?{v}"
+                )
         if q.distinct:
-            out = out.dropDuplicates()
-    if q.order_by:
-        out = out.orderBy(*[F.col(v).asc() if a else F.col(v).desc()
-                            for v, a in q.order_by])
+            out = sols.select(*vars_).dropDuplicates()
+            if order_cols:
+                out = out.orderBy(*order_cols)
+        else:
+            # sort BEFORE projecting so an unprojected sort key
+            # (legal SPARQL: SELECT ?s ... ORDER BY ?o) resolves
+            base = sols.orderBy(*order_cols) if order_cols else sols
+            out = base.select(*vars_)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out

@@ -361,8 +361,19 @@ def test_minus_and_values(spark):
         tri, "SELECT ?x WHERE { VALUES ?x { <p> <q> } }"
     ).collect()}
     assert got5 == {"p", "q"}
-    with pytest.raises(SparqlSyntaxError):  # UNDEF out of subset
-        sparql(tri, "SELECT ?x WHERE { VALUES ?x { UNDEF } }")
+    # UNDEF is the spec wildcard: compatible with every solution
+    got_undef = {r["x"] for r in sparql(tri, """
+        SELECT ?x WHERE { ?x <knows> ?y . VALUES ?x { UNDEF } }
+    """).collect()}
+    assert got_undef == {"a", "b", "c"}
+    # multi-var rows: UNDEF leaves that slot unconstrained, the bound
+    # slot still filters
+    got_u2 = {(r["x"], r["y"]) for r in sparql(tri, """
+        SELECT ?x ?y WHERE {
+          ?x <knows> ?y . VALUES (?x ?y) { (<a> UNDEF) (UNDEF <d>) }
+        }
+    """).collect()}
+    assert got_u2 == {("a", "b"), ("c", "d")}
 
     # spec: an OPTIONAL-unbound shared var is COMPATIBLE in MINUS (the
     # unbound var is outside the domain; x alone overlaps and agrees)
@@ -497,3 +508,94 @@ def test_meta_builtins_require_columns(spark):
     tri = _triples(spark, [("a", "p", "b")])
     with pytest.raises(SparqlSyntaxError):
         sparql(tri, "SELECT ?o WHERE { ?s ?p ?o . FILTER(isIRI(?o)) }")
+
+
+def _executed_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minus_exists_plan_no_nested_loop(spark):
+    """Scale guard (VERDICT r4 finding #1): with no OPTIONAL/UNION/
+    BIND/UNDEF upstream the left solution set provably has no NULL
+    shared vars, so MINUS / [NOT] EXISTS must compile to plain hash
+    anti/semi equi-joins — never a BroadcastNestedLoopJoin that
+    broadcasts the whole probe pattern."""
+    tri = _triples(spark, [
+        ("a", "knows", "b"), ("b", "knows", "c"), ("b", "blocked", "y"),
+    ])
+    queries = [
+        "SELECT ?x WHERE { ?x <knows> ?y . MINUS { ?x <blocked> ?z } }",
+        "SELECT ?x WHERE { ?x <knows> ?y . "
+        "FILTER NOT EXISTS { ?x <blocked> ?z } }",
+        "SELECT ?x WHERE { ?x <knows> ?y . "
+        "FILTER EXISTS { ?x <blocked> ?z } }",
+    ]
+    for q in queries:
+        plan = _executed_plan(sparql(tri, q))
+        assert "BroadcastNestedLoopJoin" not in plan, (q, plan)
+        assert "CartesianProduct" not in plan, (q, plan)
+    # semantics unchanged through the equi-join plan
+    assert {r["x"] for r in sparql(tri, queries[0]).collect()} == {"a"}
+    assert {r["x"] for r in sparql(tri, queries[1]).collect()} == {"a"}
+    assert {r["x"] for r in sparql(tri, queries[2]).collect()} == {"b"}
+
+
+def test_minus_exists_nullable_split_path(spark):
+    """With OPTIONAL upstream the NULL-carrying remainder keeps the
+    compatibility path, but the fully-bound partition still rides the
+    hash equi-join: the plan may contain a BNLJ branch, yet semantics
+    must match the spec on unbound shared vars."""
+    tri = _triples(spark, [
+        ("a", "knows", "b"), ("b", "knows", "c"), ("c", "knows", "d"),
+        ("b", "nick", "bee"), ("b", "blocked", "bee"), ("a", "blocked", "x"),
+    ])
+    # ?n unbound for a and c -> compatible with any ?n; domain overlap
+    # via ?x decides: a has blocked rows -> removed; c none -> kept;
+    # b is bound n=bee and (b, blocked, bee) matches -> removed
+    got = {r["x"] for r in sparql(tri, """
+        SELECT ?x WHERE {
+          ?x <knows> ?y . OPTIONAL { ?x <nick> ?n }
+          MINUS { ?x <blocked> ?n }
+        }
+    """).collect()}
+    assert got == {"c"}
+    # NOT EXISTS substitution semantics: unbound ?n stays free, so the
+    # probe only needs SOME blocked row for that ?x
+    got2 = {r["x"] for r in sparql(tri, """
+        SELECT ?x WHERE {
+          ?x <knows> ?y . OPTIONAL { ?x <nick> ?n }
+          FILTER NOT EXISTS { ?x <blocked> ?n }
+        }
+    """).collect()}
+    assert got2 == {"c"}
+
+
+def test_order_by_unprojected_var(spark):
+    """ORDER BY on a variable outside the SELECT list is legal SPARQL
+    (§15.1) — the sort must resolve against the pre-projection
+    solutions."""
+    tri = _triples(spark, [
+        ("s1", "rank", "3"), ("s2", "rank", "1"), ("s3", "rank", "2"),
+    ])
+    rows = sparql(tri, """
+        SELECT ?s WHERE { ?s <rank> ?o } ORDER BY ?o
+    """).collect()
+    assert [r["s"] for r in rows] == ["s2", "s3", "s1"]
+    assert rows[0].asDict().keys() == {"s"}
+    # DISTINCT + unprojected sort key is a spec error -> clear message
+    with pytest.raises(SparqlSyntaxError):
+        sparql(tri, "SELECT DISTINCT ?s WHERE { ?s <rank> ?o } ORDER BY ?o")
+    # unbound sort key -> clear message, not an AnalysisException
+    with pytest.raises(SparqlSyntaxError):
+        sparql(tri, "SELECT ?s WHERE { ?s <rank> ?o } ORDER BY ?zzz")
+
+
+def test_reserved_metadata_variable_names_rejected(spark):
+    tri = _triples(spark, [("a", "p", "b")])
+    with pytest.raises(SparqlSyntaxError):
+        sparql(tri, "SELECT ?x__lang WHERE { ?s ?p ?x__lang }")
+    # a double underscore NOT matching a reserved suffix is a fine name
+    got = {r["my__var"] for r in sparql(
+        tri, "SELECT ?my__var WHERE { <a> <p> ?my__var }"
+    ).collect()}
+    assert got == {"b"}
