@@ -413,27 +413,45 @@ def bgp_optional(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
     bind_term_meta: bool = False,
+    filters: list | None = None,
 ) -> DataFrame:
     """SPARQL OPTIONAL: left-join the solutions of ``patterns`` onto an
     existing solution set — unmatched rows keep NULLs in the optional
     variables (left outer join on the shared variables; term-metadata
-    columns, when bound, join NULL-safely like the BGP join)."""
+    columns, when bound, join NULL-safely like the BGP join).
+
+    ``filters`` are group-scoped Catalyst predicates — SPARQL's
+    ``OPTIONAL { P FILTER(expr) }`` is LeftJoin(A, P, expr), which
+    equals filtering P's solutions BEFORE the left join whenever expr
+    uses only P's variables (a left row whose only matches fail the
+    filter stays, with NULLs — NOT filter-after-join semantics)."""
     opt = bgp_select(triples, patterns, distinct=True,
                      bind_term_meta=bind_term_meta)
+    for cond in filters or []:
+        opt = opt.filter(cond)
     if not set(result.columns) & set(opt.columns):
         raise ValueError("OPTIONAL group shares no variable with the base")
     return _join_solutions(result, opt, how="left")
 
 
 def bgp_union(
-    triples: DataFrame, groups: list[list[tuple[str, str, str]]]
+    triples: DataFrame, groups: list
 ) -> DataFrame:
     """SPARQL UNION over pattern groups: solutions of each group,
     unioned by variable name (missing variables become NULL columns,
-    per SPARQL's unbound semantics)."""
+    per SPARQL's unbound semantics). Each group is either a pattern
+    list or a ``(patterns, filter_columns)`` pair — arm-scoped FILTERs
+    apply to that arm's solutions before the union (spec group
+    scoping)."""
     if not groups:
         raise ValueError("empty UNION")
-    sols = [bgp_select(triples, g, distinct=True) for g in groups]
+    sols = []
+    for g in groups:
+        pats, filts = g if isinstance(g, tuple) else (g, [])
+        s = bgp_select(triples, pats, distinct=True)
+        for cond in filts:
+            s = s.filter(cond)
+        sols.append(s)
     all_vars = sorted({c for s in sols for c in s.columns})
     aligned = [
         s.select(

@@ -25,7 +25,10 @@ plus the aggregate/path forms the programmatic API already evaluates):
   ``DESCRIBE <iri>``, ``DELETE WHERE { ... }``,
   ``DELETE { template } WHERE { ... }``, ``INSERT DATA { ... }``.
 - Group pattern: triple blocks with ``;`` / ``,`` continuations,
-  ``OPTIONAL { ... }``, ``{ A } UNION { B }``, ``FILTER (expr)``;
+  ``OPTIONAL { ... }`` and ``{ A } UNION { B }`` (both accept
+  group-scoped ``FILTER``s inside the braces — for OPTIONAL this is
+  the spec's LeftJoin(A, P, expr): filter-the-optional-solutions-
+  before-the-left-join, not filter-after-join), ``FILTER (expr)``;
   property paths in the predicate slot (``^``, ``/``, ``|``, ``+``,
   ``*``, ``?``, parens); ``GRAPH ?g|<iri> { ... }`` blocks when the
   triple table carries a ``graph`` column (a shared ``?g`` joins the
@@ -45,11 +48,16 @@ plus the aggregate/path forms the programmatic API already evaluates):
   metadata columns); ``BIND (expr AS ?var)`` evaluates the same
   expression grammar into a new column.
 
+- ``VALUES`` rows may use ``UNDEF`` (the spec wildcard: an unbound
+  slot, compatible with any solution value).
+
 Out of scope (raise ``SparqlSyntaxError``): nested group graph
-patterns beyond OPTIONAL/UNION/GRAPH/MINUS, subqueries, VALUES UNDEF
-rows, SERVICE, term-metadata builtins over a UNION, property paths in
-CONSTRUCT/UPDATE templates or GRAPH blocks, REGEX flags outside
-Java's ``imsx``.
+patterns beyond OPTIONAL/UNION/GRAPH/MINUS, subqueries, SERVICE,
+OPTIONAL/UNION/FILTER inside MINUS or EXISTS bodies, group-scoped
+FILTERs referencing variables bound outside the group, FILTER
+[NOT] EXISTS inside OPTIONAL/UNION bodies, term-metadata builtins
+over a UNION, property paths in CONSTRUCT/UPDATE templates or GRAPH
+blocks, REGEX flags outside Java's ``imsx``.
 Comparison operators in FILTER must be whitespace-separated from
 their operands when ``<``/``>`` could otherwise read as an IRI
 bracket.
@@ -172,9 +180,9 @@ class _Group:
     top-level UNION of plain groups."""
 
     triples: list = field(default_factory=list)
-    optionals: list = field(default_factory=list)
+    optionals: list = field(default_factory=list)  # (patterns, filter_asts)
     filters: list = field(default_factory=list)
-    union_groups: list = field(default_factory=list)
+    union_groups: list = field(default_factory=list)  # (patterns, filter_asts)
     minuses: list = field(default_factory=list)
     values: list = field(default_factory=list)  # (vars, rows) clauses
     exists: list = field(default_factory=list)  # (negate, patterns)
@@ -400,17 +408,22 @@ class _Parser:
         g = _Group()
         # peek for `{ A } UNION { B } ...` — a group starting with `{`
         if self._at_op("{"):
-            groups = [self._plain_group()]
+            groups = [self._filtered_group()]
             while self._kw("UNION"):
-                groups.append(self._plain_group())
+                groups.append(self._filtered_group())
             g.union_groups = groups
-            while self._kw("FILTER"):
-                g.filters.append(self._filter_expr())
+            while True:
+                if self._kw("FILTER"):
+                    g.filters.append(self._filter_expr())
+                elif self._kw("VALUES"):
+                    g.values.append(self._values_clause())
+                else:
+                    break
             self._expect_op("}")
             return g
         while not self._at_op("}"):
             if self._kw("OPTIONAL"):
-                sub = self._plain_group()
+                sub = self._filtered_group()
                 g.optionals.append(sub)
             elif self._kw("FILTER"):
                 # FILTER [NOT] EXISTS { P } is a join-level construct,
@@ -528,8 +541,9 @@ class _Parser:
         return [(s, p, o, gterm) for s, p, o in inner]
 
     def _plain_group(self) -> list:
-        """A braced group of plain triples (UNION arms, OPTIONAL
-        bodies)."""
+        """A braced group of plain triples (MINUS / EXISTS bodies —
+        these stay NULL-free so bgp_minus/bgp_exists can plan hash
+        equi-joins)."""
         self._expect_op("{")
         out: list = []
         while not self._at_op("}"):
@@ -539,12 +553,56 @@ class _Parser:
             if self._peek() is not None and self._peek().kind == "KW" and \
                     self._peek().value.upper() in ("OPTIONAL", "FILTER", "UNION"):
                 raise SparqlSyntaxError(
-                    "nested OPTIONAL/FILTER inside a UNION arm or OPTIONAL "
+                    "nested OPTIONAL/FILTER inside a MINUS or EXISTS "
                     "body is outside the supported subset"
                 )
             self._triples_block(out)
         self._expect_op("}")
         return out
+
+    def _filtered_group(self):
+        """A braced group of triples plus group-scoped FILTERs (UNION
+        arms, OPTIONAL bodies) -> ``(patterns, filter_asts)``. The
+        spec scopes these filters to the group: for OPTIONAL this is
+        LeftJoin(A, P, expr) — evaluated on the optional solutions
+        BEFORE the left join, which is exact when the expression only
+        uses the group's own variables (enforced at compile time)."""
+        self._expect_op("{")
+        pats: list = []
+        filts: list = []
+        while not self._at_op("}"):
+            if self._kw("GRAPH"):
+                pats.extend(self._graph_block())
+                continue
+            if self._kw("FILTER"):
+                nxt = self._peek()
+                wrapped_exists = (
+                    self._at_op("(") and self._peek(1) is not None
+                    and self._peek(1).kind == "KW"
+                    and self._peek(1).value.upper() in ("EXISTS", "NOT")
+                )
+                bare_exists = (
+                    nxt is not None and nxt.kind == "KW"
+                    and nxt.value.upper() in ("EXISTS", "NOT")
+                )
+                if wrapped_exists or bare_exists:
+                    raise SparqlSyntaxError(
+                        "FILTER [NOT] EXISTS inside a UNION arm or "
+                        "OPTIONAL body is outside the supported subset"
+                    )
+                filts.append(self._filter_expr())
+                continue
+            if self._peek() is not None and self._peek().kind == "KW" and \
+                    self._peek().value.upper() in (
+                        "OPTIONAL", "UNION", "MINUS", "VALUES", "BIND"):
+                raise SparqlSyntaxError(
+                    "nested OPTIONAL/UNION/MINUS/VALUES/BIND inside a "
+                    "UNION arm or OPTIONAL body is outside the "
+                    "supported subset"
+                )
+            self._triples_block(pats)
+        self._expect_op("}")
+        return pats, filts
 
     # -- FILTER expressions
     def _filter_expr(self):
@@ -803,6 +861,30 @@ def _expr_uses_meta(ast) -> bool:
     return False
 
 
+def _expr_vars(ast) -> set:
+    """All solution variables referenced by a FILTER expression AST."""
+    if not isinstance(ast, tuple):
+        return set()
+    if ast[0] == "var":
+        return {ast[1]}
+    out: set = set()
+    for a in ast[1:]:
+        if isinstance(a, tuple):
+            out |= _expr_vars(a)
+        elif isinstance(a, list):
+            for x in a:
+                out |= _expr_vars(x)
+    return out
+
+
+def _pattern_vars(patterns) -> set:
+    """All variables bound by a list of triple/quad patterns."""
+    return {
+        t[1:] for p in patterns for t in p
+        if isinstance(t, str) and t.startswith("?")
+    }
+
+
 def _compile_expr(ast):
     """FILTER AST -> Catalyst Column."""
     kind = ast[0]
@@ -949,8 +1031,36 @@ def sparql(triples: DataFrame, text: str):
             "term-metadata builtins over a UNION are outside the "
             "supported subset (bgp_union does not bind term metadata)"
         )
-    all_pats = list(g.triples) + [p for grp in g.union_groups for p in grp] \
-        + [p for opt in g.optionals for p in opt] \
+    # group-scoped filters (OPTIONAL bodies / UNION arms): exact
+    # pre-join evaluation needs the expression confined to the group's
+    # own variables; meta builtins ride bgp_optional's bind_term_meta
+    # for OPTIONAL but are unavailable inside UNION arms
+    for pats, filts in g.optionals + g.union_groups:
+        gvars = _pattern_vars(pats)
+        for f in filts:
+            loose = _expr_vars(f) - gvars
+            if loose:
+                raise SparqlSyntaxError(
+                    "a FILTER inside an OPTIONAL body or UNION arm may "
+                    "only use that group's variables in this subset "
+                    f"(?{sorted(loose)[0]} is bound outside the group)"
+                )
+    if any(_expr_uses_meta(f) for _, filts in g.union_groups
+           for f in filts):
+        raise SparqlSyntaxError(
+            "term-metadata builtins inside UNION arms are outside the "
+            "supported subset"
+        )
+    opt_needs_meta = needs_meta or any(
+        _expr_uses_meta(f) for _, filts in g.optionals for f in filts
+    )
+    if opt_needs_meta and "obj_is_literal" not in triples.columns:
+        raise SparqlSyntaxError(
+            "isIRI/isLiteral/lang/datatype need obj_is_literal/obj_lang/"
+            "obj_datatype columns on the triple table"
+        )
+    all_pats = list(g.triples) + [p for grp, _ in g.union_groups for p in grp] \
+        + [p for opt, _ in g.optionals for p in opt] \
         + [p for m in g.minuses for p in m] \
         + [p for _, ex in g.exists for p in ex]
     if any(len(p) == 4 for p in all_pats) and "graph" not in triples.columns:
@@ -963,15 +1073,25 @@ def sparql(triples: DataFrame, text: str):
             "VALUES-only group cannot anchor it)"
         )
     if g.union_groups:
-        sols = bgp_union(triples, g.union_groups)
+        sols = bgp_union(
+            triples,
+            [(pats, [_compile_expr(f) for f in filts])
+             for pats, filts in g.union_groups],
+        )
     elif g.triples:
         sols = bgp_select(
             triples, g.triples,
             distinct=q.form != "select" or q.distinct or bool(q.aggs),
             bind_term_meta=needs_meta,
         )
-        for opt in g.optionals:
-            sols = bgp_optional(sols, triples, opt, bind_term_meta=needs_meta)
+        for opt, filts in g.optionals:
+            sols = bgp_optional(
+                sols, triples, opt,
+                bind_term_meta=needs_meta or any(
+                    _expr_uses_meta(f) for f in filts
+                ),
+                filters=[_compile_expr(f) for f in filts],
+            )
     elif g.values:
         sols = None  # VALUES-only group: the inline table IS the base
     else:

@@ -1229,6 +1229,128 @@ WHERE p.c NOT IN (SELECT c FROM urgent)
 """
 
 
+def q_sparql_optional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL group-scoped FILTER inside an OPTIONAL body — the most
+    common real-world OPTIONAL idiom (VERDICT r4 missing #1): the spec
+    LeftJoin(A, P, expr) filters the optional solutions BEFORE the
+    left join, so a customer whose nation fails the filter keeps the
+    row with an unbound ?n (filter-after-join would drop it). Runs
+    through the text front-end over a customer triples view; the
+    OPTIONAL-free equivalent semantics are replicated by DuckDB with a
+    conditional projection."""
+    from .plans.sparql import sparql as run_sparql
+
+    customer = _t(spark, sf_dir, "customer")
+    triples = (
+        customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("subj"),
+            F.lit("segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+        .union(customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")),
+            F.lit("nation"), F.col("c_nationkey").cast("string"),
+        ))
+    )
+    text = """
+    SELECT ?c ?n WHERE {
+      ?c <segment> "AUTOMOBILE" .
+      OPTIONAL { ?c <nation> ?n FILTER(?n > 12) }
+    }
+    """
+    return run_sparql(triples, text)
+
+
+ORACLE_SPARQL_OPTIONAL_FILTER = """
+SELECT 'c' || c_custkey::VARCHAR AS c,
+       CASE WHEN c_nationkey > 12 THEN c_nationkey::VARCHAR END AS n
+FROM customer
+WHERE c_mktsegment = 'AUTOMOBILE'
+"""
+
+
+def q_sparql_union_undef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION arms with arm-scoped FILTERs plus a VALUES row
+    containing UNDEF (the spec wildcard: compatible with every
+    solution, so the VALUES block constrains nothing beyond its bound
+    rows' contribution). Customers in a B* segment union customers in
+    a high nation key, each filter scoped to its arm."""
+    from .plans.sparql import sparql as run_sparql
+
+    customer = _t(spark, sf_dir, "customer")
+    triples = (
+        customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("subj"),
+            F.lit("segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+        .union(customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")),
+            F.lit("nation"), F.col("c_nationkey").cast("string"),
+        ))
+    )
+    text = """
+    SELECT DISTINCT ?x ?v WHERE {
+      { ?x <segment> ?v FILTER(STRSTARTS(?v, "B")) }
+      UNION
+      { ?x <nation> ?v FILTER(?v > 20) }
+      VALUES ?v { "BUILDING" "21" "22" "23" "24" UNDEF }
+    }
+    """
+    return run_sparql(triples, text)
+
+
+ORACLE_SPARQL_UNION_UNDEF = """
+SELECT DISTINCT 'c' || c_custkey::VARCHAR AS x, c_mktsegment AS v
+FROM customer WHERE c_mktsegment LIKE 'B%'
+UNION
+SELECT DISTINCT 'c' || c_custkey::VARCHAR, c_nationkey::VARCHAR
+FROM customer WHERE c_nationkey > 20
+"""
+
+
+def q_kg_class_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second oracled invariant projection of q_kg_pipeline (VERDICT r4
+    next-step #5): the per-conversation predicate-class histogram of
+    the FINAL KG, pinning the extract -> sublimate -> validate ->
+    canonicalize -> provenance tail the way q_kg_doc_invariant pins
+    assembly. Why each count is SQL-expressible: max_turns=200 caps
+    every assembled document below the 20000-char re-chunk threshold,
+    so each conversation is exactly ONE chunk, and the frozen extractor
+    (kernels/extract.py EXTRACTOR_VERSION) then emits per chunk:
+    3 gazetteer entities typed + labeled (+1 doc label = 4 labels),
+    prov 3 wasGeneratedBy + 2 wasQuotedFrom + 1 wasPartOf, and
+    relations = 1 employs edge + one revenue edge per DISTINCT rounded
+    value (set-semantics dedup A12). Verified constant across sf0.001/
+    0.01/0.1 before registration."""
+    from .pipeline import PipelineConfig, run_pipeline
+
+    events = _t(spark, sf_dir, "events")
+    kg = run_pipeline(
+        spark, _kg_conv(events), config=PipelineConfig(max_turns=200)
+    )["kg_triples"]
+    return kg.groupBy("conv_id").agg(
+        F.count(F.when(F.col("pred").endswith("#label"), 1)).alias("n_label"),
+        F.count(F.when(F.col("pred").endswith("#type"), 1)).alias("n_type"),
+        F.count(F.when(F.col("pred").endswith("#wasGeneratedBy"), 1)).alias("n_generated"),
+        F.count(F.when(F.col("pred").endswith("#wasQuotedFrom"), 1)).alias("n_quoted"),
+        F.count(F.when(F.col("pred").endswith("#wasPartOf"), 1)).alias("n_partof"),
+        F.count(F.when(F.col("pred").rlike("/fin$"), 1)).alias("n_relation"),
+    )
+
+
+ORACLE_KG_CLASS_HISTOGRAM = """
+SELECT 'u' || user_id::VARCHAR AS conv_id,
+       4::BIGINT AS n_label, 3::BIGINT AS n_type,
+       3::BIGINT AS n_generated, 2::BIGINT AS n_quoted,
+       1::BIGINT AS n_partof,
+       (1 + count(DISTINCT round(value, 2)))::BIGINT AS n_relation
+FROM events
+WHERE event_id::INT < 200
+GROUP BY user_id
+"""
+
+
 def q_critique_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4/E5 critique scorers (operators/critique.py) over a
     deterministic triple fixture derived from the documents table:
@@ -3046,7 +3168,13 @@ FROM members m JOIN minted t USING (comp)
 # in >= 2 external rounds with trivial surface rotate to the tail; the
 # rotation policy lives in COVERAGE.md ("Driver-window rotation").
 QUERIES = {
-    # -- (a) round-3 additions, no external row yet ----------------------
+    # -- (a) no external row yet: round-5 additions + the round-4 tail
+    # registration (COVERAGE.md rotation rule 1: these register FIRST)
+    "q_sparql_minus_exists": q_sparql_minus_exists,
+    "q_sparql_optional_filter": q_sparql_optional_filter,
+    "q_sparql_union_undef": q_sparql_union_undef,
+    "q_kg_class_histogram": q_kg_class_histogram,
+    # -- (b) green in exactly one round (r4) — bank a second row ---------
     "q_split_leakage": q_split_leakage,
     "q_session_window": q_session_window,
     "q_unpivot_quality": q_unpivot_quality,
@@ -3061,33 +3189,27 @@ QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_rollup_stats": q_rollup_stats,
     "q_range_join_bucketed": q_range_join_bucketed,
-    # -- (b) green in exactly one round ----------------------------------
-    "q_bgp_aggregate": q_bgp_aggregate,
-    "q_repetition_signals": q_repetition_signals,
-    "q_asof_join": q_asof_join,
-    "q_redact_pii": q_redact_pii,
-    "q_json_props": q_json_props,
-    "q_sample_mixture": q_sample_mixture,
-    "q_bgp_delete": q_bgp_delete,
-    "q_pagerank": q_pagerank,
-    "q_bgp_lang_filter": q_bgp_lang_filter,
-    "q_pivot_events": q_pivot_events,
-    "q_critique_scores": q_critique_scores,
-    "q_path_closure": q_path_closure,
+    "q_sparql_text": q_sparql_text,
+    "q_sketch_quantiles": q_sketch_quantiles,
     # -- (c) flagships + their oracled invariant projections -------------
     "q_kg_pipeline": q_kg_pipeline,
     "q_kg_doc_invariant": q_kg_doc_invariant,
     "q_crossdoc_canon": q_crossdoc_canon,
     "q_crossdoc_exact": q_crossdoc_exact,
     "q_crossdoc_incremental": q_crossdoc_incremental,
-    # -- round-4 additions (reserved window slots) -----------------------
-    "q_sparql_text": q_sparql_text,
-    "q_sketch_quantiles": q_sketch_quantiles,
     # -- (d) substantive multi-green operators ---------------------------
+    "q_bgp_aggregate": q_bgp_aggregate,
+    "q_repetition_signals": q_repetition_signals,
+    "q_asof_join": q_asof_join,
+    "q_redact_pii": q_redact_pii,
+    "q_sample_mixture": q_sample_mixture,
+    "q_bgp_delete": q_bgp_delete,
+    "q_pagerank": q_pagerank,
+    "q_critique_scores": q_critique_scores,
+    "q_path_closure": q_path_closure,
     "q_doc_assembly": q_doc_assembly,
     "q_agg_pricing": q_agg_pricing,
     "q_join_revenue": q_join_revenue,
-    "q_sessionize": q_sessionize,
     "q_minhash_sig": q_minhash_sig,
     "q_minhash_lsh_buckets": q_minhash_lsh_buckets,
     "q_ngram_jaccard": q_ngram_jaccard,
@@ -3104,6 +3226,10 @@ QUERIES = {
     # ---- entries below are OUTSIDE the 50-entry external window --------
     # (>= 2 external green rows each; tests/test_oracle_parity.py keeps
     # checking every entry locally every run)
+    "q_json_props": q_json_props,
+    "q_pivot_events": q_pivot_events,
+    "q_bgp_lang_filter": q_bgp_lang_filter,
+    "q_sessionize": q_sessionize,
     "q_topk_per_group": q_topk_per_group,
     "q_sublimate_filter": q_sublimate_filter,
     "q_mapping_rewrite": q_mapping_rewrite,
@@ -3120,7 +3246,6 @@ QUERIES = {
     "q_token_stats": q_token_stats,
     "q_corpus_stats": q_corpus_stats,
     "q_embed_quantize": q_embed_quantize,
-    "q_sparql_minus_exists": q_sparql_minus_exists,
 }
 
 ORACLES = {
@@ -3153,6 +3278,9 @@ ORACLES = {
     "q_sparql_text": ORACLE_SPARQL_TEXT,
     "q_sketch_quantiles": ORACLE_SKETCH_QUANTILES,
     "q_sparql_minus_exists": ORACLE_SPARQL_MINUS_EXISTS,
+    "q_sparql_optional_filter": ORACLE_SPARQL_OPTIONAL_FILTER,
+    "q_sparql_union_undef": ORACLE_SPARQL_UNION_UNDEF,
+    "q_kg_class_histogram": ORACLE_KG_CLASS_HISTOGRAM,
     "q_validate_predicates": ORACLE_VALIDATE_PREDICATES,
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -472,8 +472,10 @@ def test_parse_errors():
         parse_sparql("SELECT ?x WHERE { ?x qq:name ?o }")  # undeclared prefix
     with pytest.raises(SparqlSyntaxError):
         parse_sparql("INSERT DATA { ?x <p> <o> }")  # non-ground insert
-    with pytest.raises(SparqlSyntaxError):
-        parse_sparql("SELECT ?x WHERE { { ?x <p> ?o . FILTER(?x = 1) } UNION { ?x <q> ?o } }")
+    # FILTER inside a UNION arm is in-subset since round 5
+    parse_sparql("SELECT ?x WHERE { { ?x <p> ?o . FILTER(?x = 1) } UNION { ?x <q> ?o } }")
+    with pytest.raises(SparqlSyntaxError):  # nested MINUS stays out
+        parse_sparql("SELECT ?x WHERE { { ?x <p> ?o . MINUS { ?x <r> ?z } } UNION { ?x <q> ?o } }")
     with pytest.raises(SparqlSyntaxError):  # LIMIT must be an integer
         parse_sparql("SELECT ?x WHERE { ?x <p> ?o } LIMIT 3.5")
 
@@ -599,3 +601,56 @@ def test_reserved_metadata_variable_names_rejected(spark):
         tri, "SELECT ?my__var WHERE { <a> <p> ?my__var }"
     ).collect()}
     assert got == {"b"}
+
+
+def test_filter_inside_optional_and_union(spark):
+    """VERDICT r4 next-step #4: group-scoped FILTERs. OPTIONAL{P
+    FILTER e} is LeftJoin(A,P,e) — filter the optional solutions
+    BEFORE the left join (unmatched-after-filter rows keep NULLs),
+    NOT filter-after-join (which would drop them)."""
+    tri = _triples(spark, [
+        ("a", "knows", "b"), ("b", "knows", "c"), ("c", "knows", "d"),
+        ("a", "age", "30"), ("b", "age", "7"), ("d", "age", "99"),
+    ])
+    got = sorted((r["x"], r["n"]) for r in sparql(tri, """
+        SELECT ?x ?n WHERE {
+          ?x <knows> ?y . OPTIONAL { ?x <age> ?n FILTER(?n > 10) }
+        }
+    """).collect())
+    # b's age 7 fails the filter -> b KEEPS its row with unbound ?n
+    assert got == [("a", "30"), ("b", None), ("c", None)]
+    # arm-scoped UNION filters
+    got2 = sorted(r["x"] for r in sparql(tri, """
+        SELECT ?x WHERE {
+          { ?x <knows> ?y FILTER(STRSTARTS(?x, "a")) }
+          UNION
+          { ?x <age> ?n FILTER(?n < 10) }
+        }
+    """).collect())
+    assert got2 == ["a", "b"]
+    # UNION group followed by VALUES
+    got3 = sorted(r["x"] for r in sparql(tri, """
+        SELECT ?x WHERE {
+          { ?x <knows> ?y } UNION { ?x <age> ?n }
+          VALUES ?x { <a> <d> UNDEF }
+        }
+    """).collect())
+    # multiset semantics: a solution compatible with BOTH a bound row
+    # and the UNDEF wildcard row joins twice (a: 2 sols x 2 rows,
+    # b: 2 x 1, c: 1 x 1, d: 1 x 2)
+    assert got3 == ["a", "a", "a", "a", "b", "b", "c", "d", "d"]
+    # group-scoped filter may not reference outer variables
+    with pytest.raises(SparqlSyntaxError):
+        sparql(tri, """
+            SELECT ?x WHERE {
+              ?x <knows> ?y . OPTIONAL { ?x <age> ?n FILTER(?n > ?y) }
+            }
+        """)
+    # FILTER EXISTS stays rejected inside group bodies
+    with pytest.raises(SparqlSyntaxError):
+        sparql(tri, """
+            SELECT ?x WHERE {
+              ?x <knows> ?y .
+              OPTIONAL { ?x <age> ?n FILTER EXISTS { ?x <knows> ?z } }
+            }
+        """)
