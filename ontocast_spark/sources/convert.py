@@ -89,9 +89,11 @@ def active_converter() -> Callable | None:
 # with plain (uncompressed or Flate-compressed) text content streams are
 # decodable with the stdlib alone, so that subset now decodes for real
 # (reference behavior: tool/converter.py:42-58 via docling). Registered
-# codecs and docling still take precedence; DOCX/PPTX and PDFs whose
-# content streams carry no text operators (scanned pages, CID-encoded
-# fonts, encryption) keep the NotImplementedError boundary.
+# codecs and docling still take precedence; PDFs whose content streams
+# carry no text operators (scanned pages, CID-encoded fonts,
+# encryption) and text-free DOCX/PPTX packages keep the
+# NotImplementedError boundary — see the office-XML section below for
+# the stdlib DOCX/PPTX path.
 
 _PDF_STREAM_RE = re.compile(rb"stream\r?\n")
 _PDF_TEXT_OP_RE = re.compile(
@@ -107,13 +109,18 @@ _PDF_ESCAPES = {
 
 
 def _pdf_unescape(s: str) -> str:
+    # PDF spec 7.3.4.2: only \ddd with OCTAL digits is a code escape; a
+    # backslash before any other char (incl. '8', '9', or a non-ASCII
+    # Unicode digit, which str.isdigit() would accept but int(_, 8)
+    # rejects) just yields that char — so gate on the regex alternative
+    # that matched, not on isdigit().
     def sub(m: re.Match) -> str:
-        body = m.group(1)
-        if body.isdigit():  # octal escape \ddd
-            return chr(int(body, 8) & 0xFF)
+        if m.group("oct") is not None:
+            return chr(int(m.group("oct"), 8) & 0xFF)
+        body = m.group("ch")
         return _PDF_ESCAPES.get(body, body)
 
-    return re.sub(r"\\([0-7]{1,3}|.)", sub, s)
+    return re.sub(r"\\(?:(?P<oct>[0-7]{1,3})|(?P<ch>.))", sub, s)
 
 
 def _pdf_content_streams(raw: bytes) -> list[bytes]:
@@ -184,6 +191,127 @@ def minimal_pdf_text(raw: bytes) -> str:
     return "\n".join(lines)
 
 
+# --- minimal stdlib DOCX / PPTX text extraction ------------------------
+# Both formats are zipped XML (OPC packages), so the text subset is
+# decodable with zipfile + ElementTree alone — the office twin of
+# minimal_pdf_text above (reference behavior tool/converter.py:42-58
+# via docling). Embedded images, charts, headers/footers and revision
+# markup are out of scope; a package whose XML carries no text nodes
+# keeps the honest NotImplementedError boundary.
+
+_SLIDE_NUM_RE = re.compile(r"ppt/slides/slide(\d+)\.xml$")
+
+
+def _localname(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _docx_paragraph_text(par) -> str:
+    """One WordprocessingML <w:p>: concatenate <w:t> runs, mapping
+    <w:tab/> to a tab and <w:br/>/<w:cr/> to a newline (ECMA-376
+    §17.3.3)."""
+    parts: list[str] = []
+    for node in par.iter():
+        ln = _localname(node.tag)
+        if ln == "t" and node.text:
+            parts.append(node.text)
+        elif ln == "tab":
+            parts.append("\t")
+        elif ln in ("br", "cr"):
+            parts.append("\n")
+    return "".join(parts)
+
+
+def _opc_xml(raw: bytes, member: str):
+    """Open an OPC (zip) package member as an ElementTree root."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(raw))
+    except zipfile.BadZipFile as e:
+        raise NotImplementedError(f"not an OPC (zip) package: {e}") from e
+    with zf:
+        try:
+            data = zf.read(member)
+        except KeyError as e:
+            raise NotImplementedError(
+                f"OPC package has no {member} part"
+            ) from e
+        try:
+            return ET.fromstring(data)
+        except ET.ParseError as e:
+            raise NotImplementedError(
+                f"malformed XML in {member}: {e}"
+            ) from e
+
+
+def minimal_docx_text(raw: bytes) -> str:
+    """Extract paragraph text from a .docx package's
+    ``word/document.xml`` — one output line per <w:p> (table-cell
+    paragraphs included: they are plain <w:p> elements in document
+    order). Raises ``NotImplementedError`` when the package carries no
+    text nodes."""
+    root = _opc_xml(raw, "word/document.xml")
+    lines = [
+        _docx_paragraph_text(p) for p in root.iter()
+        if _localname(p.tag) == "p"
+    ]
+    if not any(ln.strip() for ln in lines):
+        raise NotImplementedError(
+            "DOCX carries no text nodes (drawing-only or non-standard "
+            "documents need a registered codec or docling)"
+        )
+    return "\n".join(lines)
+
+
+def minimal_pptx_text(raw: bytes) -> str:
+    """Extract slide text from a .pptx package: slides in numeric
+    order (``ppt/slides/slide<N>.xml``), one output line per DrawingML
+    paragraph <a:p> (titles, body placeholders, and table cells all
+    reduce to <a:t> runs inside <a:p>). Raises ``NotImplementedError``
+    when no slide carries text."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(raw))
+    except zipfile.BadZipFile as e:
+        raise NotImplementedError(f"not an OPC (zip) package: {e}") from e
+    with zf:
+        slides = sorted(
+            (int(m.group(1)), name)
+            for name in zf.namelist()
+            if (m := _SLIDE_NUM_RE.fullmatch(name))
+        )
+        if not slides:
+            raise NotImplementedError("PPTX package has no slide parts")
+        lines: list[str] = []
+        for _, name in slides:
+            try:
+                root = ET.fromstring(zf.read(name))
+            except ET.ParseError as e:
+                raise NotImplementedError(
+                    f"malformed XML in {name}: {e}"
+                ) from e
+            for p in root.iter():
+                if _localname(p.tag) != "p":
+                    continue
+                text = "".join(
+                    node.text for node in p.iter()
+                    if _localname(node.tag) == "t" and node.text
+                )
+                lines.append(text)
+    if not any(ln.strip() for ln in lines):
+        raise NotImplementedError(
+            "PPTX carries no text nodes (image-only decks need a "
+            "registered codec or docling)"
+        )
+    return "\n".join(lines)
+
+
 def read_binary_documents(spark: SparkSession, path: str) -> DataFrame:
     """Distributed binary-document scan: (path, length, content)."""
     return (
@@ -215,6 +343,10 @@ def _decode_payload(
         # stdlib fallback for the plain-text-stream PDF subset; raises
         # NotImplementedError itself for PDFs it cannot honestly decode
         return "pdf", minimal_pdf_text(raw)
+    if ext == ".docx":
+        return "docx", minimal_docx_text(raw)
+    if ext == ".pptx":
+        return "pptx", minimal_pptx_text(raw)
     raise NotImplementedError(
         f"binary document conversion for {ext!r} requires a converter "
         "(the reference uses docling, unavailable here); pass "

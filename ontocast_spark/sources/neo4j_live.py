@@ -228,11 +228,23 @@ _MERGE_RELS_CYPHER = (
 )
 
 
-def write_conversation_graph(client, triples: list[tuple]) -> int:
+#: Rows per UNWIND statement. One giant UNWIND for a large conversation
+#: can exceed server request limits / transaction memory; MERGE and
+#: last-wins SET += are idempotent and order-preserving within the
+#: sorted replay, so fixed-size chunks keep identical semantics (and
+#: stay task-retry safe).
+UNWIND_BATCH_ROWS = 1000
+
+
+def write_conversation_graph(
+    client, triples: list[tuple], batch_rows: int = UNWIND_BATCH_ROWS
+) -> int:
     """Write one conversation's triples: MERGE ``:Resource`` nodes,
     typed relationships for IRI objects, property batches for literals
-    (reference write path neo4j.py:29-141, set-oriented). Returns the
-    number of statements issued."""
+    (reference write path neo4j.py:29-141, set-oriented), each list
+    chunked into ``batch_rows``-row UNWIND statements so payload and
+    transaction size stay bounded. Returns the number of statements
+    issued."""
     rels: dict[str, list[dict]] = {}
     props: list[dict] = []
     # sorted replay: UNWIND applies rows in order and SET += is
@@ -248,13 +260,14 @@ def write_conversation_graph(client, triples: list[tuple]) -> int:
         else:
             rels.setdefault(p, []).append({"subj": s, "obj": o})
     statements = 0
-    if props:
-        client.run(_SET_PROP_CYPHER, {"rows": props})
+    for i in range(0, len(props), batch_rows):
+        client.run(_SET_PROP_CYPHER, {"rows": props[i:i + batch_rows]})
         statements += 1
     for pred, rows in sorted(rels.items()):
-        client.run(_MERGE_RELS_CYPHER % pred.replace("`", "``"),
-                   {"rows": rows})
-        statements += 1
+        cypher = _MERGE_RELS_CYPHER % pred.replace("`", "``")
+        for i in range(0, len(rows), batch_rows):
+            client.run(cypher, {"rows": rows[i:i + batch_rows]})
+            statements += 1
     return statements
 
 

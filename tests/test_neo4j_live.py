@@ -187,3 +187,23 @@ def test_backtick_rel_type_escaped(neo4j_url):
         ("https://kg/x", "https://p/we`ird", "https://kg/y", False, None),
     ])
     assert ("https://kg/x", "https://p/we`ird", "https://kg/y") in RELS
+
+
+def test_unwind_batches_are_bounded(neo4j_url):
+    """A large conversation must not ship one unbounded UNWIND payload:
+    rows chunk into batch_rows-sized statements, and because MERGE /
+    last-wins SET += are idempotent over the sorted replay, the written
+    graph is identical to the single-statement result."""
+    client = Neo4jHttpClient(neo4j_url)
+    triples = (
+        [(f"https://kg/n{i:04d}", "https://w3/label", f"L{i}", True, None)
+         for i in range(10)]
+        + [(f"https://kg/n{i:04d}", "https://onto/knows",
+            f"https://kg/n{(i + 1) % 10:04d}", False, None)
+           for i in range(10)]
+    )
+    n = write_conversation_graph(client, triples, batch_rows=3)
+    # 10 props -> 4 statements, 10 rels of one type -> 4 statements
+    assert n == 8
+    got = set(map(tuple, fetch_graph_triples(client, "https://kg/")))
+    assert got == {tuple(t) for t in triples}
