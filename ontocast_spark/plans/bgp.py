@@ -480,6 +480,7 @@ def bgp_minus(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
     left_nullable: bool = True,
+    filters: list | None = None,
 ) -> DataFrame:
     """SPARQL ``MINUS``: remove solutions for which some solution of
     ``patterns`` is compatible AND shares at least one bound variable
@@ -496,8 +497,15 @@ def bgp_minus(
     an actual NULL in a shared variable (possible only downstream of
     OPTIONAL / UNION / VALUES UNDEF / BIND) take the general
     compatibility path; with ``left_nullable=False`` (statically known
-    all-bound solutions) that branch is not even planned."""
+    all-bound solutions) that branch is not even planned.
+
+    ``filters`` are group-scoped Catalyst predicates over the probe
+    group's own variables — the spec evaluates a MINUS group
+    independently, so they apply to the probe solutions before the
+    anti-join."""
     minus = bgp_select(triples, patterns, distinct=True)
+    for cond in filters or []:
+        minus = minus.filter(cond)
     shared = sorted(set(result.columns) & set(minus.columns))
     if not shared:
         return result
@@ -527,6 +535,7 @@ def bgp_exists(
     patterns: list[tuple[str, str, str]],
     negate: bool = False,
     left_nullable: bool = True,
+    filters: list | None = None,
 ) -> DataFrame:
     """SPARQL ``FILTER EXISTS { P }`` / ``FILTER NOT EXISTS { P }``:
     keep solutions for which the pattern has (no) match under the
@@ -544,8 +553,15 @@ def bgp_exists(
     hash ``left_semi``/``left_anti`` equi-join; only the NULL-carrying
     remainder (empty unless OPTIONAL/UNION/UNDEF/BIND ran upstream)
     keeps the nested-loop compatibility condition, and
-    ``left_nullable=False`` removes that branch from the plan."""
+    ``left_nullable=False`` removes that branch from the plan.
+
+    ``filters`` are group-scoped Catalyst predicates over the probe
+    group's own variables, applied to the probe solutions before the
+    join (exact because this subset rejects filters referencing
+    outer-bound variables)."""
     probe = bgp_select(triples, patterns, distinct=True)
+    for cond in filters or []:
+        probe = probe.filter(cond)
     shared = sorted(set(result.columns) & set(probe.columns))
     how = "left_anti" if negate else "left_semi"
     if not shared:

@@ -36,9 +36,12 @@ plus the aggregate/path forms the programmatic API already evaluates):
   discovery query shape, fuseki.py:212-218); ``MINUS { ... }``
   (left-anti join on shared vars; removes nothing when none are
   shared, per spec); ``FILTER [NOT] EXISTS { ... }`` (semi/anti join
-  on shared vars; an unshared probe evaluates once); and ``VALUES ?x
-  { ... }`` / ``VALUES (?x ?y) { (...) ... }`` inline data
-  (broadcast-joined).
+  on shared vars; an unshared probe evaluates once) — MINUS/EXISTS
+  bodies also accept group-scoped ``FILTER``s over their own
+  variables (the spec evaluates these groups independently, so the
+  filter applies to the probe solutions before the join); and
+  ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (...) ... }`` inline
+  data (broadcast-joined).
 - FILTER expressions: ``||  &&  !  = != < > <= >=``, ``STR``,
   ``STRSTARTS``, ``STRENDS``, ``CONTAINS``, ``REGEX``, ``BOUND``,
   ``isIRI``/``isURI``, ``isLiteral``, ``LANG``, ``DATATYPE``,
@@ -51,13 +54,22 @@ plus the aggregate/path forms the programmatic API already evaluates):
 - ``VALUES`` rows may use ``UNDEF`` (the spec wildcard: an unbound
   slot, compatible with any solution value).
 
+- Subqueries: ``{ SELECT ... WHERE { ... } [GROUP BY/ORDER BY/LIMIT] }``
+  inside a WHERE group — evaluated independently, joined to the
+  enclosing group on the projected variables (spec §12). Supported
+  when the subquery's projected solutions cannot be unbound (no
+  OPTIONAL/UNION/UNDEF/BIND inside), which keeps the join a plain
+  hash equi-join.
+
 Out of scope (raise ``SparqlSyntaxError``): nested group graph
-patterns beyond OPTIONAL/UNION/GRAPH/MINUS, subqueries, SERVICE,
-OPTIONAL/UNION/FILTER inside MINUS or EXISTS bodies, group-scoped
-FILTERs referencing variables bound outside the group, FILTER
-[NOT] EXISTS inside OPTIONAL/UNION bodies, term-metadata builtins
-over a UNION, property paths in CONSTRUCT/UPDATE templates or GRAPH
-blocks, REGEX flags outside Java's ``imsx``.
+patterns beyond OPTIONAL/UNION/GRAPH/MINUS/subqueries, SERVICE,
+OPTIONAL/UNION inside MINUS or EXISTS bodies, group-scoped FILTERs
+referencing variables bound outside the group, FILTER [NOT] EXISTS
+inside nested group bodies, subqueries with nullable projections or
+inside UNION/OPTIONAL/MINUS bodies, term-metadata builtins over a
+UNION or inside nested group bodies, property paths in
+CONSTRUCT/UPDATE templates or GRAPH blocks, REGEX flags outside
+Java's ``imsx``.
 Comparison operators in FILTER must be whitespace-separated from
 their operands when ``<``/``>`` could otherwise read as an IRI
 bracket.
@@ -75,6 +87,7 @@ from pyspark.sql import functions as F
 from .bgp import (
     Path,
     bgp_aggregate,
+    _join_solutions,
     bgp_construct,
     bgp_delete_where,
     bgp_describe,
@@ -183,9 +196,10 @@ class _Group:
     optionals: list = field(default_factory=list)  # (patterns, filter_asts)
     filters: list = field(default_factory=list)
     union_groups: list = field(default_factory=list)  # (patterns, filter_asts)
-    minuses: list = field(default_factory=list)
+    minuses: list = field(default_factory=list)  # (patterns, filter_asts)
     values: list = field(default_factory=list)  # (vars, rows) clauses
-    exists: list = field(default_factory=list)  # (negate, patterns)
+    exists: list = field(default_factory=list)  # (negate, patterns, filter_asts)
+    subselects: list = field(default_factory=list)  # nested ParsedQuery
     binds: list = field(default_factory=list)  # (expr_ast, var) clauses
 
 
@@ -402,12 +416,33 @@ class _Parser:
         if self._at_op("."):
             self.pos += 1
 
+    def _at_subselect(self) -> bool:
+        """``{ SELECT`` ahead — a subquery, not a UNION arm."""
+        nxt = self._peek(1)
+        return (
+            self._at_op("{") and nxt is not None and nxt.kind == "KW"
+            and nxt.value.upper() == "SELECT"
+        )
+
+    def _subselect(self) -> ParsedQuery:
+        """``{ SELECT ... WHERE { ... } [GROUP BY/ORDER BY/LIMIT] }``
+        — a full nested query parsed with the same machinery as the
+        outer form; only its projected variables are visible outside
+        (spec §12)."""
+        self._expect_op("{")
+        self._kw("SELECT")  # guaranteed by _at_subselect
+        sub = self._select()
+        self._solution_modifiers(sub)
+        self._expect_op("}")
+        return sub
+
     # -- group graph pattern
     def _group(self) -> _Group:
         self._expect_op("{")
         g = _Group()
         # peek for `{ A } UNION { B } ...` — a group starting with `{`
-        if self._at_op("{"):
+        # (but `{ SELECT` is a subquery, handled by the main loop)
+        if self._at_op("{") and not self._at_subselect():
             groups = [self._filtered_group()]
             while self._kw("UNION"):
                 groups.append(self._filtered_group())
@@ -422,7 +457,9 @@ class _Parser:
             self._expect_op("}")
             return g
         while not self._at_op("}"):
-            if self._kw("OPTIONAL"):
+            if self._at_subselect():
+                g.subselects.append(self._subselect())
+            elif self._kw("OPTIONAL"):
                 sub = self._filtered_group()
                 g.optionals.append(sub)
             elif self._kw("FILTER"):
@@ -437,11 +474,11 @@ class _Parser:
                 if self._kw("NOT"):
                     if not self._kw("EXISTS"):
                         raise SparqlSyntaxError("expected EXISTS after NOT")
-                    g.exists.append((True, self._plain_group()))
+                    g.exists.append((True, *self._filtered_group()))
                     if wrapped:
                         self._expect_op(")")
                 elif self._kw("EXISTS"):
-                    g.exists.append((False, self._plain_group()))
+                    g.exists.append((False, *self._filtered_group()))
                     if wrapped:
                         self._expect_op(")")
                 else:
@@ -452,7 +489,7 @@ class _Parser:
             elif self._kw("GRAPH"):
                 g.triples.extend(self._graph_block())
             elif self._kw("MINUS"):
-                g.minuses.append(self._plain_group())
+                g.minuses.append(self._filtered_group())
             elif self._kw("VALUES"):
                 g.values.append(self._values_clause())
             elif self._kw("BIND"):
@@ -540,33 +577,17 @@ class _Parser:
         self._expect_op("}")
         return [(s, p, o, gterm) for s, p, o in inner]
 
-    def _plain_group(self) -> list:
-        """A braced group of plain triples (MINUS / EXISTS bodies —
-        these stay NULL-free so bgp_minus/bgp_exists can plan hash
-        equi-joins)."""
-        self._expect_op("{")
-        out: list = []
-        while not self._at_op("}"):
-            if self._kw("GRAPH"):
-                out.extend(self._graph_block())
-                continue
-            if self._peek() is not None and self._peek().kind == "KW" and \
-                    self._peek().value.upper() in ("OPTIONAL", "FILTER", "UNION"):
-                raise SparqlSyntaxError(
-                    "nested OPTIONAL/FILTER inside a MINUS or EXISTS "
-                    "body is outside the supported subset"
-                )
-            self._triples_block(out)
-        self._expect_op("}")
-        return out
-
     def _filtered_group(self):
         """A braced group of triples plus group-scoped FILTERs (UNION
-        arms, OPTIONAL bodies) -> ``(patterns, filter_asts)``. The
-        spec scopes these filters to the group: for OPTIONAL this is
-        LeftJoin(A, P, expr) — evaluated on the optional solutions
-        BEFORE the left join, which is exact when the expression only
-        uses the group's own variables (enforced at compile time)."""
+        arms, OPTIONAL / MINUS / EXISTS bodies) -> ``(patterns,
+        filter_asts)``. The spec scopes these filters to the group:
+        for OPTIONAL this is LeftJoin(A, P, expr) — evaluated on the
+        optional solutions BEFORE the left join — and for MINUS/EXISTS
+        the probe group evaluates independently; both are exact when
+        the expression only uses the group's own variables (enforced
+        at compile time). Probe groups stay triple-pattern-only, so
+        their solutions are NULL-free and bgp_minus/bgp_exists keep
+        their hash equi-join plans."""
         self._expect_op("{")
         pats: list = []
         filts: list = []
@@ -587,8 +608,8 @@ class _Parser:
                 )
                 if wrapped_exists or bare_exists:
                     raise SparqlSyntaxError(
-                        "FILTER [NOT] EXISTS inside a UNION arm or "
-                        "OPTIONAL body is outside the supported subset"
+                        "FILTER [NOT] EXISTS inside a nested group "
+                        "body is outside the supported subset"
                     )
                 filts.append(self._filter_expr())
                 continue
@@ -597,8 +618,8 @@ class _Parser:
                         "OPTIONAL", "UNION", "MINUS", "VALUES", "BIND"):
                 raise SparqlSyntaxError(
                     "nested OPTIONAL/UNION/MINUS/VALUES/BIND inside a "
-                    "UNION arm or OPTIONAL body is outside the "
-                    "supported subset"
+                    "UNION arm or OPTIONAL/MINUS/EXISTS body is "
+                    "outside the supported subset"
                 )
             self._triples_block(pats)
         self._expect_op("}")
@@ -1004,7 +1025,7 @@ def sparql(triples: DataFrame, text: str):
     if q.form == "delete":
         if (q.where.filters or q.where.optionals or q.where.union_groups
                 or q.where.minuses or q.where.values or q.where.exists
-                or q.where.binds):
+                or q.where.binds or q.where.subselects):
             raise SparqlSyntaxError(
                 "DELETE supports a plain triple-pattern WHERE"
             )
@@ -1017,6 +1038,27 @@ def sparql(triples: DataFrame, text: str):
             )
         return bgp_delete_where(triples, q.where.triples, delete=q.template)
 
+    return _eval_query(triples, q)
+
+
+def _group_nullable(g: _Group) -> bool:
+    """Can this group's solutions carry NULL (unbound) variable
+    bindings? True downstream of OPTIONAL, UNION variable alignment,
+    VALUES UNDEF rows, BIND (an expression may evaluate to NULL), or a
+    nested subquery that can."""
+    return bool(
+        g.optionals or g.union_groups or g.binds
+        or any(any(v is None for row in rows for v in row)
+               for _, rows in g.values)
+        or any(_group_nullable(sq.where) for sq in g.subselects)
+    )
+
+
+def _eval_query(triples: DataFrame, q: ParsedQuery):
+    """Evaluate a parsed SELECT/ASK/CONSTRUCT query over the triple
+    table — the recursion target for ``{ SELECT ... }`` subqueries
+    (spec §12: a subquery evaluates independently and joins the
+    enclosing group on its projected variables)."""
     g = q.where
     needs_meta = any(_expr_uses_meta(f) for f in g.filters) or any(
         _expr_uses_meta(e) for e, _ in g.binds
@@ -1031,25 +1073,33 @@ def sparql(triples: DataFrame, text: str):
             "term-metadata builtins over a UNION are outside the "
             "supported subset (bgp_union does not bind term metadata)"
         )
-    # group-scoped filters (OPTIONAL bodies / UNION arms): exact
-    # pre-join evaluation needs the expression confined to the group's
-    # own variables; meta builtins ride bgp_optional's bind_term_meta
-    # for OPTIONAL but are unavailable inside UNION arms
-    for pats, filts in g.optionals + g.union_groups:
+    # group-scoped filters (OPTIONAL / MINUS / EXISTS bodies, UNION
+    # arms): exact pre-join evaluation needs the expression confined to
+    # the group's own variables; meta builtins ride bgp_optional's
+    # bind_term_meta for OPTIONAL but are unavailable in the others
+    nested_groups = (
+        g.optionals + g.union_groups + g.minuses
+        + [(pats, filts) for _, pats, filts in g.exists]
+    )
+    for pats, filts in nested_groups:
         gvars = _pattern_vars(pats)
         for f in filts:
             loose = _expr_vars(f) - gvars
             if loose:
                 raise SparqlSyntaxError(
-                    "a FILTER inside an OPTIONAL body or UNION arm may "
-                    "only use that group's variables in this subset "
+                    "a FILTER inside a nested group body may only use "
+                    "that group's variables in this subset "
                     f"(?{sorted(loose)[0]} is bound outside the group)"
                 )
-    if any(_expr_uses_meta(f) for _, filts in g.union_groups
-           for f in filts):
+    if any(
+        _expr_uses_meta(f)
+        for _, filts in g.union_groups + g.minuses for f in filts
+    ) or any(
+        _expr_uses_meta(f) for _, _, filts in g.exists for f in filts
+    ):
         raise SparqlSyntaxError(
-            "term-metadata builtins inside UNION arms are outside the "
-            "supported subset"
+            "term-metadata builtins inside UNION arms or MINUS/EXISTS "
+            "bodies are outside the supported subset"
         )
     opt_needs_meta = needs_meta or any(
         _expr_uses_meta(f) for _, filts in g.optionals for f in filts
@@ -1061,8 +1111,8 @@ def sparql(triples: DataFrame, text: str):
         )
     all_pats = list(g.triples) + [p for grp, _ in g.union_groups for p in grp] \
         + [p for opt, _ in g.optionals for p in opt] \
-        + [p for m in g.minuses for p in m] \
-        + [p for _, ex in g.exists for p in ex]
+        + [p for m, _ in g.minuses for p in m] \
+        + [p for _, ex, _f in g.exists for p in ex]
     if any(len(p) == 4 for p in all_pats) and "graph" not in triples.columns:
         raise SparqlSyntaxError(
             "GRAPH blocks need a 'graph' column on the triple table"
@@ -1092,9 +1142,23 @@ def sparql(triples: DataFrame, text: str):
                 ),
                 filters=[_compile_expr(f) for f in filts],
             )
-    elif g.values:
-        sols = None  # VALUES-only group: the inline table IS the base
     else:
+        sols = None  # subquery- or VALUES-anchored group
+    for sq in g.subselects:
+        if sq.form != "select":
+            raise SparqlSyntaxError("a subquery must be a SELECT")
+        if _group_nullable(sq.where):
+            raise SparqlSyntaxError(
+                "subqueries whose projected solutions can be unbound "
+                "(OPTIONAL/UNION/VALUES UNDEF/BIND inside) are outside "
+                "the supported subset"
+            )
+        # non-nullable projection -> the join is a plain hash equi-join
+        # on the shared variables (cartesian only when none are shared,
+        # per spec join semantics)
+        sub = _eval_query(triples, sq)
+        sols = sub if sols is None else _join_solutions(sols, sub)
+    if sols is None and not g.values:
         raise SparqlSyntaxError("empty WHERE group")
     for vars_, rows in g.values:
         sols = bgp_values(sols, triples.sparkSession, vars_, rows)
@@ -1113,16 +1177,14 @@ def sparql(triples: DataFrame, text: str):
     # or BIND (an expression may evaluate to NULL). Statically
     # OPTIONAL-free/bind-free queries therefore compile MINUS/EXISTS to
     # plain hash anti/semi equi-joins with no nested-loop branch.
-    left_nullable = bool(
-        g.optionals or g.union_groups or g.binds
-        or any(any(v is None for row in rows for v in row)
-               for _, rows in g.values)
-    )
-    for m in g.minuses:
-        sols = bgp_minus(sols, triples, m, left_nullable=left_nullable)
-    for negate, pats in g.exists:
+    left_nullable = _group_nullable(g)
+    for m, filts in g.minuses:
+        sols = bgp_minus(sols, triples, m, left_nullable=left_nullable,
+                         filters=[_compile_expr(f) for f in filts])
+    for negate, pats, filts in g.exists:
         sols = bgp_exists(sols, triples, pats, negate=negate,
-                          left_nullable=left_nullable)
+                          left_nullable=left_nullable,
+                          filters=[_compile_expr(f) for f in filts])
     for f in g.filters:
         sols = bgp_filter(sols, _compile_expr(f))
 

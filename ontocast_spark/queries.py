@@ -1309,6 +1309,45 @@ FROM customer WHERE c_nationkey > 20
 """
 
 
+def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL subquery (spec §12, round-5 surface): an aggregate
+    ``{ SELECT ... GROUP BY }`` evaluated independently and
+    hash-joined to the enclosing group on its projected variable —
+    per-customer order counts joined with a segment pattern, all
+    through the text front-end over a customer+orders triple view."""
+    from .plans.sparql import sparql as run_sparql
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    triples = (
+        customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("subj"),
+            F.lit("segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+        .union(orders.select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")),
+            F.lit("order"),
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")),
+        ))
+    )
+    text = """
+    SELECT ?c ?n WHERE {
+      ?c <segment> "MACHINERY" .
+      { SELECT ?c (COUNT(?o) AS ?n) WHERE { ?c <order> ?o } GROUP BY ?c }
+    }
+    """
+    return run_sparql(triples, text)
+
+
+ORACLE_SPARQL_SUBQUERY = """
+SELECT 'c' || c_custkey::VARCHAR AS c, count(*)::BIGINT AS n
+FROM customer JOIN orders ON o_custkey = c_custkey
+WHERE c_mktsegment = 'MACHINERY'
+GROUP BY c_custkey
+"""
+
+
 def q_kg_class_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second oracled invariant projection of q_kg_pipeline (VERDICT r4
     next-step #5): the per-conversation predicate-class histogram of
@@ -3173,6 +3212,7 @@ QUERIES = {
     "q_sparql_minus_exists": q_sparql_minus_exists,
     "q_sparql_optional_filter": q_sparql_optional_filter,
     "q_sparql_union_undef": q_sparql_union_undef,
+    "q_sparql_subquery": q_sparql_subquery,
     "q_kg_class_histogram": q_kg_class_histogram,
     # -- (b) green in exactly one round (r4) — bank a second row ---------
     "q_split_leakage": q_split_leakage,
@@ -3222,10 +3262,10 @@ QUERIES = {
     "q_pack_sequences": q_pack_sequences,
     "q_bgp_select": q_bgp_select,
     "q_bgp_construct": q_bgp_construct,
-    "q_validate_predicates": q_validate_predicates,
     # ---- entries below are OUTSIDE the 50-entry external window --------
     # (>= 2 external green rows each; tests/test_oracle_parity.py keeps
     # checking every entry locally every run)
+    "q_validate_predicates": q_validate_predicates,
     "q_json_props": q_json_props,
     "q_pivot_events": q_pivot_events,
     "q_bgp_lang_filter": q_bgp_lang_filter,
@@ -3280,6 +3320,7 @@ ORACLES = {
     "q_sparql_minus_exists": ORACLE_SPARQL_MINUS_EXISTS,
     "q_sparql_optional_filter": ORACLE_SPARQL_OPTIONAL_FILTER,
     "q_sparql_union_undef": ORACLE_SPARQL_UNION_UNDEF,
+    "q_sparql_subquery": ORACLE_SPARQL_SUBQUERY,
     "q_kg_class_histogram": ORACLE_KG_CLASS_HISTOGRAM,
     "q_validate_predicates": ORACLE_VALIDATE_PREDICATES,
     "q_token_stats": ORACLE_TOKEN_STATS,

@@ -603,6 +603,64 @@ def test_reserved_metadata_variable_names_rejected(spark):
     assert got == {"b"}
 
 
+def test_subqueries(spark):
+    """Spec §12 subqueries: `{ SELECT ... }` evaluates independently
+    and joins the enclosing group on its projected variables; only the
+    projection is visible outside."""
+    tri = _triples(spark, [
+        ("a", "type", "T"), ("b", "type", "T"), ("c", "type", "U"),
+        ("a", "amt", "10"), ("a", "amt", "32"), ("b", "amt", "5"),
+        ("c", "amt", "99"),
+    ])
+    # aggregate subquery joined with an outer pattern
+    got = sorted((r["s"], r["n"]) for r in sparql(tri, """
+        SELECT ?s ?n WHERE {
+          ?s <type> <T> .
+          { SELECT ?s (COUNT(?v) AS ?n) WHERE { ?s <amt> ?v } GROUP BY ?s }
+        }
+    """).collect())
+    assert got == [("a", 2), ("b", 1)]
+    # subquery-only WHERE body
+    got2 = sorted(r["x"] for r in sparql(tri, """
+        SELECT ?x WHERE { { SELECT DISTINCT ?x WHERE { ?x <amt> ?v } } }
+    """).collect())
+    assert got2 == ["a", "b", "c"]
+    # the subquery's non-projected variables stay scoped inside: outer
+    # ?v is a FRESH variable joined against nothing -> all amt rows
+    got3 = sorted((r["x"], r["v"]) for r in sparql(tri, """
+        SELECT ?x ?v WHERE {
+          ?x <amt> ?v .
+          { SELECT ?x WHERE { ?x <type> <T> } }
+        }
+    """).collect())
+    assert got3 == [("a", "10"), ("a", "32"), ("b", "5")]
+    # ORDER BY + LIMIT inside the subquery (top-1 by amount)
+    got4 = [r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE {
+          ?s <type> ?t .
+          { SELECT ?s WHERE { ?s <amt> ?v } ORDER BY DESC(?v) LIMIT 1 }
+        }
+    """).collect()]
+    assert got4 == ["c"]
+    # MINUS against a subquery-derived base stays hash-planned (the
+    # subquery projection is statically non-nullable)
+    got5 = sorted(r["x"] for r in sparql(tri, """
+        SELECT ?x WHERE {
+          { SELECT DISTINCT ?x WHERE { ?x <amt> ?v } }
+          MINUS { ?x <type> <U> }
+        }
+    """).collect())
+    assert got5 == ["a", "b"]
+    # nullable projections are rejected honestly
+    with pytest.raises(SparqlSyntaxError):
+        sparql(tri, """
+            SELECT ?x WHERE {
+              { SELECT ?x ?v WHERE {
+                  ?x <type> <T> OPTIONAL { ?x <amt> ?v } } }
+            }
+        """)
+
+
 def test_filter_inside_optional_and_union(spark):
     """VERDICT r4 next-step #4: group-scoped FILTERs. OPTIONAL{P
     FILTER e} is LeftJoin(A,P,e) — filter the optional solutions
