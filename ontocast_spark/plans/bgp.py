@@ -408,6 +408,130 @@ def _join_solutions(result: DataFrame, t: DataFrame, how: str = "inner"):
     )
 
 
+def _compat_join(
+    left: DataFrame,
+    right: DataFrame,
+    certain: list[str],
+    null_shared: list[str],
+    how: str,
+) -> DataFrame:
+    """SPARQL compatibility join when some shared variables may be
+    unbound (NULL): equi-conjuncts on the certainly-bound shared
+    variables, ``isNull | equal`` compatibility on the rest, and the
+    merged solution takes the bound side's value (coalesce). With at
+    least one equi-conjunct Catalyst still picks a hash join and the
+    compatibility terms ride as post-join predicates."""
+    shared = set(certain) | set(null_shared)
+    lhs, rhs = left.alias("_l"), right.alias("_r")
+    cond = F.lit(True)
+    for c in certain:
+        cond = cond & (F.col(f"_l.{c}") == F.col(f"_r.{c}"))
+    for c in null_shared:
+        lv, rv = F.col(f"_l.{c}"), F.col(f"_r.{c}")
+        cond = cond & (lv.isNull() | rv.isNull() | (lv == rv))
+    return lhs.join(rhs, cond, how).select(
+        *[
+            F.coalesce(F.col(f"_l.{c}"), F.col(f"_r.{c}")).alias(c)
+            if c in null_shared else F.col(f"_l.{c}").alias(c)
+            for c in left.columns
+        ],
+        *[F.col(f"_r.{c}").alias(c) for c in right.columns
+          if c not in shared],
+    )
+
+
+def sol_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_nullable=(),
+    right_nullable=(),
+    how: str = "inner",
+) -> DataFrame:
+    """Join two solution sets under SPARQL compatibility semantics
+    (spec §18.5 Join / LeftJoin) with statically-known per-side
+    possibly-unbound variables. Two solutions are compatible iff every
+    shared variable bound in both is equal; the merged solution takes
+    the bound side's value.
+
+    Scale: when no shared variable can be NULL this is a plain hash
+    equi-join (:func:`_join_solutions`). When some can, the certainly
+    -bound shared variables still anchor a hash join. Only when EVERY
+    shared variable is nullable does the join need a compatibility
+    scan — and then the all-bound bulk is split off to a plain hash
+    equi-join, leaving the nested-loop path to the NULL-carrying
+    remainder (mirroring :func:`bgp_minus`'s split-path plan)."""
+    ln = set(left_nullable) & set(left.columns)
+    rn = set(right_nullable) & set(right.columns)
+    shared = sorted(set(left.columns) & set(right.columns))
+    plain = [c for c in shared if not is_meta_col(c)]
+    null_shared = [c for c in plain if c in ln or c in rn]
+    if not null_shared:
+        return _join_solutions(left, right, how)
+    if any(is_meta_col(c) for c in shared):
+        raise ValueError(
+            "term-metadata columns cannot join across possibly-unbound "
+            "variables"
+        )
+    certain = [c for c in plain if c not in null_shared]
+    if certain:
+        return _compat_join(left, right, certain, null_shared, how)
+    lnull = [c for c in null_shared if c in ln]
+    rnull = [c for c in null_shared if c in rn]
+    if how == "left":
+        # a left split keeps every left row exactly once per match:
+        # the all-bound bulk rides a hash equi-join when the right
+        # side is statically bound; splitting the right would break
+        # unmatched-row detection, so a nullable right keeps the
+        # single compatibility join (statically rare: a nested body
+        # whose own solutions can be unbound)
+        if not rnull:
+            lb = left.filter(_all_bound(lnull))
+            lrest = left.filter(~_all_bound(lnull))
+            bound = lb.join(right, on=plain, how="left")
+            rest = _compat_join(lrest, right, [], null_shared, "left")
+            return bound.unionByName(rest)
+        return _compat_join(left, right, [], null_shared, "left")
+    # inner: partition both sides on all-bound so the dominant
+    # bound×bound quadrant is a plain hash equi-join
+    lb = left.filter(_all_bound(lnull)) if lnull else left
+    rb = right.filter(_all_bound(rnull)) if rnull else right
+    parts = [lb.join(rb, on=plain, how="inner")]
+    if rnull:
+        rrest = right.filter(~_all_bound(rnull))
+        parts.append(_compat_join(lb, rrest, [], null_shared, "inner"))
+    if lnull:
+        lrest = left.filter(~_all_bound(lnull))
+        parts.append(_compat_join(lrest, right, [], null_shared, "inner"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sol_union(sols: list[DataFrame]) -> DataFrame:
+    """Union solution sets by variable name: variables missing in one
+    branch become NULL (unbound) columns, per SPARQL's UNION
+    semantics; the result is deduplicated (set semantics, matching
+    :func:`bgp_union`)."""
+    if not sols:
+        raise ValueError("empty solution union")
+    all_vars = sorted({c for s in sols for c in s.columns})
+    aligned = [
+        s.select(
+            *[
+                (F.col(v) if v in s.columns
+                 else F.lit(None).cast("string")).alias(v)
+                for v in all_vars
+            ]
+        )
+        for s in sols
+    ]
+    out = aligned[0]
+    for s in aligned[1:]:
+        out = out.unionByName(s)
+    return out.dropDuplicates()
+
+
 def bgp_optional(
     result: DataFrame,
     triples: DataFrame,
@@ -452,20 +576,7 @@ def bgp_union(
         for cond in filts:
             s = s.filter(cond)
         sols.append(s)
-    all_vars = sorted({c for s in sols for c in s.columns})
-    aligned = [
-        s.select(
-            *[
-                (F.col(v) if v in s.columns else F.lit(None).cast("string")).alias(v)
-                for v in all_vars
-            ]
-        )
-        for s in sols
-    ]
-    out = aligned[0]
-    for s in aligned[1:]:
-        out = out.unionByName(s)
-    return out.dropDuplicates()
+    return sol_union(sols)
 
 
 def _all_bound(shared: list[str]):
@@ -506,6 +617,15 @@ def bgp_minus(
     minus = bgp_select(triples, patterns, distinct=True)
     for cond in filters or []:
         minus = minus.filter(cond)
+    return sol_minus(result, minus, left_nullable=left_nullable)
+
+
+def sol_minus(
+    result: DataFrame, minus: DataFrame, left_nullable: bool = True
+) -> DataFrame:
+    """:func:`bgp_minus` over a precompiled probe solution set (whose
+    solutions must be NULL-free — the compiler rejects nullable MINUS
+    bodies); same split-path hash ``left_anti`` plan."""
     shared = sorted(set(result.columns) & set(minus.columns))
     if not shared:
         return result
@@ -562,6 +682,19 @@ def bgp_exists(
     probe = bgp_select(triples, patterns, distinct=True)
     for cond in filters or []:
         probe = probe.filter(cond)
+    return sol_exists(result, probe, negate=negate,
+                      left_nullable=left_nullable)
+
+
+def sol_exists(
+    result: DataFrame,
+    probe: DataFrame,
+    negate: bool = False,
+    left_nullable: bool = True,
+) -> DataFrame:
+    """:func:`bgp_exists` over a precompiled probe solution set (whose
+    solutions must be NULL-free — the compiler rejects nullable EXISTS
+    bodies); same split-path hash ``left_semi``/``left_anti`` plan."""
     shared = sorted(set(result.columns) & set(probe.columns))
     how = "left_anti" if negate else "left_semi"
     if not shared:

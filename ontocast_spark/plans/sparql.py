@@ -105,6 +105,10 @@ from .bgp import (
     fn_is_literal,
     fn_lang,
     is_meta_col,
+    sol_exists,
+    sol_join,
+    sol_minus,
+    sol_union,
     p_alt,
     p_inv,
     p_iri,
@@ -188,19 +192,21 @@ def _unquote(s: str) -> str:
 
 @dataclass
 class _Group:
-    """One WHERE group: conjunctive triple patterns, OPTIONAL blocks,
-    FILTER expression ASTs, MINUS blocks, VALUES clauses, or a
-    top-level UNION of plain groups."""
+    """One group graph pattern, in the spec's in-order translation form
+    (§18.2.2.6): ``elements`` is the ordered list of
+    ``("bgp", patterns)`` (adjacent triples blocks merged),
+    ``("optional", _Group)``, ``("union", [element, ...])`` (arms are
+    ``("group", _Group)`` or ``("subselect", ParsedQuery)``),
+    ``("minus", _Group)``, ``("group", _Group)`` (a nested braced
+    group, joined), ``("subselect", ParsedQuery)``,
+    ``("values", (vars, rows))``, and ``("bind", (expr_ast, var))``.
+    ``filters`` are the group-level FILTER expression ASTs and
+    ``exists`` the ``(negate, _Group)`` FILTER [NOT] EXISTS blocks —
+    both scope to the whole group and apply after its elements."""
 
-    triples: list = field(default_factory=list)
-    optionals: list = field(default_factory=list)  # (patterns, filter_asts)
+    elements: list = field(default_factory=list)
     filters: list = field(default_factory=list)
-    union_groups: list = field(default_factory=list)  # (patterns, filter_asts)
-    minuses: list = field(default_factory=list)  # (patterns, filter_asts)
-    values: list = field(default_factory=list)  # (vars, rows) clauses
-    exists: list = field(default_factory=list)  # (negate, patterns, filter_asts)
-    subselects: list = field(default_factory=list)  # nested ParsedQuery
-    binds: list = field(default_factory=list)  # (expr_ast, var) clauses
+    exists: list = field(default_factory=list)  # (negate, _Group)
 
 
 @dataclass
@@ -438,30 +444,25 @@ class _Parser:
 
     # -- group graph pattern
     def _group(self) -> _Group:
+        """Fully recursive GroupGraphPattern: any element may be a
+        nested braced group, a UNION chain of groups/subqueries, an
+        OPTIONAL / MINUS body (itself a full group), a FILTER [NOT]
+        EXISTS block, VALUES, BIND, GRAPH, or a triples block —
+        collected in document order (the spec's translation is
+        order-sensitive across OPTIONAL/MINUS/BIND)."""
         self._expect_op("{")
         g = _Group()
-        # peek for `{ A } UNION { B } ...` — a group starting with `{`
-        # (but `{ SELECT` is a subquery, handled by the main loop)
-        if self._at_op("{") and not self._at_subselect():
-            groups = [self._filtered_group()]
-            while self._kw("UNION"):
-                groups.append(self._filtered_group())
-            g.union_groups = groups
-            while True:
-                if self._kw("FILTER"):
-                    g.filters.append(self._filter_expr())
-                elif self._kw("VALUES"):
-                    g.values.append(self._values_clause())
-                else:
-                    break
-            self._expect_op("}")
-            return g
         while not self._at_op("}"):
             if self._at_subselect():
-                g.subselects.append(self._subselect())
+                g.elements.append(
+                    self._maybe_union(("subselect", self._subselect()))
+                )
+            elif self._at_op("{"):
+                g.elements.append(
+                    self._maybe_union(("group", self._group()))
+                )
             elif self._kw("OPTIONAL"):
-                sub = self._filtered_group()
-                g.optionals.append(sub)
+                g.elements.append(("optional", self._group()))
             elif self._kw("FILTER"):
                 # FILTER [NOT] EXISTS { P } is a join-level construct,
                 # not an expression (also accepted in its parenthesized
@@ -474,11 +475,11 @@ class _Parser:
                 if self._kw("NOT"):
                     if not self._kw("EXISTS"):
                         raise SparqlSyntaxError("expected EXISTS after NOT")
-                    g.exists.append((True, *self._filtered_group()))
+                    g.exists.append((True, self._group()))
                     if wrapped:
                         self._expect_op(")")
                 elif self._kw("EXISTS"):
-                    g.exists.append((False, *self._filtered_group()))
+                    g.exists.append((False, self._group()))
                     if wrapped:
                         self._expect_op(")")
                 else:
@@ -487,11 +488,11 @@ class _Parser:
                     # parenthesized expression
                     g.filters.append(self._filter_expr())
             elif self._kw("GRAPH"):
-                g.triples.extend(self._graph_block())
+                self._append_bgp(g, self._graph_block())
             elif self._kw("MINUS"):
-                g.minuses.append(self._filtered_group())
+                g.elements.append(("minus", self._group()))
             elif self._kw("VALUES"):
-                g.values.append(self._values_clause())
+                g.elements.append(("values", self._values_clause()))
             elif self._kw("BIND"):
                 self._expect_op("(")
                 expr = self._expr_or()
@@ -501,11 +502,41 @@ class _Parser:
                 if v.kind != "VAR":
                     raise SparqlSyntaxError("BIND AS needs a ?var")
                 self._expect_op(")")
-                g.binds.append((expr, v.value[1:]))
+                g.elements.append(("bind", (expr, v.value[1:])))
             else:
-                self._triples_block(g.triples)
+                pats: list = []
+                self._triples_block(pats)
+                self._append_bgp(g, pats)
         self._expect_op("}")
         return g
+
+    def _maybe_union(self, first):
+        """After a braced group / subquery element, collect a ``UNION``
+        chain if one follows."""
+        t = self._peek()
+        if not (t is not None and t.kind == "KW"
+                and t.value.upper() == "UNION"):
+            return first
+        arms = [first]
+        while self._kw("UNION"):
+            if self._at_subselect():
+                arms.append(("subselect", self._subselect()))
+            elif self._at_op("{"):
+                arms.append(("group", self._group()))
+            else:
+                raise SparqlSyntaxError("UNION needs a braced group")
+        return ("union", arms)
+
+    @staticmethod
+    def _append_bgp(g: _Group, pats: list):
+        """Append triple patterns, merging into a directly preceding
+        triples block (adjacent blocks form one BGP; blocks separated
+        by another element stay separate — the spec's translation
+        joins them in order around the intervening operator)."""
+        if g.elements and g.elements[-1][0] == "bgp":
+            g.elements[-1][1].extend(pats)
+        else:
+            g.elements.append(("bgp", pats))
 
     def _values_term(self):
         t = self._peek()
@@ -576,54 +607,6 @@ class _Parser:
             self._triples_block(inner)
         self._expect_op("}")
         return [(s, p, o, gterm) for s, p, o in inner]
-
-    def _filtered_group(self):
-        """A braced group of triples plus group-scoped FILTERs (UNION
-        arms, OPTIONAL / MINUS / EXISTS bodies) -> ``(patterns,
-        filter_asts)``. The spec scopes these filters to the group:
-        for OPTIONAL this is LeftJoin(A, P, expr) — evaluated on the
-        optional solutions BEFORE the left join — and for MINUS/EXISTS
-        the probe group evaluates independently; both are exact when
-        the expression only uses the group's own variables (enforced
-        at compile time). Probe groups stay triple-pattern-only, so
-        their solutions are NULL-free and bgp_minus/bgp_exists keep
-        their hash equi-join plans."""
-        self._expect_op("{")
-        pats: list = []
-        filts: list = []
-        while not self._at_op("}"):
-            if self._kw("GRAPH"):
-                pats.extend(self._graph_block())
-                continue
-            if self._kw("FILTER"):
-                nxt = self._peek()
-                wrapped_exists = (
-                    self._at_op("(") and self._peek(1) is not None
-                    and self._peek(1).kind == "KW"
-                    and self._peek(1).value.upper() in ("EXISTS", "NOT")
-                )
-                bare_exists = (
-                    nxt is not None and nxt.kind == "KW"
-                    and nxt.value.upper() in ("EXISTS", "NOT")
-                )
-                if wrapped_exists or bare_exists:
-                    raise SparqlSyntaxError(
-                        "FILTER [NOT] EXISTS inside a nested group "
-                        "body is outside the supported subset"
-                    )
-                filts.append(self._filter_expr())
-                continue
-            if self._peek() is not None and self._peek().kind == "KW" and \
-                    self._peek().value.upper() in (
-                        "OPTIONAL", "UNION", "MINUS", "VALUES", "BIND"):
-                raise SparqlSyntaxError(
-                    "nested OPTIONAL/UNION/MINUS/VALUES/BIND inside a "
-                    "UNION arm or OPTIONAL/MINUS/EXISTS body is "
-                    "outside the supported subset"
-                )
-            self._triples_block(pats)
-        self._expect_op("}")
-        return pats, filts
 
     # -- FILTER expressions
     def _filter_expr(self):
@@ -1023,180 +1006,281 @@ def sparql(triples: DataFrame, text: str):
     if q.form == "insert_data":
         return bgp_insert_data(triples, q.insert_rows)
     if q.form == "delete":
-        if (q.where.filters or q.where.optionals or q.where.union_groups
-                or q.where.minuses or q.where.values or q.where.exists
-                or q.where.binds or q.where.subselects):
+        g = q.where
+        if g.filters or g.exists or any(tag != "bgp" for tag, _ in g.elements):
             raise SparqlSyntaxError(
                 "DELETE supports a plain triple-pattern WHERE"
             )
+        pats = [p for _, pl in g.elements for p in pl]
         # SPARQL forbids property paths in update templates; with no
         # explicit template the WHERE patterns ARE the template
-        _reject_paths(q.template or q.where.triples, "DELETE template")
-        if any(len(p) == 4 for p in q.where.triples):
+        _reject_paths(q.template or pats, "DELETE template")
+        if any(len(p) == 4 for p in pats):
             raise SparqlSyntaxError(
                 "GRAPH blocks in DELETE are outside the supported subset"
             )
-        return bgp_delete_where(triples, q.where.triples, delete=q.template)
+        return bgp_delete_where(triples, pats, delete=q.template)
 
     return _eval_query(triples, q)
 
 
-def _group_nullable(g: _Group) -> bool:
-    """Can this group's solutions carry NULL (unbound) variable
-    bindings? True downstream of OPTIONAL, UNION variable alignment,
-    VALUES UNDEF rows, BIND (an expression may evaluate to NULL), or a
-    nested subquery that can."""
-    return bool(
-        g.optionals or g.union_groups or g.binds
-        or any(any(v is None for row in rows for v in row)
-               for _, rows in g.values)
-        or any(_group_nullable(sq.where) for sq in g.subselects)
-    )
-
-
-def _eval_query(triples: DataFrame, q: ParsedQuery):
-    """Evaluate a parsed SELECT/ASK/CONSTRUCT query over the triple
-    table — the recursion target for ``{ SELECT ... }`` subqueries
-    (spec §12: a subquery evaluates independently and joins the
-    enclosing group on its projected variables)."""
-    g = q.where
-    needs_meta = any(_expr_uses_meta(f) for f in g.filters) or any(
-        _expr_uses_meta(e) for e, _ in g.binds
-    )
-    if needs_meta and "obj_is_literal" not in triples.columns:
-        raise SparqlSyntaxError(
-            "isIRI/isLiteral/lang/datatype need obj_is_literal/obj_lang/"
-            "obj_datatype columns on the triple table"
-        )
-    if needs_meta and g.union_groups:
-        raise SparqlSyntaxError(
-            "term-metadata builtins over a UNION are outside the "
-            "supported subset (bgp_union does not bind term metadata)"
-        )
-    # group-scoped filters (OPTIONAL / MINUS / EXISTS bodies, UNION
-    # arms): exact pre-join evaluation needs the expression confined to
-    # the group's own variables; meta builtins ride bgp_optional's
-    # bind_term_meta for OPTIONAL but are unavailable in the others
-    nested_groups = (
-        g.optionals + g.union_groups + g.minuses
-        + [(pats, filts) for _, pats, filts in g.exists]
-    )
-    for pats, filts in nested_groups:
-        gvars = _pattern_vars(pats)
-        for f in filts:
-            loose = _expr_vars(f) - gvars
-            if loose:
-                raise SparqlSyntaxError(
-                    "a FILTER inside a nested group body may only use "
-                    "that group's variables in this subset "
-                    f"(?{sorted(loose)[0]} is bound outside the group)"
+def _walk_groups(g: _Group):
+    """Yield this group and every group nested anywhere inside it
+    (OPTIONAL / MINUS bodies, UNION arms, nested braced groups, EXISTS
+    blocks, subquery WHERE groups)."""
+    yield g
+    for tag, payload in g.elements:
+        if tag in ("optional", "minus", "group"):
+            yield from _walk_groups(payload)
+        elif tag == "union":
+            for atag, arm in payload:
+                yield from _walk_groups(
+                    arm if atag == "group" else arm.where
                 )
-    if any(
-        _expr_uses_meta(f)
-        for _, filts in g.union_groups + g.minuses for f in filts
-    ) or any(
-        _expr_uses_meta(f) for _, _, filts in g.exists for f in filts
-    ):
-        raise SparqlSyntaxError(
-            "term-metadata builtins inside UNION arms or MINUS/EXISTS "
-            "bodies are outside the supported subset"
-        )
-    opt_needs_meta = needs_meta or any(
-        _expr_uses_meta(f) for _, filts in g.optionals for f in filts
-    )
-    if opt_needs_meta and "obj_is_literal" not in triples.columns:
-        raise SparqlSyntaxError(
-            "isIRI/isLiteral/lang/datatype need obj_is_literal/obj_lang/"
-            "obj_datatype columns on the triple table"
-        )
-    all_pats = list(g.triples) + [p for grp, _ in g.union_groups for p in grp] \
-        + [p for opt, _ in g.optionals for p in opt] \
-        + [p for m, _ in g.minuses for p in m] \
-        + [p for _, ex, _f in g.exists for p in ex]
-    if any(len(p) == 4 for p in all_pats) and "graph" not in triples.columns:
-        raise SparqlSyntaxError(
-            "GRAPH blocks need a 'graph' column on the triple table"
-        )
-    if g.optionals and not g.triples:
-        raise SparqlSyntaxError(
-            "OPTIONAL needs a basic-pattern base in this subset (a "
-            "VALUES-only group cannot anchor it)"
-        )
-    if g.union_groups:
-        sols = bgp_union(
-            triples,
-            [(pats, [_compile_expr(f) for f in filts])
-             for pats, filts in g.union_groups],
-        )
-    elif g.triples:
-        sols = bgp_select(
-            triples, g.triples,
-            distinct=q.form != "select" or q.distinct or bool(q.aggs),
-            bind_term_meta=needs_meta,
-        )
-        for opt, filts in g.optionals:
-            sols = bgp_optional(
-                sols, triples, opt,
-                bind_term_meta=needs_meta or any(
-                    _expr_uses_meta(f) for f in filts
-                ),
-                filters=[_compile_expr(f) for f in filts],
-            )
-    else:
-        sols = None  # subquery- or VALUES-anchored group
-    for sq in g.subselects:
-        if sq.form != "select":
-            raise SparqlSyntaxError("a subquery must be a SELECT")
-        if _group_nullable(sq.where):
+        elif tag == "subselect":
+            yield from _walk_groups(payload.where)
+    for _, body in g.exists:
+        yield from _walk_groups(body)
+
+
+def _group_bgp_patterns(g: _Group):
+    """The triple/quad patterns directly inside one group (not nested)."""
+    for tag, payload in g.elements:
+        if tag == "bgp":
+            yield from payload
+
+
+def _compile_union(triples: DataFrame, arms: list):
+    """UNION element: compile each arm independently and union the
+    solutions by variable name (set semantics, like the programmatic
+    :func:`bgp_union`). A variable absent from some arm is unbound
+    (NULL) in that arm's rows, so it joins the returned nullable set."""
+    compiled = []
+    for tag, payload in arms:
+        if tag == "group":
+            df, m = _compile_group(triples, payload)
+            if df is None:
+                raise SparqlSyntaxError("empty UNION arm")
+        else:  # subselect arm
+            df, m = _eval_select_sols(triples, payload)
+        if any(is_meta_col(c) for c in df.columns):
             raise SparqlSyntaxError(
-                "subqueries whose projected solutions can be unbound "
-                "(OPTIONAL/UNION/VALUES UNDEF/BIND inside) are outside "
+                "term-metadata builtins inside UNION arms are outside "
                 "the supported subset"
             )
-        # non-nullable projection -> the join is a plain hash equi-join
-        # on the shared variables (cartesian only when none are shared,
-        # per spec join semantics)
-        sub = _eval_query(triples, sq)
-        sols = sub if sols is None else _join_solutions(sols, sub)
-    if sols is None and not g.values:
-        raise SparqlSyntaxError("empty WHERE group")
-    for vars_, rows in g.values:
-        sols = bgp_values(sols, triples.sparkSession, vars_, rows)
-    # fixed clause order for this subset: BIND runs before MINUS/EXISTS
-    # so their patterns can correlate on BIND-introduced variables
-    # (EXISTS over a variable absent from the solutions would silently
-    # degrade to an uncorrelated all-or-nothing probe)
-    for expr, var in g.binds:
-        if var in sols.columns:
+        compiled.append((df, m))
+    all_vars = {c for df, _ in compiled for c in df.columns}
+    maybe: set = set()
+    for df, m in compiled:
+        maybe |= m
+        maybe |= all_vars - set(df.columns)
+    return sol_union([df for df, _ in compiled]), maybe
+
+
+def _nested_body(triples: DataFrame, g: _Group, what: str) -> DataFrame:
+    """Compile a MINUS / EXISTS body group. The probe solutions must be
+    statically NULL-free so the anti/semi join stays a plain hash
+    equi-join (:func:`sol_minus` / :func:`sol_exists` split-path
+    plans)."""
+    df, m = _compile_group(triples, g)
+    if df is None:
+        raise SparqlSyntaxError(f"empty {what} body")
+    if m:
+        raise SparqlSyntaxError(
+            f"{what} bodies whose solutions can be unbound (OPTIONAL, "
+            "UNION with uneven variables, VALUES UNDEF, or BIND "
+            "inside) are outside the supported subset"
+        )
+    if any(is_meta_col(c) for c in df.columns):
+        raise SparqlSyntaxError(
+            f"term-metadata builtins inside {what} bodies are outside "
+            "the supported subset"
+        )
+    return df
+
+
+def _compile_group(
+    triples: DataFrame,
+    g: _Group,
+    needs_meta: bool = False,
+    dedup: bool = True,
+):
+    """Compile a group graph pattern to ``(solutions, maybe_unbound)``
+    following the spec's in-order translation (SPARQL 1.1 §18.2.2.6):
+    elements join / left-join / anti-join left to right; group-level
+    FILTERs and FILTER [NOT] EXISTS apply to the whole group at the
+    end.
+
+    ``maybe_unbound`` is a statically-computed over-approximation of
+    the variables that can be NULL (unbound): introduced under
+    OPTIONAL, missing from a UNION arm, UNDEF in VALUES, or bound by
+    BIND (an expression may evaluate to NULL). The join planner uses
+    it to keep every join with a certainly-bound shared variable a
+    plain hash equi-join (:func:`ontocast_spark.plans.bgp.sol_join`
+    split-path)."""
+    meta_here = needs_meta or any(
+        _expr_uses_meta(f) for f in g.filters
+    ) or any(
+        _expr_uses_meta(payload[0])
+        for tag, payload in g.elements if tag == "bind"
+    )
+    if meta_here:
+        if "obj_is_literal" not in triples.columns:
             raise SparqlSyntaxError(
-                f"BIND target ?{var} is already bound"
+                "isIRI/isLiteral/lang/datatype need obj_is_literal/"
+                "obj_lang/obj_datatype columns on the triple table"
             )
-        sols = sols.withColumn(var, _compile_expr(expr))
-    # The left solution set can only carry NULL variable bindings
-    # downstream of OPTIONAL, UNION (variable alignment), VALUES UNDEF,
-    # or BIND (an expression may evaluate to NULL). Statically
-    # OPTIONAL-free/bind-free queries therefore compile MINUS/EXISTS to
-    # plain hash anti/semi equi-joins with no nested-loop branch.
-    left_nullable = _group_nullable(g)
-    for m, filts in g.minuses:
-        sols = bgp_minus(sols, triples, m, left_nullable=left_nullable,
-                         filters=[_compile_expr(f) for f in filts])
-    for negate, pats, filts in g.exists:
-        sols = bgp_exists(sols, triples, pats, negate=negate,
-                          left_nullable=left_nullable,
-                          filters=[_compile_expr(f) for f in filts])
+        if any(tag in ("union", "group", "subselect")
+               for tag, _ in g.elements):
+            raise SparqlSyntaxError(
+                "term-metadata builtins over a UNION or nested group "
+                "are outside the supported subset"
+            )
+    sols: DataFrame | None = None
+    maybe: set = set()
+
+    def merge(df: DataFrame, m: set, how: str = "inner"):
+        nonlocal sols, maybe
+        if sols is None:
+            if how != "inner":
+                raise SparqlSyntaxError(
+                    "OPTIONAL needs a base pattern in this subset"
+                )
+            sols, maybe = df, set(m)
+            return
+        lcols, rcols = set(sols.columns), set(df.columns)
+        sols = sol_join(sols, df, left_nullable=maybe, right_nullable=m,
+                        how=how)
+        if how == "left":
+            # left-join: left vars keep their status (a certain shared
+            # var keeps the left value); right-only vars become maybe
+            maybe = maybe | {c for c in rcols - lcols
+                             if not is_meta_col(c)}
+        else:
+            # inner join coalesces shared vars: a var stays maybe only
+            # if every side that carries it can leave it unbound
+            maybe = {
+                v for v in maybe | m
+                if (v not in rcols and v in maybe)
+                or (v not in lcols and v in m)
+                or (v in maybe and v in m)
+            }
+
+    for tag, payload in g.elements:
+        if tag == "bgp":
+            merge(
+                bgp_select(triples, payload, distinct=dedup,
+                           bind_term_meta=meta_here),
+                set(),
+            )
+        elif tag == "group":
+            df, m = _compile_group(triples, payload)
+            if df is not None:  # an empty nested {} is the join identity
+                merge(df, m)
+        elif tag == "subselect":
+            df, m = _eval_select_sols(triples, payload)
+            if m:
+                raise SparqlSyntaxError(
+                    "subqueries whose projected solutions can be "
+                    "unbound (OPTIONAL/UNION/VALUES UNDEF/BIND inside) "
+                    "are outside the supported subset"
+                )
+            merge(df, set())
+        elif tag == "union":
+            df, m = _compile_union(triples, payload)
+            merge(df, m)
+        elif tag == "optional":
+            body_meta = meta_here or any(
+                _expr_uses_meta(f) for f in payload.filters
+            )
+            df, m = _compile_group(triples, payload, needs_meta=body_meta)
+            if df is None:
+                raise SparqlSyntaxError("empty OPTIONAL body")
+            if sols is not None and not (
+                set(sols.columns) & set(df.columns)
+            ):
+                raise SparqlSyntaxError(
+                    "OPTIONAL group shares no variable with the base"
+                )
+            merge(df, m, how="left")
+        elif tag == "minus":
+            if sols is None:
+                raise SparqlSyntaxError("MINUS needs a base pattern")
+            df = _nested_body(triples, payload, "MINUS")
+            sols = sol_minus(
+                sols, df, left_nullable=bool(maybe & set(df.columns))
+            )
+        elif tag == "values":
+            vars_, rows = payload
+            sols = bgp_values(sols, triples.sparkSession, vars_, rows)
+            maybe |= {
+                v for i, v in enumerate(vars_)
+                if any(r[i] is None for r in rows)
+            }
+        elif tag == "bind":
+            expr, var = payload
+            if sols is None:
+                raise SparqlSyntaxError(
+                    "BIND needs prior bindings in this subset"
+                )
+            if var in sols.columns:
+                raise SparqlSyntaxError(
+                    f"BIND target ?{var} is already bound"
+                )
+            sols = sols.withColumn(var, _compile_expr(expr))
+            maybe.add(var)
+    for negate, body in g.exists:
+        if sols is None:
+            raise SparqlSyntaxError(
+                "FILTER EXISTS needs prior bindings in this subset"
+            )
+        df = _nested_body(triples, body, "EXISTS")
+        sols = sol_exists(
+            sols, df, negate=negate,
+            left_nullable=bool(maybe & set(df.columns)),
+        )
     for f in g.filters:
+        if sols is None:
+            raise SparqlSyntaxError("FILTER needs a group to filter")
+        loose = _expr_vars(f) - set(sols.columns)
+        if loose:
+            raise SparqlSyntaxError(
+                f"FILTER references ?{sorted(loose)[0]}, which is not "
+                "bound in its group (outer variables are outside the "
+                "supported subset)"
+            )
         sols = bgp_filter(sols, _compile_expr(f))
+    return sols, maybe
 
-    if q.form == "ask":
-        return not sols.limit(1).isEmpty()
 
+def _compile_where(triples: DataFrame, q: ParsedQuery):
+    """Compile a query's WHERE group with the front-end-level checks:
+    GRAPH patterns need a ``graph`` column (anywhere in the nesting),
+    and an empty WHERE is a syntax error. Plain SELECT keeps multiset
+    semantics (no dedup shuffle); DISTINCT / aggregate / ASK /
+    CONSTRUCT forms deduplicate at the BGP."""
+    for grp in _walk_groups(q.where):
+        if any(len(p) == 4 for p in _group_bgp_patterns(grp)) \
+                and "graph" not in triples.columns:
+            raise SparqlSyntaxError(
+                "GRAPH blocks need a 'graph' column on the triple table"
+            )
+    dedup = q.form != "select" or q.distinct or bool(q.aggs)
+    sols, maybe = _compile_group(triples, q.where, dedup=dedup)
+    if sols is None:
+        raise SparqlSyntaxError("empty WHERE group")
+    return sols, maybe
+
+
+def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
+    """Evaluate a SELECT query to ``(solutions, maybe_unbound)`` — the
+    recursion target for ``{ SELECT ... }`` subqueries (spec §12: a
+    subquery evaluates independently; only its projection is visible
+    outside)."""
+    if q.form != "select":
+        raise SparqlSyntaxError("a subquery must be a SELECT")
+    sols, maybe = _compile_where(triples, q)
     plain = [c for c in sols.columns if not is_meta_col(c)]
-    if q.form == "construct":
-        _reject_paths(q.template, "CONSTRUCT template")
-        return bgp_construct(sols.select(*plain).dropDuplicates(), q.template)
-
-    # SELECT
     order_cols = [F.col(v).asc() if a else F.col(v).desc()
                   for v, a in q.order_by] if q.order_by else []
     if q.aggs:
@@ -1208,6 +1292,12 @@ def _eval_query(triples: DataFrame, q: ParsedQuery):
                 )
         if order_cols:
             out = out.orderBy(*order_cols)
+        # COUNT never returns NULL; any other aggregate over a group
+        # whose inputs are all unbound does
+        maybe_out = {v for v in q.group_by if v in maybe} | {
+            alias for fn, var, alias in q.aggs
+            if fn != "count" and var in maybe
+        }
     else:
         vars_ = q.variables if q.variables is not None else plain
         for v, _ in q.order_by:
@@ -1228,6 +1318,23 @@ def _eval_query(triples: DataFrame, q: ParsedQuery):
             # (legal SPARQL: SELECT ?s ... ORDER BY ?o) resolves
             base = sols.orderBy(*order_cols) if order_cols else sols
             out = base.select(*vars_)
+        maybe_out = {v for v in vars_ if v in maybe}
     if q.limit is not None:
         out = out.limit(q.limit)
+    return out, maybe_out
+
+
+def _eval_query(triples: DataFrame, q: ParsedQuery):
+    """Evaluate a parsed SELECT/ASK/CONSTRUCT query over the triple
+    table."""
+    if q.form in ("ask", "construct"):
+        sols, _ = _compile_where(triples, q)
+        if q.form == "ask":
+            return not sols.limit(1).isEmpty()
+        plain = [c for c in sols.columns if not is_meta_col(c)]
+        _reject_paths(q.template, "CONSTRUCT template")
+        return bgp_construct(
+            sols.select(*plain).dropDuplicates(), q.template
+        )
+    out, _ = _eval_select_sols(triples, q)
     return out

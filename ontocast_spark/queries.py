@@ -1348,6 +1348,66 @@ GROUP BY c_custkey
 """
 
 
+def q_sparql_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-recursive SPARQL group nesting (round-5 ``_compile_group``
+    rewrite, spec §18.2.2.6 in-order translation): a UNION whose
+    second arm carries its own MINUS, left-joined to an OPTIONAL body
+    that itself holds a filter AND a second, nested OPTIONAL — the
+    shapes `_plain_group` used to reject. The nested filters scope to
+    their own group (LeftJoin(A, P, e): evaluated on the optional
+    solutions BEFORE the join, so a failing row keeps NULLs rather
+    than disappearing). All joins stay hash equi-joins: every merge
+    shares the certainly-bound ?c / ?n anchor (sol_join split-path)."""
+    from .plans.sparql import sparql as run_sparql
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    triples = (
+        customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("subj"),
+            F.lit("segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+        .union(customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")),
+            F.lit("nation"), F.col("c_nationkey").cast("string"),
+        ))
+        .union(nation.select(
+            F.col("n_nationkey").cast("string"),
+            F.lit("region"), F.col("n_regionkey").cast("string"),
+        ))
+    )
+    text = """
+    SELECT ?c ?n ?r WHERE {
+      { ?c <segment> "FURNITURE" }
+      UNION
+      { ?c <segment> "MACHINERY" MINUS { ?c <nation> "3" } }
+      OPTIONAL {
+        ?c <nation> ?n
+        FILTER(?n > 5)
+        OPTIONAL { ?n <region> ?r FILTER(?r != "2") }
+      }
+    }
+    """
+    return run_sparql(triples, text)
+
+
+ORACLE_SPARQL_NESTED = """
+WITH base AS (
+  SELECT c_custkey, c_nationkey FROM customer
+  WHERE c_mktsegment = 'FURNITURE'
+  UNION
+  SELECT c_custkey, c_nationkey FROM customer
+  WHERE c_mktsegment = 'MACHINERY' AND c_nationkey != 3
+)
+SELECT 'c' || c_custkey::VARCHAR AS c,
+       CASE WHEN c_nationkey > 5 THEN c_nationkey::VARCHAR END AS n,
+       CASE WHEN c_nationkey > 5 AND n_regionkey != 2
+            THEN n_regionkey::VARCHAR END AS r
+FROM base LEFT JOIN nation ON n_nationkey = c_nationkey
+"""
+
+
 def q_kg_class_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second oracled invariant projection of q_kg_pipeline (VERDICT r4
     next-step #5): the per-conversation predicate-class histogram of
@@ -3213,6 +3273,7 @@ QUERIES = {
     "q_sparql_optional_filter": q_sparql_optional_filter,
     "q_sparql_union_undef": q_sparql_union_undef,
     "q_sparql_subquery": q_sparql_subquery,
+    "q_sparql_nested": q_sparql_nested,
     "q_kg_class_histogram": q_kg_class_histogram,
     # -- (b) green in exactly one round (r4) — bank a second row ---------
     "q_split_leakage": q_split_leakage,
@@ -3261,10 +3322,10 @@ QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_pack_sequences": q_pack_sequences,
     "q_bgp_select": q_bgp_select,
-    "q_bgp_construct": q_bgp_construct,
     # ---- entries below are OUTSIDE the 50-entry external window --------
     # (>= 2 external green rows each; tests/test_oracle_parity.py keeps
     # checking every entry locally every run)
+    "q_bgp_construct": q_bgp_construct,  # r5: rotated out for q_sparql_nested
     "q_validate_predicates": q_validate_predicates,
     "q_json_props": q_json_props,
     "q_pivot_events": q_pivot_events,
@@ -3321,6 +3382,7 @@ ORACLES = {
     "q_sparql_optional_filter": ORACLE_SPARQL_OPTIONAL_FILTER,
     "q_sparql_union_undef": ORACLE_SPARQL_UNION_UNDEF,
     "q_sparql_subquery": ORACLE_SPARQL_SUBQUERY,
+    "q_sparql_nested": ORACLE_SPARQL_NESTED,
     "q_kg_class_histogram": ORACLE_KG_CLASS_HISTOGRAM,
     "q_validate_predicates": ORACLE_VALIDATE_PREDICATES,
     "q_token_stats": ORACLE_TOKEN_STATS,

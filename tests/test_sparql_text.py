@@ -392,9 +392,15 @@ def test_minus_and_values(spark):
         }
     """).collect()}
     assert got7 == {("a", "nickname"), ("b", "nickname"), ("c", "nickname")}
-    # a VALUES-only group cannot anchor OPTIONAL (subset guard)
-    with pytest.raises(SparqlSyntaxError):
-        sparql(tri, "SELECT * WHERE { VALUES ?x { <a> } OPTIONAL { ?x <knows> ?y } }")
+    # a VALUES-only group anchors OPTIONAL (in-subset since round 5):
+    # the inline table is the left side of the left join
+    got_vo = sorted(
+        (r["x"], r["y"]) for r in sparql(tri, """
+            SELECT * WHERE { VALUES ?x { <a> <zzz> }
+                             OPTIONAL { ?x <knows> ?y } }
+        """).collect()
+    )
+    assert got_vo == [("a", "b"), ("zzz", None)]
 
     # FILTER [NOT] EXISTS: semi/anti join on the shared vars, both the
     # bare and parenthesized forms
@@ -474,8 +480,8 @@ def test_parse_errors():
         parse_sparql("INSERT DATA { ?x <p> <o> }")  # non-ground insert
     # FILTER inside a UNION arm is in-subset since round 5
     parse_sparql("SELECT ?x WHERE { { ?x <p> ?o . FILTER(?x = 1) } UNION { ?x <q> ?o } }")
-    with pytest.raises(SparqlSyntaxError):  # nested MINUS stays out
-        parse_sparql("SELECT ?x WHERE { { ?x <p> ?o . MINUS { ?x <r> ?z } } UNION { ?x <q> ?o } }")
+    # nested MINUS inside a UNION arm is in-subset since round 5
+    parse_sparql("SELECT ?x WHERE { { ?x <p> ?o . MINUS { ?x <r> ?z } } UNION { ?x <q> ?o } }")
     with pytest.raises(SparqlSyntaxError):  # LIMIT must be an integer
         parse_sparql("SELECT ?x WHERE { ?x <p> ?o } LIMIT 3.5")
 
@@ -570,6 +576,43 @@ def test_minus_exists_nullable_split_path(spark):
         }
     """).collect()}
     assert got2 == {"c"}
+
+
+def test_nested_join_plan_shapes(spark):
+    """Scale guards for the round-5 ``sol_join`` split paths: a join
+    whose shared variables include one CERTAINLY-bound variable must
+    stay a hash join — the compat terms on the maybe-unbound shared
+    vars ride as post-join predicates, never a BroadcastNestedLoopJoin
+    over the whole solution set."""
+    tri = _triples(spark, [
+        ("a", "knows", "b"), ("b", "knows", "c"),
+        ("a", "nick", "ace"), ("a", "likes", "ace"), ("b", "likes", "z"),
+    ])
+    # shares x (certain) + n (OPTIONAL-maybe): equi anchor on x
+    q1 = """
+        SELECT ?x ?n WHERE {
+          ?x <knows> ?y OPTIONAL { ?x <nick> ?n }
+          { ?x <likes> ?n }
+        }
+    """
+    plan = _executed_plan(sparql(tri, q1))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # unbound ?n (b) is compatible with ?n=z and coalesces to it;
+    # bound ?n=ace (a) must agree with the likes row
+    got = sorted((r["x"], r["n"]) for r in sparql(tri, q1).collect())
+    assert got == [("a", "ace"), ("b", "z")]
+    # uneven UNION arms joined on a certain var keep the hash join too
+    q2 = """
+        SELECT ?x WHERE {
+          { ?x <knows> ?y } UNION { ?x <nick> ?n }
+          ?x <likes> ?v
+        }
+    """
+    plan2 = _executed_plan(sparql(tri, q2))
+    assert "BroadcastNestedLoopJoin" not in plan2, plan2
+    got2 = sorted(r["x"] for r in sparql(tri, q2).collect())
+    assert got2 == ["a", "a", "b"]
 
 
 def test_order_by_unprojected_var(spark):
@@ -704,11 +747,14 @@ def test_filter_inside_optional_and_union(spark):
               ?x <knows> ?y . OPTIONAL { ?x <age> ?n FILTER(?n > ?y) }
             }
         """)
-    # FILTER EXISTS stays rejected inside group bodies
-    with pytest.raises(SparqlSyntaxError):
-        sparql(tri, """
-            SELECT ?x WHERE {
-              ?x <knows> ?y .
-              OPTIONAL { ?x <age> ?n FILTER EXISTS { ?x <knows> ?z } }
-            }
-        """)
+    # FILTER EXISTS inside an OPTIONAL body (in-subset since round 5):
+    # scoped to the body, evaluated BEFORE the left join — d's age row
+    # fails EXISTS (d has no <knows> edge) but d never matched; b's
+    # body row survives EXISTS, a's too, c keeps its unmatched NULL
+    got4 = sorted((r["x"], r["n"]) for r in sparql(tri, """
+        SELECT ?x ?n WHERE {
+          ?x <knows> ?y .
+          OPTIONAL { ?x <age> ?n FILTER EXISTS { ?x <knows> ?z } }
+        }
+    """).collect())
+    assert got4 == [("a", "30"), ("b", "7"), ("c", None)]
