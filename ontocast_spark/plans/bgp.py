@@ -516,11 +516,18 @@ def sol_union(sols: list[DataFrame]) -> DataFrame:
     if not sols:
         raise ValueError("empty solution union")
     all_vars = sorted({c for s in sols for c in s.columns})
+    # NULL-fill a missing variable with the dtype it has in the first
+    # arm that binds it (a BIND/aggregate arm may make it numeric —
+    # casting to string would break unionByName)
+    dtypes = {}
+    for s in sols:
+        for v, t in s.dtypes:
+            dtypes.setdefault(v, t)
     aligned = [
         s.select(
             *[
                 (F.col(v) if v in s.columns
-                 else F.lit(None).cast("string")).alias(v)
+                 else F.lit(None).cast(dtypes[v])).alias(v)
                 for v in all_vars
             ]
         )

@@ -19,57 +19,55 @@ plus the aggregate/path forms the programmatic API already evaluates):
   ``a`` for ``rdf:type``; ``"literal"`` (``@lang`` / ``^^dt`` tags are
   accepted and matched on the lexical form), numbers.
 - ``SELECT [DISTINCT] ?v ... | * WHERE { ... } [GROUP BY ...]
-  [ORDER BY ...] [LIMIT n]``, with ``(AGG(?v) AS ?alias)`` projections
-  (COUNT / SUM / MIN / MAX / AVG / SAMPLE / GROUP_CONCAT, COUNT(*)).
+  [HAVING (expr)] [ORDER BY ...] [LIMIT n] [OFFSET n]``, with
+  ``(AGG(?v) AS ?alias)`` projections (COUNT / SUM / MIN / MAX / AVG /
+  SAMPLE / GROUP_CONCAT, COUNT(*)) and ``(expr AS ?alias)``
+  expression projections (non-aggregate queries); HAVING conditions
+  range over GROUP BY keys and aggregate aliases.
 - ``ASK { ... }``, ``CONSTRUCT { template } WHERE { ... }``,
   ``DESCRIBE <iri>``, ``DELETE WHERE { ... }``,
   ``DELETE { template } WHERE { ... }``, ``INSERT DATA { ... }``.
-- Group pattern: triple blocks with ``;`` / ``,`` continuations,
-  ``OPTIONAL { ... }`` and ``{ A } UNION { B }`` (both accept
-  group-scoped ``FILTER``s inside the braces — for OPTIONAL this is
-  the spec's LeftJoin(A, P, expr): filter-the-optional-solutions-
-  before-the-left-join, not filter-after-join), ``FILTER (expr)``;
-  property paths in the predicate slot (``^``, ``/``, ``|``, ``+``,
-  ``*``, ``?``, parens); ``GRAPH ?g|<iri> { ... }`` blocks when the
-  triple table carries a ``graph`` column (a shared ``?g`` joins the
-  block's patterns within one graph — the reference's ontology
-  discovery query shape, fuseki.py:212-218); ``MINUS { ... }``
-  (left-anti join on shared vars; removes nothing when none are
-  shared, per spec); ``FILTER [NOT] EXISTS { ... }`` (semi/anti join
-  on shared vars; an unshared probe evaluates once) — MINUS/EXISTS
-  bodies also accept group-scoped ``FILTER``s over their own
-  variables (the spec evaluates these groups independently, so the
-  filter applies to the probe solutions before the join); and
-  ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (...) ... }`` inline
-  data (broadcast-joined).
-- FILTER expressions: ``||  &&  !  = != < > <= >=``, ``STR``,
+- Group graph patterns are FULLY RECURSIVE (round 5): a group is an
+  ordered element list per the spec's in-order translation
+  (§18.2.2.6) — triple blocks with ``;`` / ``,`` continuations,
+  nested braced groups, ``OPTIONAL { ... }``, ``{A} UNION {B} ...``,
+  ``MINUS { ... }``, ``FILTER [NOT] EXISTS { ... }``,
+  ``VALUES`` (incl. ``UNDEF`` wildcard rows), ``BIND (expr AS ?v)``,
+  ``GRAPH ?g|<iri> { ... }`` (needs a ``graph`` column), subqueries —
+  each element may appear anywhere in the nesting (OPTIONAL inside
+  OPTIONAL, MINUS inside a UNION arm, FILTER EXISTS inside an
+  OPTIONAL body, ...). Group-level FILTERs scope to their own group:
+  ``OPTIONAL { P FILTER(e) }`` is the spec's LeftJoin(A, P, e) —
+  evaluated on the optional solutions BEFORE the left join.
+  Property paths ride the predicate slot (``^ / | + * ?``, parens).
+  The compiler statically tracks which variables may be unbound
+  (OPTIONAL-introduced, uneven UNION arms, VALUES UNDEF, BIND) and
+  anchors every solution join on the certainly-bound shared
+  variables, so joins stay hash equi-joins at any nesting depth
+  (:func:`ontocast_spark.plans.bgp.sol_join` split-path plans).
+- FILTER / BIND / projection expressions: ``||  &&  !``, comparisons
+  (``= != < > <= >=``), ``IN`` / ``NOT IN`` lists, arithmetic
+  (``+ - * /``, numeric coercion over lexical forms), ``STR``,
   ``STRSTARTS``, ``STRENDS``, ``CONTAINS``, ``REGEX``, ``BOUND``,
   ``isIRI``/``isURI``, ``isLiteral``, ``LANG``, ``DATATYPE``,
-  ``CONCAT``, ``STRLEN``, ``UCASE``, ``LCASE`` — each compiled to the
-  Catalyst builtins in plans/bgp.py (term-metadata builtins
-  auto-enable ``bind_term_meta`` when the triple table carries the
-  metadata columns); ``BIND (expr AS ?var)`` evaluates the same
-  expression grammar into a new column.
+  ``LANGMATCHES``, ``CONCAT``, ``STRLEN``, ``UCASE``, ``LCASE``,
+  ``COALESCE``, ``IF``, ``STRBEFORE``, ``STRAFTER``, ``SUBSTR``,
+  ``REPLACE``, ``ABS``, ``CEIL``, ``FLOOR``, ``ROUND`` — each
+  compiled to Catalyst builtins (term-metadata builtins auto-enable
+  ``bind_term_meta`` when the triple table carries the metadata
+  columns).
+- Subqueries: ``{ SELECT ... }`` anywhere a group element is legal
+  (incl. UNION arms) — evaluated independently, joined on the
+  projected variables (spec §12).
 
-- ``VALUES`` rows may use ``UNDEF`` (the spec wildcard: an unbound
-  slot, compatible with any solution value).
-
-- Subqueries: ``{ SELECT ... WHERE { ... } [GROUP BY/ORDER BY/LIMIT] }``
-  inside a WHERE group — evaluated independently, joined to the
-  enclosing group on the projected variables (spec §12). Supported
-  when the subquery's projected solutions cannot be unbound (no
-  OPTIONAL/UNION/UNDEF/BIND inside), which keeps the join a plain
-  hash equi-join.
-
-Out of scope (raise ``SparqlSyntaxError``): nested group graph
-patterns beyond OPTIONAL/UNION/GRAPH/MINUS/subqueries, SERVICE,
-OPTIONAL/UNION inside MINUS or EXISTS bodies, group-scoped FILTERs
-referencing variables bound outside the group, FILTER [NOT] EXISTS
-inside nested group bodies, subqueries with nullable projections or
-inside UNION/OPTIONAL/MINUS bodies, term-metadata builtins over a
-UNION or inside nested group bodies, property paths in
-CONSTRUCT/UPDATE templates or GRAPH blocks, REGEX flags outside
-Java's ``imsx``.
+Out of scope (raise ``SparqlSyntaxError``): SERVICE, MINUS/EXISTS
+bodies whose solutions can be unbound (OPTIONAL/uneven UNION/UNDEF/
+BIND inside the probe), subqueries with nullable projections,
+group-scoped FILTERs referencing variables bound outside the group,
+term-metadata builtins over UNION arms or MINUS/EXISTS bodies,
+property paths in CONSTRUCT/UPDATE templates or GRAPH blocks, REGEX/
+REPLACE flags outside Java's ``imsx``, bare aggregate calls in
+HAVING, mixing expression projections with aggregates.
 Comparison operators in FILTER must be whitespace-separated from
 their operands when ``<``/``>`` could otherwise read as an IRI
 bracket.
@@ -138,10 +136,13 @@ _TOKEN_RE = re.compile(
     | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_][A-Za-z0-9_\-.]*
                 |[A-Za-z_][A-Za-z0-9_\-]*:)
     | (?P<KW>[A-Za-z][A-Za-z0-9_]*)
-    | (?P<OP>\|\||&&|!=|<=|>=|\^\^|[{}().,;=<>!*+/|^])
+    | (?P<OP>\|\||&&|!=|<=|>=|\^\^|[{}().,;=<>!*+/|^-])
     """,
     re.X,
 )
+
+
+_AGG_FNS = {"count", "sum", "min", "max", "avg", "sample", "group_concat"}
 
 
 @dataclass
@@ -220,8 +221,11 @@ class ParsedQuery:
     insert_rows: list | None = None
     group_by: list[str] = field(default_factory=list)
     aggs: list = field(default_factory=list)  # (fn, var, alias)
+    exprs: list = field(default_factory=list)  # (expr_ast, alias)
+    havings: list = field(default_factory=list)  # expression ASTs
     order_by: list = field(default_factory=list)  # (var, ascending)
     limit: int | None = None
+    offset: int | None = None
 
 
 # --------------------------------------------------------------- parser
@@ -262,6 +266,15 @@ class _Parser:
     def _at_op(self, op: str, ahead: int = 0) -> bool:
         t = self._peek(ahead)
         return t is not None and t.kind == "OP" and t.value == op
+
+    def _as_alias(self, what: str) -> str:
+        """``AS ?alias`` tail of a parenthesized projection."""
+        if not self._kw("AS"):
+            raise SparqlSyntaxError(f"{what} needs AS ?alias")
+        alias_tok = self._next()
+        if alias_tok.kind != "VAR":
+            raise SparqlSyntaxError("AS needs a ?alias")
+        return alias_tok.value[1:]
 
     # -- prologue + terms
     def _prologue(self):
@@ -636,20 +649,51 @@ class _Parser:
         return self._expr_cmp()
 
     def _expr_cmp(self):
-        left = self._expr_primary()
+        left = self._expr_add()
         t = self._peek()
         if t is not None and t.kind == "OP" and t.value in (
             "=", "!=", "<", ">", "<=", ">="
         ):
             self.pos += 1
-            right = self._expr_primary()
+            right = self._expr_add()
             return ("cmp", t.value, left, right)
+        if t is not None and t.kind == "KW" \
+                and t.value.upper() in ("IN", "NOT"):
+            negate = t.value.upper() == "NOT"
+            self.pos += 1
+            if negate and not self._kw("IN"):
+                raise SparqlSyntaxError("expected IN after NOT")
+            self._expect_op("(")
+            items = []
+            if not self._at_op(")"):
+                items.append(self._expr_add())
+                while self._at_op(","):
+                    self.pos += 1
+                    items.append(self._expr_add())
+            self._expect_op(")")
+            return ("in", negate, left, items)
         return left
+
+    def _expr_add(self):
+        node = self._expr_mul()
+        while self._at_op("+") or self._at_op("-"):
+            op = self._next().value
+            node = ("arith", op, node, self._expr_mul())
+        return node
+
+    def _expr_mul(self):
+        node = self._expr_primary()
+        while self._at_op("*") or self._at_op("/"):
+            op = self._next().value
+            node = ("arith", op, node, self._expr_primary())
+        return node
 
     _FUNCS = {
         "STR", "STRSTARTS", "STRENDS", "CONTAINS", "REGEX", "BOUND",
         "ISIRI", "ISURI", "ISLITERAL", "LANG", "DATATYPE",
         "CONCAT", "STRLEN", "UCASE", "LCASE",
+        "COALESCE", "IF", "STRBEFORE", "STRAFTER", "SUBSTR", "REPLACE",
+        "ABS", "CEIL", "FLOOR", "ROUND", "LANGMATCHES",
     }
 
     def _expr_primary(self):
@@ -772,27 +816,35 @@ class _Parser:
                 variables.append(t.value[1:])
             elif t.kind == "OP" and t.value == "(":
                 self.pos += 1
-                fn_tok = self._next()
-                if fn_tok.kind != "KW":
-                    raise SparqlSyntaxError("expected an aggregate function")
-                fn = fn_tok.value.lower()
-                self._expect_op("(")
-                self._kw("DISTINCT")
-                if self._at_op("*"):
-                    self.pos += 1
-                    src = "*"
+                fn_tok = self._peek()
+                is_agg = (
+                    fn_tok is not None and fn_tok.kind == "KW"
+                    and fn_tok.value.lower() in _AGG_FNS
+                    and self._peek(1) is not None
+                    and self._peek(1).kind == "OP"
+                    and self._peek(1).value == "("
+                )
+                if is_agg:
+                    fn = self._next().value.lower()
+                    self._expect_op("(")
+                    self._kw("DISTINCT")
+                    if self._at_op("*"):
+                        self.pos += 1
+                        src = "*"
+                    else:
+                        v = self._next()
+                        if v.kind != "VAR":
+                            raise SparqlSyntaxError("aggregate needs a ?var")
+                        src = v.value[1:]
+                    self._expect_op(")")
+                    alias = self._as_alias("aggregate")
+                    q.aggs.append((fn, src, alias))
                 else:
-                    v = self._next()
-                    if v.kind != "VAR":
-                        raise SparqlSyntaxError("aggregate needs a ?var")
-                    src = v.value[1:]
-                self._expect_op(")")
-                if not self._kw("AS"):
-                    raise SparqlSyntaxError("aggregate needs AS ?alias")
-                alias_tok = self._next()
-                if alias_tok.kind != "VAR":
-                    raise SparqlSyntaxError("AS needs a ?alias")
-                q.aggs.append((fn, src, alias_tok.value[1:]))
+                    # (expr AS ?alias) projection
+                    expr = self._expr_or()
+                    alias = self._as_alias("expression projection")
+                    q.exprs.append((expr, alias))
+                    variables.append(alias)
                 self._expect_op(")")
             else:
                 break
@@ -830,6 +882,11 @@ class _Parser:
                         q.order_by.append((v.value[1:], asc))
                     else:
                         break
+            elif self._kw("HAVING"):
+                # subset: expressions over GROUP BY keys / aggregate
+                # aliases (the common idiom); bare aggregate calls in
+                # the condition are outside the subset
+                q.havings.append(self._filter_expr())
             elif self._kw("LIMIT"):
                 n = self._next()
                 if n.kind != "NUM" or not n.value.isdigit():
@@ -837,6 +894,13 @@ class _Parser:
                         "LIMIT needs a non-negative integer"
                     )
                 q.limit = int(n.value)
+            elif self._kw("OFFSET"):
+                n = self._next()
+                if n.kind != "NUM" or not n.value.isdigit():
+                    raise SparqlSyntaxError(
+                        "OFFSET needs a non-negative integer"
+                    )
+                q.offset = int(n.value)
             else:
                 return
 
@@ -908,19 +972,35 @@ def _compile_expr(ast):
         return F.lit(ast[1])
     if kind == "cmp":
         op, left, right = ast[1], ast[2], ast[3]
-        numeric = left[0] == "num" or right[0] == "num"
+        numeric = _is_numeric_node(left) or _is_numeric_node(right)
 
         def side(x):
             c = _compile_expr(x)
             # SPARQL numeric comparison over lexical forms: cast the
             # non-literal side so `?price > 100` compares numbers
-            return c.cast("double") if numeric and x[0] != "num" else c
+            return c.cast("double") if numeric \
+                and not _is_numeric_node(x) else c
 
         lc, rc = side(left), side(right)
         return {
             "=": lc == rc, "!=": lc != rc, "<": lc < rc,
             ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
         }[op]
+    if kind == "arith":
+        op, lc, rc = ast[1], _num(ast[2]), _num(ast[3])
+        return {
+            "+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc,
+        }[op]
+    if kind == "in":
+        negate, probe, items = ast[1], ast[2], ast[3]
+        pc = _compile_expr(probe)
+        c = None
+        for i in items:  # OR-equality chain keeps NULL/error semantics
+            e = pc == _compile_expr(i)
+            c = e if c is None else (c | e)
+        if c is None:
+            c = F.lit(False)  # `?x IN ()` is false, NOT IN () true
+        return ~c if negate else c
     if kind == "call":
         name, args = ast[1], ast[2]
         if name == "STR":
@@ -964,7 +1044,87 @@ def _compile_expr(ast):
             return F.upper(_compile_expr(args[0]))
         if name == "LCASE":
             return F.lower(_compile_expr(args[0]))
+        if name == "COALESCE":
+            return F.coalesce(*[_compile_expr(a) for a in args])
+        if name == "IF":
+            if len(args) != 3:
+                raise SparqlSyntaxError("IF needs (cond, then, else)")
+            return F.when(
+                _compile_expr(args[0]), _compile_expr(args[1])
+            ).otherwise(_compile_expr(args[2]))
+        if name in ("STRBEFORE", "STRAFTER"):
+            if len(args) != 2:
+                raise SparqlSyntaxError(f"{name} needs 2 arguments")
+            a, b = _compile_expr(args[0]), _compile_expr(args[1])
+            pos = F.instr(a, b)
+            if name == "STRBEFORE":
+                # no occurrence -> "" (spec); empty needle -> ""
+                hit = F.substring(a, F.lit(1), pos - F.lit(1))
+            else:
+                hit = F.substring(a, pos + F.length(b), F.length(a))
+            return F.when(pos > 0, hit).otherwise(F.lit(""))
+        if name == "SUBSTR":
+            if len(args) not in (2, 3):
+                raise SparqlSyntaxError("SUBSTR needs (str, start[, len])")
+            a = _compile_expr(args[0])
+            start = _compile_expr(args[1]).cast("int")
+            length = (_compile_expr(args[2]).cast("int")
+                      if len(args) == 3 else F.length(a))
+            return F.substring(a, start, length)  # both 1-based
+        if name == "REPLACE":
+            if len(args) not in (3, 4) or args[1][0] != "str" \
+                    or args[2][0] != "str":
+                raise SparqlSyntaxError(
+                    "REPLACE needs (str, literal pattern, literal "
+                    "replacement[, flags])"
+                )
+            pattern = args[1][1]
+            if len(args) == 4:
+                if args[3][0] != "str" or not set(args[3][1]) <= set("imsx"):
+                    raise SparqlSyntaxError(
+                        f"unsupported REPLACE flags {args[3]!r}"
+                    )
+                if args[3][1]:
+                    pattern = f"(?{args[3][1]}){pattern}"
+            return F.regexp_replace(
+                _compile_expr(args[0]), pattern, args[2][1]
+            )
+        if name in ("ABS", "CEIL", "FLOOR", "ROUND"):
+            c = _num(args[0])
+            return {
+                "ABS": F.abs(c), "CEIL": F.ceil(c).cast("double"),
+                "FLOOR": F.floor(c).cast("double"),
+                "ROUND": F.round(c, 0),
+            }[name]
+        if name == "LANGMATCHES":
+            if len(args) != 2 or args[1][0] != "str":
+                raise SparqlSyntaxError(
+                    "LANGMATCHES needs (lang expr, literal range)"
+                )
+            lang = _compile_expr(args[0])
+            rng = args[1][1]
+            if rng == "*":
+                return lang.isNotNull() & (lang != "")
+            low = F.lower(lang)
+            return (low == rng.lower()) | low.startswith(rng.lower() + "-")
     raise SparqlSyntaxError(f"cannot compile FILTER node {ast!r}")
+
+
+def _is_numeric_node(ast) -> bool:
+    """Does this expression node already evaluate to a number?"""
+    return isinstance(ast, tuple) and (
+        ast[0] in ("num", "arith")
+        or (ast[0] == "call"
+            and ast[1] in ("STRLEN", "ABS", "CEIL", "FLOOR", "ROUND"))
+    )
+
+
+def _num(ast):
+    """Compile an expression operand under numeric coercion: lexical
+    string terms cast to double (SPARQL numeric ops over typed
+    literals; our terms are lexical forms)."""
+    c = _compile_expr(ast)
+    return c if _is_numeric_node(ast) else c.cast("double")
 
 
 def _meta_arg_vars(ast, acc: set):
@@ -1266,7 +1426,12 @@ def _compile_where(triples: DataFrame, q: ParsedQuery):
                 "GRAPH blocks need a 'graph' column on the triple table"
             )
     dedup = q.form != "select" or q.distinct or bool(q.aggs)
-    sols, maybe = _compile_group(triples, q.where, dedup=dedup)
+    # term-metadata builtins in SELECT expressions need the metadata
+    # columns threaded through the WHERE compile
+    needs_meta = any(_expr_uses_meta(e) for e, _ in q.exprs)
+    sols, maybe = _compile_group(
+        triples, q.where, needs_meta=needs_meta, dedup=dedup
+    )
     if sols is None:
         raise SparqlSyntaxError("empty WHERE group")
     return sols, maybe
@@ -1279,12 +1444,40 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
     outside)."""
     if q.form != "select":
         raise SparqlSyntaxError("a subquery must be a SELECT")
+    if q.exprs and q.aggs:
+        raise SparqlSyntaxError(
+            "mixing (expr AS ?v) projections with aggregates is "
+            "outside the supported subset"
+        )
     sols, maybe = _compile_where(triples, q)
+    if q.exprs:
+        for expr, alias in q.exprs:
+            loose = _expr_vars(expr) - set(sols.columns)
+            if loose:
+                raise SparqlSyntaxError(
+                    f"SELECT expression references unbound "
+                    f"?{sorted(loose)[0]}"
+                )
+            if alias in sols.columns:
+                raise SparqlSyntaxError(
+                    f"projection alias ?{alias} is already bound"
+                )
+            sols = sols.withColumn(alias, _compile_expr(expr))
+            maybe = maybe | {alias}  # an expression may evaluate NULL
     plain = [c for c in sols.columns if not is_meta_col(c)]
     order_cols = [F.col(v).asc() if a else F.col(v).desc()
                   for v, a in q.order_by] if q.order_by else []
     if q.aggs:
         out = bgp_aggregate(sols.select(*plain), q.group_by, q.aggs)
+        for h in q.havings:
+            loose = _expr_vars(h) - set(out.columns)
+            if loose:
+                raise SparqlSyntaxError(
+                    f"HAVING references ?{sorted(loose)[0]}, which is "
+                    "not a GROUP BY key or aggregate alias (bare "
+                    "aggregate calls in HAVING are outside the subset)"
+                )
+            out = out.filter(_compile_expr(h))
         for v, _ in q.order_by:
             if v not in out.columns:
                 raise SparqlSyntaxError(
@@ -1299,6 +1492,8 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
             if fn != "count" and var in maybe
         }
     else:
+        if q.havings:
+            raise SparqlSyntaxError("HAVING needs aggregates")
         vars_ = q.variables if q.variables is not None else plain
         for v, _ in q.order_by:
             if v not in sols.columns:
@@ -1319,6 +1514,9 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
             base = sols.orderBy(*order_cols) if order_cols else sols
             out = base.select(*vars_)
         maybe_out = {v for v in vars_ if v in maybe}
+    if q.offset:
+        # OFFSET before LIMIT: the spec slices [offset, offset+limit)
+        out = out.offset(q.offset)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out, maybe_out

@@ -1408,6 +1408,43 @@ FROM base LEFT JOIN nation ON n_nationkey = c_nationkey
 """
 
 
+def q_sparql_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 SPARQL expression surface end-to-end: a subquery with
+    an aggregate + HAVING, an enclosing SELECT with ``(expr AS ?v)``
+    projections (arithmetic with numeric coercion, STRAFTER), and a
+    deterministic ORDER BY / OFFSET / LIMIT slice — the solution-
+    modifier grammar the reference delegates to Fuseki
+    (fuseki.py:188-270, SPARQL 1.1 §18.2.4-5). The subquery's
+    GROUP BY rides one hash aggregate; the slice is a global sort of
+    the already-aggregated (small) result, so no full-data sort."""
+    from .plans.sparql import sparql as run_sparql
+
+    orders = _t(spark, sf_dir, "orders")
+    triples = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("subj"),
+        F.lit("order").alias("pred"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("obj"),
+    )
+    text = """
+    SELECT ?c (STRAFTER(?c, "c") AS ?key) (?n * 10 + 1 AS ?score) WHERE {
+      { SELECT ?c (COUNT(?o) AS ?n) WHERE { ?c <order> ?o }
+        GROUP BY ?c HAVING (?n >= 10) }
+    }
+    ORDER BY ?c OFFSET 5 LIMIT 50
+    """
+    return run_sparql(triples, text)
+
+
+ORACLE_SPARQL_EXPRS = """
+WITH counts AS (
+  SELECT 'c' || o_custkey::VARCHAR AS c, count(*)::BIGINT AS n
+  FROM orders GROUP BY o_custkey HAVING count(*) >= 10
+)
+SELECT c, substr(c, 2) AS key, (n * 10 + 1)::DOUBLE AS score
+FROM counts ORDER BY c OFFSET 5 LIMIT 50
+"""
+
+
 def q_kg_class_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second oracled invariant projection of q_kg_pipeline (VERDICT r4
     next-step #5): the per-conversation predicate-class histogram of
@@ -3275,6 +3312,7 @@ QUERIES = {
     "q_sparql_subquery": q_sparql_subquery,
     "q_sparql_nested": q_sparql_nested,
     "q_kg_class_histogram": q_kg_class_histogram,
+    "q_sparql_exprs": q_sparql_exprs,
     # -- (b) green in exactly one round (r4) — bank a second row ---------
     "q_split_leakage": q_split_leakage,
     "q_session_window": q_session_window,
@@ -3384,6 +3422,7 @@ ORACLES = {
     "q_sparql_subquery": ORACLE_SPARQL_SUBQUERY,
     "q_sparql_nested": ORACLE_SPARQL_NESTED,
     "q_kg_class_histogram": ORACLE_KG_CLASS_HISTOGRAM,
+    "q_sparql_exprs": ORACLE_SPARQL_EXPRS,
     "q_validate_predicates": ORACLE_VALIDATE_PREDICATES,
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,

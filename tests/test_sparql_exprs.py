@@ -1,0 +1,238 @@
+"""Round-5 SPARQL expression surface (plans/sparql.py): ``(expr AS
+?v)`` projections, HAVING, OFFSET, IN / NOT IN, arithmetic with
+numeric coercion, and the extended builtin set (COALESCE / IF /
+STRBEFORE / STRAFTER / SUBSTR / REPLACE / ABS / CEIL / FLOOR / ROUND /
+LANGMATCHES).  Reference surface: the SPARQL 1.1 grammar the
+reference delegates to Fuseki (fuseki.py:188-270)."""
+
+import pytest
+
+from ontocast_spark.plans.sparql import SparqlSyntaxError, sparql
+
+
+def _triples(spark, rows, meta=False):
+    if meta:
+        return spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, obj_is_literal boolean, "
+            "obj_lang string, obj_datatype string",
+        )
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+# ------------------------------------------------- (expr AS ?v)
+
+
+def test_expression_projection_arith(spark):
+    tri = _triples(spark, [("a", "size", "3"), ("b", "size", "10")])
+    out = sparql(tri, """
+        SELECT ?x (?s * 2 + 1 AS ?odd) WHERE { ?x <size> ?s }
+    """)
+    assert set(out.columns) == {"x", "odd"}
+    got = {(r["x"], float(r["odd"])) for r in out.collect()}
+    assert got == {("a", 7.0), ("b", 21.0)}
+
+
+def test_expression_projection_string(spark):
+    tri = _triples(spark, [("a", "name", "Ada"), ("b", "name", "Bob")])
+    got = {
+        (r["x"], r["tag"], r["n"])
+        for r in sparql(tri, """
+            SELECT ?x (CONCAT(UCASE(?nm), "!") AS ?tag)
+                   (STRLEN(?nm) AS ?n)
+            WHERE { ?x <name> ?nm }
+        """).collect()
+    }
+    assert got == {("a", "ADA!", 3), ("b", "BOB!", 3)}
+
+
+def test_expression_projection_guards(spark):
+    tri = _triples(spark, [("a", "p", "1")])
+    with pytest.raises(SparqlSyntaxError, match="unbound"):
+        sparql(tri, "SELECT (STRLEN(?nope) AS ?n) WHERE { ?s <p> ?o }")
+    with pytest.raises(SparqlSyntaxError, match="already bound"):
+        sparql(tri, "SELECT (STR(?o) AS ?o) WHERE { ?s <p> ?o }")
+    with pytest.raises(SparqlSyntaxError, match="subset"):
+        sparql(tri, """
+            SELECT (COUNT(?s) AS ?n) (STRLEN(?o) AS ?m)
+            WHERE { ?s <p> ?o }
+        """)
+
+
+# ------------------------------------------------- HAVING / OFFSET
+
+
+def test_having_filters_groups(spark):
+    tri = _triples(spark, [
+        ("a", "score", "1"), ("a", "score", "2"),
+        ("b", "score", "5"), ("c", "score", "7"), ("c", "score", "9"),
+    ])
+    got = {
+        (r["x"], r["n"], float(r["total"]))
+        for r in sparql(tri, """
+            SELECT ?x (COUNT(?s) AS ?n) (SUM(?s) AS ?total)
+            WHERE { ?x <score> ?s } GROUP BY ?x
+            HAVING (?n >= 2) HAVING (?total > 3)
+        """).collect()
+    }
+    assert got == {("c", 2, 16.0)}
+
+
+def test_having_guards(spark):
+    tri = _triples(spark, [("a", "p", "1")])
+    with pytest.raises(SparqlSyntaxError, match="HAVING needs aggregates"):
+        sparql(tri, "SELECT ?s WHERE { ?s <p> ?o } HAVING (?o > 1)")
+    with pytest.raises(SparqlSyntaxError, match="GROUP BY key or aggregate"):
+        sparql(tri, """
+            SELECT (COUNT(?s) AS ?n) WHERE { ?s <p> ?o }
+            HAVING (?o > 1)
+        """)
+
+
+def test_offset_slices_after_order(spark):
+    tri = _triples(spark, [(f"e{i}", "v", str(i)) for i in range(6)])
+    text = "SELECT ?x WHERE { ?x <v> ?n } ORDER BY ?n OFFSET 2 LIMIT 3"
+    assert [r["x"] for r in sparql(tri, text).collect()] == \
+        ["e2", "e3", "e4"]
+    # OFFSET past the end is empty, OFFSET without LIMIT drops a prefix
+    assert sparql(
+        tri, "SELECT ?x WHERE { ?x <v> ?n } ORDER BY ?n OFFSET 10"
+    ).count() == 0
+    assert sparql(
+        tri, "SELECT ?x WHERE { ?x <v> ?n } OFFSET 4"
+    ).count() == 2
+
+
+# ------------------------------------------------- IN / arithmetic
+
+
+def test_in_and_not_in(spark):
+    tri = _triples(spark, [
+        ("a", "t", "x"), ("b", "t", "y"), ("c", "t", "z"),
+    ])
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <t> ?v . FILTER(?v IN ("x", "z")) }
+    """).collect()}
+    assert got == {"a", "c"}
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <t> ?v . FILTER(?v NOT IN ("x", "z")) }
+    """).collect()}
+    assert got == {"b"}
+
+
+def test_arithmetic_precedence_and_coercion(spark):
+    tri = _triples(spark, [("a", "p", "5"), ("b", "p", "2")])
+    # * binds tighter than +; lexical "5" coerces to a number
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <p> ?v . FILTER(?v + 2 * 3 = 11) }
+    """).collect()}
+    assert got == {"a"}
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <p> ?v . FILTER(?v / 2 > 2) }
+    """).collect()}
+    assert got == {"a"}
+
+
+# ------------------------------------------------- builtins
+
+
+def test_coalesce_with_optional(spark):
+    tri = _triples(spark, [
+        ("a", "name", "Ada"), ("a", "nick", "ada42"), ("b", "name", "Bob"),
+    ])
+    got = {(r["s"], r["label"]) for r in sparql(tri, """
+        SELECT ?s (COALESCE(?k, ?nm) AS ?label) WHERE {
+            ?s <name> ?nm OPTIONAL { ?s <nick> ?k }
+        }
+    """).collect()}
+    assert got == {("a", "ada42"), ("b", "Bob")}
+
+
+def test_if_builtin(spark):
+    tri = _triples(spark, [("a", "p", "150"), ("b", "p", "50")])
+    got = {(r["s"], r["bucket"]) for r in sparql(tri, """
+        SELECT ?s (IF(?v > 100, "high", "low") AS ?bucket)
+        WHERE { ?s <p> ?v }
+    """).collect()}
+    assert got == {("a", "high"), ("b", "low")}
+
+
+def test_strbefore_strafter(spark):
+    tri = _triples(spark, [("a", "p", "key=value")])
+    row = sparql(tri, """
+        SELECT (STRBEFORE(?v, "=") AS ?k) (STRAFTER(?v, "=") AS ?w)
+               (STRBEFORE(?v, "#") AS ?miss) (STRAFTER(?v, "") AS ?all)
+        WHERE { ?s <p> ?v }
+    """).collect()[0]
+    # no-occurrence -> "" and STRAFTER(x, "") -> x, per spec
+    assert (row["k"], row["w"], row["miss"], row["all"]) == \
+        ("key", "value", "", "key=value")
+
+
+def test_substr_replace(spark):
+    tri = _triples(spark, [("a", "p", "Hello World")])
+    row = sparql(tri, """
+        SELECT (SUBSTR(?v, 7) AS ?tail) (SUBSTR(?v, 1, 5) AS ?head)
+               (REPLACE(?v, "world", "there", "i") AS ?r)
+        WHERE { ?s <p> ?v }
+    """).collect()[0]
+    assert (row["tail"], row["head"], row["r"]) == \
+        ("World", "Hello", "Hello there")
+    with pytest.raises(SparqlSyntaxError, match="flags"):
+        sparql(tri, """
+            SELECT ?s WHERE {
+                ?s <p> ?v . FILTER(REPLACE(?v, "a", "b", "g") = "x")
+            }
+        """)
+
+
+def test_numeric_builtins(spark):
+    tri = _triples(spark, [("a", "p", "-2.5")])
+    row = sparql(tri, """
+        SELECT (ABS(?v) AS ?a) (CEIL(?v) AS ?c) (FLOOR(?v) AS ?f)
+               (ROUND(?v) AS ?r)
+        WHERE { ?s <p> ?v }
+    """).collect()[0]
+    assert (float(row["a"]), float(row["c"]), float(row["f"])) == \
+        (2.5, -2.0, -3.0)
+    assert float(row["r"]) in (-2.0, -3.0)  # half-rounding mode latitude
+
+
+def test_langmatches(spark):
+    tri = _triples(spark, [
+        ("a", "label", "colour", True, "en-GB", None),
+        ("b", "label", "color", True, "en", None),
+        ("c", "label", "couleur", True, "fr", None),
+        ("d", "label", "plain", True, "", None),
+    ], meta=True)
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE {
+            ?s <label> ?v . FILTER(LANGMATCHES(LANG(?v), "en"))
+        }
+    """).collect()}
+    assert got == {"a", "b"}
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE {
+            ?s <label> ?v . FILTER(LANGMATCHES(LANG(?v), "*"))
+        }
+    """).collect()}
+    assert got == {"a", "b", "c"}
+
+
+# ------------------------------------------------- union dtype fix
+
+
+def test_union_bind_numeric_var_keeps_dtype(spark):
+    """sol_union NULL-fills a variable missing from an arm with the
+    dtype the binding arm gives it — a BIND-computed numeric column
+    must not be silently cast to string."""
+    tri = _triples(spark, [("a", "name", "Ada"), ("b", "alias", "B")])
+    out = sparql(tri, """
+        SELECT ?s ?n WHERE {
+            { ?s <name> ?v BIND(STRLEN(?v) AS ?n) }
+            UNION { ?s <alias> ?w }
+        }
+    """)
+    assert dict(out.dtypes)["n"] == "int"
+    got = {(r["s"], r["n"]) for r in out.collect()}
+    assert got == {("a", 3), ("b", None)}
