@@ -855,35 +855,55 @@ def bgp_aggregate(
     concat_sep: str = " ",
 ) -> DataFrame:
     """SPARQL 1.1 aggregates over a solution set: ``GROUP BY
-    group_vars`` with ``aggs = [(fn, var, alias)]``, fn one of
+    group_vars`` with ``aggs = [(fn, var, alias)]`` (or
+    ``(fn, var, alias, distinct)`` — a 4th element applies the
+    SPARQL ``DISTINCT`` set-modifier inside the aggregate), fn one of
     count / sum / min / max / avg / sample / group_concat, and
     ``("count", "*", alias)`` for ``COUNT(*)``. Maps 1:1 onto a
     DataFrame groupBy — partial (map-side) aggregation and AQE come
-    free. SPARQL semantics preserved: aggregates skip unbound (NULL)
-    bindings, exactly like Spark's; GROUP_CONCAT sorts its members
-    (the spec leaves order undefined — sorting makes the output
-    deterministic at any parallelism); sum/avg cast through double
-    (SPARQL numeric promotion over our string-typed terms)."""
+    free; DISTINCT variants stay single-aggregation (Spark's
+    distinct-aggregate rewrite — count_distinct / sum_distinct /
+    collect_set). SPARQL semantics preserved: aggregates skip unbound
+    (NULL) bindings, exactly like Spark's; GROUP_CONCAT sorts its
+    members (the spec leaves order undefined — sorting makes the
+    output deterministic at any parallelism); sum/avg cast through
+    double (SPARQL numeric promotion over our string-typed terms);
+    DISTINCT is a semantic no-op for min/max/sample, and
+    ``AVG(DISTINCT)`` divides the distinct sum by the distinct count
+    (NULL on empty groups, like plain AVG)."""
     if not aggs:
         raise ValueError("empty aggregate list")
     exprs = []
-    for fn, var, alias in aggs:
+    for fn, var, alias, *rest in aggs:
+        distinct = bool(rest and rest[0])
         if fn == "count" and var == "*":
+            if distinct:
+                raise ValueError("COUNT(DISTINCT *) is not supported")
             exprs.append(F.count(F.lit(1)).alias(alias))
             continue
         col = F.col(var)
         if fn in ("sum", "avg"):
             col = col.cast("double")
         if fn == "group_concat":
+            members = (F.collect_set(col) if distinct
+                       else F.collect_list(col))
             exprs.append(
-                F.array_join(
-                    F.array_sort(F.collect_list(col)), concat_sep
-                ).alias(alias)
+                F.array_join(F.array_sort(members), concat_sep)
+                .alias(alias)
             )
             continue
         if fn not in _AGG_FNS:
             raise ValueError(f"unsupported aggregate {fn!r}")
-        exprs.append(_AGG_FNS[fn](col).alias(alias))
+        if distinct and fn == "count":
+            exprs.append(F.count_distinct(col).alias(alias))
+        elif distinct and fn == "sum":
+            exprs.append(F.sum_distinct(col).alias(alias))
+        elif distinct and fn == "avg":
+            exprs.append(
+                (F.sum_distinct(col) / F.count_distinct(col)).alias(alias)
+            )
+        else:
+            exprs.append(_AGG_FNS[fn](col).alias(alias))
     grouped = (
         solutions.groupBy(*group_vars) if group_vars else solutions.groupBy()
     )

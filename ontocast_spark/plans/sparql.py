@@ -20,10 +20,12 @@ plus the aggregate/path forms the programmatic API already evaluates):
   accepted and matched on the lexical form), numbers.
 - ``SELECT [DISTINCT] ?v ... | * WHERE { ... } [GROUP BY ...]
   [HAVING (expr)] [ORDER BY ...] [LIMIT n] [OFFSET n]``, with
-  ``(AGG(?v) AS ?alias)`` projections (COUNT / SUM / MIN / MAX / AVG /
-  SAMPLE / GROUP_CONCAT, COUNT(*)) and ``(expr AS ?alias)``
-  expression projections (non-aggregate queries); HAVING conditions
-  range over GROUP BY keys and aggregate aliases.
+  ``(AGG([DISTINCT] ?v) AS ?alias)`` projections (COUNT / SUM / MIN /
+  MAX / AVG / SAMPLE / GROUP_CONCAT, COUNT(*); DISTINCT applies the
+  in-aggregate set modifier) and ``(expr AS ?alias)`` expression
+  projections (in aggregate queries these are the spec's
+  post-aggregation Extend — they range over GROUP BY keys and
+  aggregate aliases, like HAVING conditions).
 - ``ASK { ... }``, ``CONSTRUCT { template } WHERE { ... }``,
   ``DESCRIBE <iri>``, ``DELETE WHERE { ... }``,
   ``DELETE { template } WHERE { ... }``, ``INSERT DATA { ... }``.
@@ -67,7 +69,7 @@ group-scoped FILTERs referencing variables bound outside the group,
 term-metadata builtins over UNION arms or MINUS/EXISTS bodies,
 property paths in CONSTRUCT/UPDATE templates or GRAPH blocks, REGEX/
 REPLACE flags outside Java's ``imsx``, bare aggregate calls in
-HAVING, mixing expression projections with aggregates.
+HAVING, ``COUNT(DISTINCT *)``.
 Comparison operators in FILTER must be whitespace-separated from
 their operands when ``<``/``>`` could otherwise read as an IRI
 bracket.
@@ -220,7 +222,7 @@ class ParsedQuery:
     describe_iri: str | None = None
     insert_rows: list | None = None
     group_by: list[str] = field(default_factory=list)
-    aggs: list = field(default_factory=list)  # (fn, var, alias)
+    aggs: list = field(default_factory=list)  # (fn, var, alias, distinct)
     exprs: list = field(default_factory=list)  # (expr_ast, alias)
     havings: list = field(default_factory=list)  # expression ASTs
     order_by: list = field(default_factory=list)  # (var, ascending)
@@ -827,10 +829,15 @@ class _Parser:
                 if is_agg:
                     fn = self._next().value.lower()
                     self._expect_op("(")
-                    self._kw("DISTINCT")
+                    distinct = self._kw("DISTINCT")
                     if self._at_op("*"):
                         self.pos += 1
                         src = "*"
+                        if distinct:
+                            raise SparqlSyntaxError(
+                                "COUNT(DISTINCT *) is outside the "
+                                "supported subset"
+                            )
                     else:
                         v = self._next()
                         if v.kind != "VAR":
@@ -838,7 +845,7 @@ class _Parser:
                         src = v.value[1:]
                     self._expect_op(")")
                     alias = self._as_alias("aggregate")
-                    q.aggs.append((fn, src, alias))
+                    q.aggs.append((fn, src, alias, distinct))
                 else:
                     # (expr AS ?alias) projection
                     expr = self._expr_or()
@@ -1444,13 +1451,8 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
     outside)."""
     if q.form != "select":
         raise SparqlSyntaxError("a subquery must be a SELECT")
-    if q.exprs and q.aggs:
-        raise SparqlSyntaxError(
-            "mixing (expr AS ?v) projections with aggregates is "
-            "outside the supported subset"
-        )
     sols, maybe = _compile_where(triples, q)
-    if q.exprs:
+    if q.exprs and not q.aggs:
         for expr, alias in q.exprs:
             loose = _expr_vars(expr) - set(sols.columns)
             if loose:
@@ -1478,6 +1480,32 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
                     "aggregate calls in HAVING are outside the subset)"
                 )
             out = out.filter(_compile_expr(h))
+        # COUNT never returns NULL; any other aggregate over a group
+        # whose inputs are all unbound does
+        maybe_out = {v for v in q.group_by if v in maybe} | {
+            alias for fn, var, alias, *_ in q.aggs
+            if fn != "count" and var in maybe
+        }
+        # spec §18.2.4: Extend (SELECT expressions) AFTER Group /
+        # Aggregation / HAVING — expressions range over GROUP BY keys
+        # and aggregate aliases
+        for expr, alias in q.exprs:
+            if _expr_uses_meta(expr):
+                raise SparqlSyntaxError(
+                    "term-metadata builtins cannot follow aggregation"
+                )
+            loose = _expr_vars(expr) - set(out.columns)
+            if loose:
+                raise SparqlSyntaxError(
+                    f"SELECT expression references ?{sorted(loose)[0]}, "
+                    "which is not a GROUP BY key or aggregate alias"
+                )
+            if alias in out.columns:
+                raise SparqlSyntaxError(
+                    f"projection alias ?{alias} is already bound"
+                )
+            out = out.withColumn(alias, _compile_expr(expr))
+            maybe_out = maybe_out | {alias}
         for v, _ in q.order_by:
             if v not in out.columns:
                 raise SparqlSyntaxError(
@@ -1485,12 +1513,6 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
                 )
         if order_cols:
             out = out.orderBy(*order_cols)
-        # COUNT never returns NULL; any other aggregate over a group
-        # whose inputs are all unbound does
-        maybe_out = {v for v in q.group_by if v in maybe} | {
-            alias for fn, var, alias in q.aggs
-            if fn != "count" and var in maybe
-        }
     else:
         if q.havings:
             raise SparqlSyntaxError("HAVING needs aggregates")

@@ -52,11 +52,6 @@ def test_expression_projection_guards(spark):
         sparql(tri, "SELECT (STRLEN(?nope) AS ?n) WHERE { ?s <p> ?o }")
     with pytest.raises(SparqlSyntaxError, match="already bound"):
         sparql(tri, "SELECT (STR(?o) AS ?o) WHERE { ?s <p> ?o }")
-    with pytest.raises(SparqlSyntaxError, match="subset"):
-        sparql(tri, """
-            SELECT (COUNT(?s) AS ?n) (STRLEN(?o) AS ?m)
-            WHERE { ?s <p> ?o }
-        """)
 
 
 # ------------------------------------------------- HAVING / OFFSET
@@ -217,6 +212,63 @@ def test_langmatches(spark):
         }
     """).collect()}
     assert got == {"a", "b", "c"}
+
+
+# ------------------------------------------------- DISTINCT aggregates
+
+
+def test_distinct_aggregates(spark):
+    tri = _triples(spark, [
+        ("a", "score", "2"), ("a", "score", "2"), ("a", "score", "4"),
+        ("b", "score", "3"), ("b", "score", "3"),
+    ])
+    got = {
+        (r["x"], r["n"], float(r["total"]), float(r["mean"]), r["all"])
+        for r in sparql(tri, """
+            SELECT ?x (COUNT(DISTINCT ?s) AS ?n)
+                   (SUM(DISTINCT ?s) AS ?total)
+                   (AVG(DISTINCT ?s) AS ?mean)
+                   (GROUP_CONCAT(DISTINCT ?s) AS ?all)
+            WHERE { ?x <score> ?s } GROUP BY ?x
+        """).collect()
+    }
+    assert got == {
+        ("a", 2, 6.0, 3.0, "2 4"),
+        ("b", 1, 3.0, 3.0, "3"),
+    }
+
+
+def test_count_distinct_star_rejected(spark):
+    tri = _triples(spark, [("a", "p", "1")])
+    with pytest.raises(SparqlSyntaxError, match="DISTINCT"):
+        sparql(tri, "SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s <p> ?o }")
+
+
+# ------------------------------------------------- post-agg Extend
+
+
+def test_expression_over_aggregate_alias(spark):
+    tri = _triples(spark, [
+        ("a", "score", "1"), ("a", "score", "2"), ("b", "score", "5"),
+    ])
+    got = {
+        (r["x"], r["n"], float(r["per"]))
+        for r in sparql(tri, """
+            SELECT ?x (COUNT(?s) AS ?n) (?n * 10 AS ?per)
+            WHERE { ?x <score> ?s } GROUP BY ?x
+            ORDER BY DESC(?per)
+        """).collect()
+    }
+    assert got == {("a", 2, 20.0), ("b", 1, 10.0)}
+
+
+def test_post_agg_expression_guards(spark):
+    tri = _triples(spark, [("a", "p", "1")])
+    with pytest.raises(SparqlSyntaxError, match="GROUP BY key or aggregate"):
+        sparql(tri, """
+            SELECT (COUNT(?s) AS ?n) (STRLEN(?o) AS ?m)
+            WHERE { ?s <p> ?o }
+        """)
 
 
 # ------------------------------------------------- union dtype fix
