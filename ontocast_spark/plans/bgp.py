@@ -801,6 +801,50 @@ def bgp_delete_where(
     return triples.join(doomed, ["subj", "pred", "obj"], "left_anti")
 
 
+def bgp_modify(
+    triples: DataFrame,
+    solutions: DataFrame,
+    delete: list[tuple[str, str, str]] | None = None,
+    insert: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """SPARQL 1.1 Update Modify (``DELETE { } INSERT { } WHERE { }``,
+    either template optional — SPARQL 1.1 Update §3.1.3): both
+    templates instantiate over the SAME ``solutions`` set, which the
+    caller evaluated against the PRE-update graph; deletes apply
+    before inserts, so a triple both deleted and re-inserted survives.
+    The reference mutates graphs with per-statement rdflib/Fuseki
+    updates; this is the set-oriented form — doomed triples leave via
+    ONE (subj, pred, obj) anti-join, inserted triples enter via one
+    anti-join (set semantics: rows already present keep their term
+    metadata, mirroring :func:`bgp_insert_data`) plus a union. Both
+    joins are hash equi-joins; template instantiation is a single
+    explode with no shuffle beyond the template dedup."""
+    if not delete and not insert:
+        raise ValueError("modify needs a DELETE or INSERT template")
+    out = triples
+    if delete:
+        doomed = bgp_construct(solutions, delete)
+        out = out.join(doomed, ["subj", "pred", "obj"], "left_anti")
+    if insert:
+        new = bgp_construct(solutions, insert)
+        extra = [
+            c for c in triples.columns if c not in ("subj", "pred", "obj")
+        ]
+        if extra:
+            new = new.select(
+                "subj", "pred", "obj",
+                *[F.lit(None).cast(triples.schema[c].dataType).alias(c)
+                  for c in extra],
+            )
+        fresh = new.join(
+            out.select("subj", "pred", "obj"),
+            ["subj", "pred", "obj"],
+            "left_anti",
+        )
+        out = out.unionByName(fresh)
+    return out
+
+
 def bgp_insert_data(
     triples: DataFrame, rows: list[tuple[str, str, str]]
 ) -> DataFrame:

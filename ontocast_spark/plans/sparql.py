@@ -28,7 +28,12 @@ plus the aggregate/path forms the programmatic API already evaluates):
   aggregate aliases, like HAVING conditions).
 - ``ASK { ... }``, ``CONSTRUCT { template } WHERE { ... }``,
   ``DESCRIBE <iri>``, ``DELETE WHERE { ... }``,
-  ``DELETE { template } WHERE { ... }``, ``INSERT DATA { ... }``.
+  ``DELETE { template } WHERE { ... }``, ``INSERT DATA { ... }``,
+  ``INSERT { template } WHERE { ... }`` and the combined
+  ``DELETE { t } INSERT { t } WHERE { ... }`` modify form (both
+  templates instantiate over the same pre-update solutions; deletes
+  apply before inserts; the WHERE takes the full recursive group
+  grammar).
 - Group graph patterns are FULLY RECURSIVE (round 5): a group is an
   ordered element list per the spec's in-order translation
   (§18.2.2.6) — triple blocks with ``;`` / ``,`` continuations,
@@ -94,6 +99,7 @@ from .bgp import (
     bgp_exists,
     bgp_filter,
     bgp_insert_data,
+    bgp_modify,
     bgp_minus,
     bgp_optional,
     bgp_select,
@@ -221,6 +227,7 @@ class ParsedQuery:
     template: list | None = None  # CONSTRUCT / DELETE template
     describe_iri: str | None = None
     insert_rows: list | None = None
+    insert_template: list | None = None
     group_by: list[str] = field(default_factory=list)
     aggs: list = field(default_factory=list)  # (fn, var, alias, distinct)
     exprs: list = field(default_factory=list)  # (expr_ast, alias)
@@ -268,6 +275,15 @@ class _Parser:
     def _at_op(self, op: str, ahead: int = 0) -> bool:
         t = self._peek(ahead)
         return t is not None and t.kind == "OP" and t.value == op
+
+    def _template(self, what: str) -> list:
+        """A braced update/construct triple template."""
+        tmpl: list = []
+        self._expect_op("{")
+        while not self._at_op("}"):
+            self._triples_block(tmpl)
+        self._expect_op("}")
+        return tmpl
 
     def _as_alias(self, what: str) -> str:
         """``AS ?alias`` tail of a parenthesized projection."""
@@ -763,31 +779,51 @@ class _Parser:
             q = ParsedQuery(form="describe", describe_iri=iri)
         elif self._kw("DELETE"):
             tmpl = None
+            ins = None
             if self._at_op("{"):
                 tmpl = []
                 self._expect_op("{")
                 while not self._at_op("}"):
                     self._triples_block(tmpl)
                 self._expect_op("}")
+                if self._kw("INSERT"):
+                    ins = self._template("INSERT")
                 if not self._kw("WHERE"):
                     raise SparqlSyntaxError("DELETE {} needs WHERE {}")
             elif not self._kw("WHERE"):
                 raise SparqlSyntaxError("expected DELETE WHERE or DELETE {}")
-            q = ParsedQuery(form="delete", template=tmpl)
+            if ins is not None:
+                q = ParsedQuery(
+                    form="modify", template=tmpl, insert_template=ins
+                )
+            else:
+                q = ParsedQuery(form="delete", template=tmpl)
             q.where = self._group()
         elif self._kw("INSERT"):
-            if not self._kw("DATA"):
-                raise SparqlSyntaxError("only INSERT DATA is supported")
-            rows: list = []
-            self._expect_op("{")
-            while not self._at_op("}"):
-                self._triples_block(rows)
-            self._expect_op("}")
-            for s, p, o in rows:
-                if any(isinstance(x, str) and x.startswith("?") for x in (s, p, o)) \
-                        or any(isinstance(x, Path) for x in (s, p, o)):
-                    raise SparqlSyntaxError("INSERT DATA takes ground triples")
-            q = ParsedQuery(form="insert_data", insert_rows=rows)
+            if self._kw("DATA"):
+                rows: list = []
+                self._expect_op("{")
+                while not self._at_op("}"):
+                    self._triples_block(rows)
+                self._expect_op("}")
+                for s, p, o in rows:
+                    if any(isinstance(x, str) and x.startswith("?")
+                           for x in (s, p, o)) \
+                            or any(isinstance(x, Path) for x in (s, p, o)):
+                        raise SparqlSyntaxError(
+                            "INSERT DATA takes ground triples"
+                        )
+                q = ParsedQuery(form="insert_data", insert_rows=rows)
+            elif self._at_op("{"):
+                ins = self._template("INSERT")
+                if not self._kw("WHERE"):
+                    raise SparqlSyntaxError("INSERT {} needs WHERE {}")
+                q = ParsedQuery(form="modify", insert_template=ins)
+                q.where = self._group()
+            else:
+                raise SparqlSyntaxError(
+                    "expected INSERT DATA or INSERT {} WHERE {}"
+                )
         else:
             t = self._peek()
             raise SparqlSyntaxError(
@@ -1187,6 +1223,24 @@ def sparql(triples: DataFrame, text: str):
                 "GRAPH blocks in DELETE are outside the supported subset"
             )
         return bgp_delete_where(triples, pats, delete=q.template)
+    if q.form == "modify":
+        # the WHERE is the full recursive group grammar (unlike the
+        # plain-pattern DELETE WHERE shorthand): solutions evaluate
+        # against the pre-update graph, then both templates
+        # instantiate over them
+        tmpls = (q.template or []) + (q.insert_template or [])
+        _reject_paths(tmpls, "update template")
+        if any(len(p) == 4 for p in tmpls):
+            raise SparqlSyntaxError(
+                "GRAPH blocks in update templates are outside the "
+                "supported subset"
+            )
+        sols, _ = _compile_where(triples, q)
+        plain = [c for c in sols.columns if not is_meta_col(c)]
+        return bgp_modify(
+            triples, sols.select(*plain),
+            delete=q.template, insert=q.insert_template,
+        )
 
     return _eval_query(triples, q)
 

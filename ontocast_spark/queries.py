@@ -1445,6 +1445,54 @@ FROM counts ORDER BY c OFFSET 5 LIMIT 50
 """
 
 
+def q_sparql_modify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update Modify through the text front-end (round-5
+    surface): ``DELETE { } INSERT { } WHERE { }`` rewrites every
+    B*-segment membership triple onto a new predicate in ONE
+    set-oriented pass — both templates instantiate over the same
+    pre-update solutions, the delete is one (subj,pred,obj) hash
+    anti-join, the insert one anti-join + union (set semantics). The
+    reference applies graph edits as per-statement rdflib/Fuseki
+    updates (fuseki.py:188-270); this is the scale form — no per-row
+    mutation, the whole rewrite is three equi-joins over the triple
+    table."""
+    from .plans.sparql import sparql as run_sparql
+
+    customer = _t(spark, sf_dir, "customer")
+    triples = (
+        customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("subj"),
+            F.lit("segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+        .union(customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")),
+            F.lit("nation"), F.col("c_nationkey").cast("string"),
+        ))
+    )
+    text = """
+    DELETE { ?c <segment> ?s } INSERT { ?c <bseg> ?s }
+    WHERE { ?c <segment> ?s FILTER(STRSTARTS(?s, "B")) }
+    """
+    return run_sparql(triples, text)
+
+
+ORACLE_SPARQL_MODIFY = """
+WITH t AS (
+  SELECT 'c' || c_custkey::VARCHAR AS subj, 'segment' AS pred,
+         c_mktsegment AS obj FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'nation', c_nationkey::VARCHAR
+  FROM customer
+)
+SELECT subj, pred, obj FROM t
+WHERE NOT (pred = 'segment' AND obj LIKE 'B%')
+UNION ALL
+SELECT DISTINCT subj, 'bseg' AS pred, obj FROM t
+WHERE pred = 'segment' AND obj LIKE 'B%'
+"""
+
+
 def q_kg_class_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second oracled invariant projection of q_kg_pipeline (VERDICT r4
     next-step #5): the per-conversation predicate-class histogram of
@@ -3313,6 +3361,7 @@ QUERIES = {
     "q_sparql_nested": q_sparql_nested,
     "q_kg_class_histogram": q_kg_class_histogram,
     "q_sparql_exprs": q_sparql_exprs,
+    "q_sparql_modify": q_sparql_modify,
     # -- (b) green in exactly one round (r4) — bank a second row ---------
     "q_split_leakage": q_split_leakage,
     "q_session_window": q_session_window,
@@ -3423,6 +3472,7 @@ ORACLES = {
     "q_sparql_nested": ORACLE_SPARQL_NESTED,
     "q_kg_class_histogram": ORACLE_KG_CLASS_HISTOGRAM,
     "q_sparql_exprs": ORACLE_SPARQL_EXPRS,
+    "q_sparql_modify": ORACLE_SPARQL_MODIFY,
     "q_validate_predicates": ORACLE_VALIDATE_PREDICATES,
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,

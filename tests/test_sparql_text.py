@@ -182,6 +182,75 @@ def test_ask_construct_delete_insert(spark):
     assert ins.count() == 3
 
 
+def test_insert_where_and_modify(spark):
+    """SPARQL 1.1 Update Modify: INSERT {} WHERE {} and the combined
+    DELETE {} INSERT {} WHERE {} — both templates instantiate over
+    the same pre-update solutions; deletes apply before inserts; set
+    semantics on insert."""
+    tri = _triples(spark, [
+        ("a", "knows", "b"), ("b", "knows", "c"), ("a", "age", "30"),
+    ])
+    out = sparql(tri, "INSERT { ?o <knownBy> ?s } WHERE { ?s <knows> ?o }")
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert got == {
+        ("a", "knows", "b"), ("b", "knows", "c"), ("a", "age", "30"),
+        ("b", "knownBy", "a"), ("c", "knownBy", "b"),
+    }
+    # inserting already-present triples is a set-semantics no-op
+    assert sparql(
+        tri, "INSERT { ?s <knows> ?o } WHERE { ?s <knows> ?o }"
+    ).count() == 3
+    # predicate rename: delete + insert over the same solutions
+    out = sparql(tri, """
+        DELETE { ?s <knows> ?o } INSERT { ?s <acquaintedWith> ?o }
+        WHERE { ?s <knows> ?o }
+    """)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert got == {
+        ("a", "acquaintedWith", "b"), ("b", "acquaintedWith", "c"),
+        ("a", "age", "30"),
+    }
+    # a triple deleted AND re-inserted by the same modify survives
+    assert sparql(tri, """
+        DELETE { ?s <knows> ?o } INSERT { ?s <knows> ?o }
+        WHERE { ?s <knows> ?o }
+    """).count() == 3
+    # the modify WHERE takes the full recursive grammar
+    out = sparql(tri, """
+        INSERT { ?s <adult> "true" } WHERE {
+            ?s <knows> ?o OPTIONAL { ?s <age> ?a FILTER(?a > 18) }
+            FILTER(BOUND(?a))
+        }
+    """)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert ("a", "adult", "true") in got and len(got) == 4
+
+
+def test_modify_preserves_term_metadata(spark):
+    """Re-inserting an existing triple must not null out its term
+    metadata; genuinely new rows carry NULL metadata columns."""
+    tri = _triples(spark, [
+        ("a", "label", "chat", True, "en", None),
+    ], meta=True)
+    out = sparql(tri, """
+        INSERT { ?s <label> ?v . ?s <hasLabel> "yes" }
+        WHERE { ?s <label> ?v }
+    """)
+    rows = {(r["subj"], r["pred"], r["obj"]): r for r in out.collect()}
+    assert rows[("a", "label", "chat")]["obj_lang"] == "en"
+    assert rows[("a", "hasLabel", "yes")]["obj_lang"] is None
+
+
+def test_modify_guards(spark):
+    tri = _triples(spark, [("a", "p", "b")])
+    with pytest.raises(SparqlSyntaxError, match="INSERT"):
+        sparql(tri, "INSERT { ?s <q> ?o }")  # no WHERE
+    with pytest.raises(SparqlSyntaxError, match="path"):
+        sparql(tri, "INSERT { ?s <q>+ ?o } WHERE { ?s <p> ?o }")
+    with pytest.raises(SparqlSyntaxError, match="INSERT DATA or INSERT"):
+        sparql(tri, "INSERT <a> <b> <c>")
+
+
 def test_aggregates_group_by(spark):
     tri = _triples(spark, [
         ("a", "score", "1"), ("a", "score", "2"), ("b", "score", "5"),
