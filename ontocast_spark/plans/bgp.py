@@ -733,12 +733,15 @@ def bgp_values(
     table. Compatibility join on the shared variables — an UNBOUND
     value on either side (NULL: OPTIONAL on the solution side, UNDEF
     in the inline data) is compatible with anything, and the bound
-    side's binding wins (spec join semantics). The inline table is
+    side's binding wins (spec join semantics). The inline data is a
+    MULTISET (spec §10.2): duplicate rows — including repeated UNDEF
+    wildcards — multiply the joined solutions, so no dedup here; a
+    SELECT DISTINCT collapses them downstream. The inline table is
     tiny, so it broadcasts; with no prior solutions it IS the solution
     set."""
     inline = spark.createDataFrame(
         rows, ", ".join(f"{v} string" for v in variables)
-    ).dropDuplicates()
+    )
     if result is None:
         return inline
     shared = sorted(set(result.columns) & set(inline.columns))

@@ -20,12 +20,14 @@ plus the aggregate/path forms the programmatic API already evaluates):
   accepted and matched on the lexical form), numbers.
 - ``SELECT [DISTINCT] ?v ... | * WHERE { ... } [GROUP BY ...]
   [HAVING (expr)] [ORDER BY ...] [LIMIT n] [OFFSET n]``, with
-  ``(AGG([DISTINCT] ?v) AS ?alias)`` projections (COUNT / SUM / MIN /
-  MAX / AVG / SAMPLE / GROUP_CONCAT, COUNT(*); DISTINCT applies the
-  in-aggregate set modifier) and ``(expr AS ?alias)`` expression
-  projections (in aggregate queries these are the spec's
-  post-aggregation Extend — they range over GROUP BY keys and
-  aggregate aliases, like HAVING conditions).
+  ``(AGG([DISTINCT] expr) AS ?alias)`` projections (COUNT / SUM /
+  MIN / MAX / AVG / SAMPLE / GROUP_CONCAT over a variable or a full
+  expression argument, COUNT(*); DISTINCT applies the in-aggregate
+  set modifier) and ``(expr AS ?alias)`` expression projections (in
+  aggregate queries these are the spec's post-aggregation Extend —
+  they range over GROUP BY keys and aggregate aliases, like HAVING
+  conditions). ``ORDER BY`` keys are bare variables or
+  ``ASC(expr)`` / ``DESC(expr)``.
 - ``ASK { ... }``, ``CONSTRUCT { template } WHERE { ... }``,
   ``DESCRIBE <iri>``, ``DELETE WHERE { ... }``,
   ``DELETE { template } WHERE { ... }``, ``INSERT DATA { ... }``,
@@ -232,7 +234,7 @@ class ParsedQuery:
     aggs: list = field(default_factory=list)  # (fn, var, alias, distinct)
     exprs: list = field(default_factory=list)  # (expr_ast, alias)
     havings: list = field(default_factory=list)  # expression ASTs
-    order_by: list = field(default_factory=list)  # (var, ascending)
+    order_by: list = field(default_factory=list)  # (var|expr, ascending)
     limit: int | None = None
     offset: int | None = None
 
@@ -875,10 +877,11 @@ class _Parser:
                                 "supported subset"
                             )
                     else:
-                        v = self._next()
-                        if v.kind != "VAR":
-                            raise SparqlSyntaxError("aggregate needs a ?var")
-                        src = v.value[1:]
+                        # a full expression argument: AGG(?a * ?b),
+                        # AGG(STRLEN(?x)), ... — a bare ?var stays the
+                        # plain-column fast path
+                        arg = self._expr_or()
+                        src = arg[1] if arg[0] == "var" else arg
                     self._expect_op(")")
                     alias = self._as_alias("aggregate")
                     q.aggs.append((fn, src, alias, distinct))
@@ -918,11 +921,10 @@ class _Parser:
                         self.pos += 1
                         asc = t.value.upper() == "ASC"
                         self._expect_op("(")
-                        v = self._next()
-                        if v.kind != "VAR":
-                            raise SparqlSyntaxError("ORDER BY needs a ?var")
+                        expr = self._expr_or()
                         self._expect_op(")")
-                        q.order_by.append((v.value[1:], asc))
+                        key = expr[1] if expr[0] == "var" else expr
+                        q.order_by.append((key, asc))
                     else:
                         break
             elif self._kw("HAVING"):
@@ -1489,7 +1491,13 @@ def _compile_where(triples: DataFrame, q: ParsedQuery):
     dedup = q.form != "select" or q.distinct or bool(q.aggs)
     # term-metadata builtins in SELECT expressions need the metadata
     # columns threaded through the WHERE compile
-    needs_meta = any(_expr_uses_meta(e) for e, _ in q.exprs)
+    needs_meta = (
+        any(_expr_uses_meta(e) for e, _ in q.exprs)
+        or any(not isinstance(k, str) and _expr_uses_meta(k)
+               for k, _ in q.order_by)
+        or any(not isinstance(src, str) and _expr_uses_meta(src)
+               for _, src, *_ in q.aggs)
+    )
     sols, maybe = _compile_group(
         triples, q.where, needs_meta=needs_meta, dedup=dedup
     )
@@ -1521,10 +1529,36 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
             sols = sols.withColumn(alias, _compile_expr(expr))
             maybe = maybe | {alias}  # an expression may evaluate NULL
     plain = [c for c in sols.columns if not is_meta_col(c)]
-    order_cols = [F.col(v).asc() if a else F.col(v).desc()
-                  for v, a in q.order_by] if q.order_by else []
+
+    def order_key(k):
+        return F.col(k) if isinstance(k, str) else _compile_expr(k)
+
+    def order_vars(k):
+        return {k} if isinstance(k, str) else _expr_vars(k)
+
+    order_cols = [order_key(k).asc() if a else order_key(k).desc()
+                  for k, a in q.order_by] if q.order_by else []
     if q.aggs:
-        out = bgp_aggregate(sols.select(*plain), q.group_by, q.aggs)
+        # an aggregate may take a full expression argument —
+        # materialize those as hidden columns first (evaluated over
+        # the pre-group solutions, spec §18.2.4 Aggregation(E, ...))
+        aggs = []
+        base = sols
+        for i, (fn, src, alias, *rest) in enumerate(q.aggs):
+            if isinstance(src, str):
+                aggs.append((fn, src, alias, *rest))
+                continue
+            loose = _expr_vars(src) - set(base.columns)
+            if loose:
+                raise SparqlSyntaxError(
+                    f"aggregate argument references unbound "
+                    f"?{sorted(loose)[0]}"
+                )
+            col = f"_aggarg_{i}"
+            base = base.withColumn(col, _compile_expr(src))
+            aggs.append((fn, col, alias, *rest))
+        plain_b = [c for c in base.columns if not is_meta_col(c)]
+        out = bgp_aggregate(base.select(*plain_b), q.group_by, aggs)
         for h in q.havings:
             loose = _expr_vars(h) - set(out.columns)
             if loose:
@@ -1537,8 +1571,11 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
         # COUNT never returns NULL; any other aggregate over a group
         # whose inputs are all unbound does
         maybe_out = {v for v in q.group_by if v in maybe} | {
-            alias for fn, var, alias, *_ in q.aggs
-            if fn != "count" and var in maybe
+            alias for fn, src, alias, *_ in q.aggs
+            if fn != "count" and (
+                (src in maybe) if isinstance(src, str)
+                else bool(_expr_vars(src) & maybe)
+            )
         }
         # spec §18.2.4: Extend (SELECT expressions) AFTER Group /
         # Aggregation / HAVING — expressions range over GROUP BY keys
@@ -1560,26 +1597,32 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
                 )
             out = out.withColumn(alias, _compile_expr(expr))
             maybe_out = maybe_out | {alias}
-        for v, _ in q.order_by:
-            if v not in out.columns:
+        for k, _ in q.order_by:
+            if not isinstance(k, str) and _expr_uses_meta(k):
                 raise SparqlSyntaxError(
-                    f"ORDER BY ?{v} is not in the aggregate output"
+                    "term-metadata builtins cannot follow aggregation"
                 )
+            for v in sorted(order_vars(k)):
+                if v not in out.columns:
+                    raise SparqlSyntaxError(
+                        f"ORDER BY ?{v} is not in the aggregate output"
+                    )
         if order_cols:
             out = out.orderBy(*order_cols)
     else:
         if q.havings:
             raise SparqlSyntaxError("HAVING needs aggregates")
         vars_ = q.variables if q.variables is not None else plain
-        for v, _ in q.order_by:
-            if v not in sols.columns:
-                raise SparqlSyntaxError(f"ORDER BY ?{v} is not bound")
-            if q.distinct and v not in vars_:
-                # SPARQL 1.1 §15.1: with DISTINCT the sort variables
-                # must appear in the projection
-                raise SparqlSyntaxError(
-                    f"SELECT DISTINCT cannot ORDER BY unprojected ?{v}"
-                )
+        for k, _ in q.order_by:
+            for v in sorted(order_vars(k)):
+                if v not in sols.columns:
+                    raise SparqlSyntaxError(f"ORDER BY ?{v} is not bound")
+                if q.distinct and v not in vars_:
+                    # SPARQL 1.1 §15.1: with DISTINCT the sort
+                    # variables must appear in the projection
+                    raise SparqlSyntaxError(
+                        f"SELECT DISTINCT cannot ORDER BY unprojected ?{v}"
+                    )
         if q.distinct:
             out = sols.select(*vars_).dropDuplicates()
             if order_cols:

@@ -271,6 +271,61 @@ def test_post_agg_expression_guards(spark):
         """)
 
 
+# ------------------------------------------------- expression aggregates
+
+
+def test_aggregate_over_expression(spark):
+    tri = _triples(spark, [
+        ("a", "price", "3"), ("a", "qty", "4"),
+        ("b", "price", "5"), ("b", "qty", "2"),
+    ])
+    got = {
+        (r["s"], float(r["rev"]))
+        for r in sparql(tri, """
+            SELECT ?s (SUM(?p * ?q) AS ?rev)
+            WHERE { ?s <price> ?p . ?s <qty> ?q } GROUP BY ?s
+        """).collect()
+    }
+    assert got == {("a", 12.0), ("b", 10.0)}
+    row = sparql(tri, """
+        SELECT (MAX(STRLEN(?p)) AS ?m) (COUNT(?p * 2) AS ?n)
+        WHERE { ?s <price> ?p }
+    """).collect()[0]
+    assert (row["m"], row["n"]) == (1, 2)
+
+
+def test_aggregate_expression_unbound_guard(spark):
+    tri = _triples(spark, [("a", "p", "1")])
+    with pytest.raises(SparqlSyntaxError, match="unbound"):
+        sparql(tri, "SELECT (SUM(?zz * 2) AS ?x) WHERE { ?s <p> ?o }")
+
+
+# ------------------------------------------------- ORDER BY expressions
+
+
+def test_order_by_expression(spark):
+    tri = _triples(spark, [
+        ("a", "name", "al"), ("b", "name", "bee"), ("c", "name", "candle"),
+    ])
+    got = [r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <name> ?n } ORDER BY DESC(STRLEN(?n))
+    """).collect()]
+    assert got == ["c", "b", "a"]
+    # expression over an aggregate alias in the agg branch
+    tri2 = _triples(spark, [
+        ("a", "v", "1"), ("a", "v", "2"), ("b", "v", "9"),
+    ])
+    got = [r["x"] for r in sparql(tri2, """
+        SELECT ?x (COUNT(?o) AS ?n) WHERE { ?x <v> ?o } GROUP BY ?x
+        ORDER BY ASC(?n * -1)
+    """).collect()]
+    assert got == ["a", "b"]
+    with pytest.raises(SparqlSyntaxError, match="not bound"):
+        sparql(tri, """
+            SELECT ?s WHERE { ?s <name> ?n } ORDER BY DESC(STRLEN(?zz))
+        """)
+
+
 # ------------------------------------------------- union dtype fix
 
 

@@ -414,6 +414,16 @@ def test_minus_and_values(spark):
         SELECT ?x WHERE { ?x <knows> ?y . MINUS { ?p <blocked> ?z } }
     """).collect()}
     assert got2 == {"a", "b", "c"}
+    # spec §10.2: VALUES data is a MULTISET — duplicate rows
+    # (including repeated UNDEF wildcards) multiply solutions under
+    # bag semantics (hypothesis-found regression, seed 36544)
+    from collections import Counter
+    bag = Counter(r["x"] for r in sparql(tri, """
+        SELECT ?x WHERE { ?x <knows> ?y . VALUES (?x) { (<a>) (UNDEF) (UNDEF) } }
+    """).collect())
+    # solutions of ?x <knows> ?y: a->b, b->c, c->d (one row each);
+    # 'a' joins its bound row AND both UNDEFs, b/c join both UNDEFs
+    assert bag == Counter({"a": 3, "b": 2, "c": 2})
     # VALUES constrains; single-var and multi-var forms
     got3 = {r["x"] for r in sparql(tri, """
         SELECT ?x WHERE { ?x <knows> ?y . VALUES ?x { <a> <c> <zzz> } }
