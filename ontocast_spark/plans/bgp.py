@@ -786,6 +786,30 @@ def bgp_describe(triples: DataFrame, iri: str) -> DataFrame:
     )
 
 
+def bgp_describe_resources(
+    triples: DataFrame, resources: DataFrame
+) -> DataFrame:
+    """SPARQL ``DESCRIBE ?var WHERE { ... }``: describe every resource
+    the WHERE binds to the variable — all triples where a described
+    resource is subject or object. ``resources`` is a one-column
+    (``r``) frame of resource terms. Evaluated as TWO hash semi-joins
+    (subject side + object side) unioned and deduplicated — the naive
+    ``subj = r OR obj = r`` condition has no equi-conjunct and would
+    plan as a nested-loop join; the split form stays a pair of
+    broadcast/shuffled hash joins at any scale."""
+    res = resources.select(F.col("r")).where(F.col("r").isNotNull()) \
+        .distinct()
+    subj_hits = triples.join(
+        res.withColumnRenamed("r", "subj"), "subj", "left_semi"
+    )
+    obj_hits = triples.join(
+        res.withColumnRenamed("r", "obj"), "obj", "left_semi"
+    )
+    return subj_hits.unionByName(obj_hits).dropDuplicates(
+        ["subj", "pred", "obj"]
+    )
+
+
 def bgp_delete_where(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],

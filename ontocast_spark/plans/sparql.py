@@ -29,7 +29,10 @@ plus the aggregate/path forms the programmatic API already evaluates):
   conditions). ``ORDER BY`` keys are bare variables or
   ``ASC(expr)`` / ``DESC(expr)``.
 - ``ASK { ... }``, ``CONSTRUCT { template } WHERE { ... }``,
-  ``DESCRIBE <iri>``, ``DELETE WHERE { ... }``,
+  ``DESCRIBE <iri>`` / ``DESCRIBE ?v WHERE { ... }`` (two hash
+  semi-joins, no OR-condition nested loop), ``CONSTRUCT WHERE { }``
+  (spec §10.1.2 shorthand, plain-BGP WHERE doubling as the
+  template), ``DELETE WHERE { ... }``,
   ``DELETE { template } WHERE { ... }``, ``INSERT DATA { ... }``,
   ``INSERT { template } WHERE { ... }`` and the combined
   ``DELETE { t } INSERT { t } WHERE { ... }`` modify form (both
@@ -98,6 +101,7 @@ from .bgp import (
     bgp_construct,
     bgp_delete_where,
     bgp_describe,
+    bgp_describe_resources,
     bgp_exists,
     bgp_filter,
     bgp_insert_data,
@@ -228,6 +232,7 @@ class ParsedQuery:
     where: _Group | None = None
     template: list | None = None  # CONSTRUCT / DELETE template
     describe_iri: str | None = None
+    describe_var: str | None = None
     insert_rows: list | None = None
     insert_template: list | None = None
     group_by: list[str] = field(default_factory=list)
@@ -761,24 +766,53 @@ class _Parser:
             self._kw("WHERE")
             q.where = self._group()
         elif self._kw("CONSTRUCT"):
-            tmpl: list = []
-            self._expect_op("{")
-            while not self._at_op("}"):
-                self._triples_block(tmpl)
-            self._expect_op("}")
-            if not self._kw("WHERE"):
-                raise SparqlSyntaxError("CONSTRUCT needs WHERE")
-            q = ParsedQuery(form="construct", template=tmpl)
-            q.where = self._group()
+            if self._at_op("{"):
+                tmpl = self._template("CONSTRUCT")
+                if not self._kw("WHERE"):
+                    raise SparqlSyntaxError("CONSTRUCT needs WHERE")
+                q = ParsedQuery(form="construct", template=tmpl)
+                q.where = self._group()
+            elif self._kw("WHERE"):
+                # CONSTRUCT WHERE { bgp } shorthand (spec §10.1.2):
+                # the WHERE is restricted to a plain basic graph
+                # pattern, which doubles as the template
+                q = ParsedQuery(form="construct")
+                q.where = self._group()
+                g = q.where
+                if g.filters or g.exists or any(
+                    tag != "bgp" for tag, _ in g.elements
+                ):
+                    raise SparqlSyntaxError(
+                        "CONSTRUCT WHERE takes a plain triple-pattern "
+                        "group (use an explicit template otherwise)"
+                    )
+                pats = [p for _, pl in g.elements for p in pl]
+                if any(len(p) == 4 for p in pats):
+                    raise SparqlSyntaxError(
+                        "GRAPH blocks in CONSTRUCT WHERE are outside "
+                        "the supported subset"
+                    )
+                _reject_paths(pats, "CONSTRUCT WHERE template")
+                q.template = pats
+            else:
+                raise SparqlSyntaxError(
+                    "CONSTRUCT needs a { template } or WHERE"
+                )
         elif self._kw("DESCRIBE"):
             t = self._next()
-            if t.kind == "IRI":
+            if t.kind == "VAR":
+                q = ParsedQuery(form="describe", describe_var=t.value[1:])
+                if not self._kw("WHERE"):
+                    raise SparqlSyntaxError("DESCRIBE ?var needs WHERE {}")
+                q.where = self._group()
+            elif t.kind == "IRI":
                 iri = self.base + t.value[1:-1] if self.base else t.value[1:-1]
+                q = ParsedQuery(form="describe", describe_iri=iri)
             elif t.kind == "PNAME":
                 iri = self._resolve_pname(t.value)
+                q = ParsedQuery(form="describe", describe_iri=iri)
             else:
-                raise SparqlSyntaxError("DESCRIBE needs an IRI")
-            q = ParsedQuery(form="describe", describe_iri=iri)
+                raise SparqlSyntaxError("DESCRIBE needs an IRI or a ?var")
         elif self._kw("DELETE"):
             tmpl = None
             ins = None
@@ -1207,6 +1241,15 @@ def sparql(triples: DataFrame, text: str):
     into."""
     q = parse_sparql(text)
     if q.form == "describe":
+        if q.describe_var is not None:
+            sols, _ = _compile_where(triples, q)
+            if q.describe_var not in sols.columns:
+                raise SparqlSyntaxError(
+                    f"DESCRIBE ?{q.describe_var} is not bound by the WHERE"
+                )
+            return bgp_describe_resources(
+                triples, sols.select(F.col(q.describe_var).alias("r"))
+            )
         return bgp_describe(triples, q.describe_iri)
     if q.form == "insert_data":
         return bgp_insert_data(triples, q.insert_rows)

@@ -182,6 +182,41 @@ def test_ask_construct_delete_insert(spark):
     assert ins.count() == 3
 
 
+def test_describe_var_and_construct_where(spark):
+    """DESCRIBE ?v WHERE { } (all triples touching each bound
+    resource, via two hash semi-joins) and the CONSTRUCT WHERE { }
+    plain-BGP shorthand (spec §10.1.2)."""
+    tri = _triples(spark, [
+        ("a", "knows", "b"), ("b", "knows", "c"), ("a", "type", "Person"),
+        ("b", "type", "Person"), ("c", "type", "Robot"), ("x", "likes", "a"),
+    ])
+    got = {(r["subj"], r["pred"], r["obj"]) for r in sparql(
+        tri, 'DESCRIBE ?p WHERE { ?p <type> "Robot" }'
+    ).collect()}
+    assert got == {("b", "knows", "c"), ("c", "type", "Robot")}
+    # two described resources; a triple touching both appears once
+    assert sparql(
+        tri, 'DESCRIBE ?p WHERE { ?p <type> "Person" }'
+    ).count() == 5
+    got = {(r["subj"], r["pred"], r["obj"]) for r in sparql(
+        tri, "CONSTRUCT WHERE { ?s <knows> ?o . ?s <type> ?t }"
+    ).collect()}
+    assert got == {
+        ("a", "knows", "b"), ("a", "type", "Person"),
+        ("b", "knows", "c"), ("b", "type", "Person"),
+    }
+    with pytest.raises(SparqlSyntaxError, match="plain triple-pattern"):
+        sparql(tri, 'CONSTRUCT WHERE { ?s <knows> ?o FILTER(?o != "b") }')
+    with pytest.raises(SparqlSyntaxError, match="needs WHERE"):
+        sparql(tri, "DESCRIBE ?p")
+    # the describe split-join plan must stay hash-based
+    plan = sparql(
+        tri, 'DESCRIBE ?p WHERE { ?p <type> "Person" }'
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan
+
+
 def test_insert_where_and_modify(spark):
     """SPARQL 1.1 Update Modify: INSERT {} WHERE {} and the combined
     DELETE {} INSERT {} WHERE {} — both templates instantiate over
