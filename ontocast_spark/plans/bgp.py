@@ -954,7 +954,10 @@ def bgp_aggregate(
             continue
         col = F.col(var)
         if fn in ("sum", "avg"):
-            col = col.cast("double")
+            # try_cast: a non-numeric term in a SUM/AVG group is a
+            # SPARQL type error; NULL (skipped by the aggregate) beats
+            # an ANSI cast exception killing the whole job
+            col = col.try_cast("double")
         if fn == "group_concat":
             members = (F.collect_set(col) if distinct
                        else F.collect_list(col))

@@ -1056,8 +1056,11 @@ def _compile_expr(ast):
         def side(x):
             c = _compile_expr(x)
             # SPARQL numeric comparison over lexical forms: cast the
-            # non-literal side so `?price > 100` compares numbers
-            return c.cast("double") if numeric \
+            # non-literal side so `?price > 100` compares numbers.
+            # try_cast, not cast: a non-numeric term is a SPARQL type
+            # error -> the comparison is unbound (NULL -> filter
+            # false), never a job-killing ANSI CAST_INVALID_INPUT
+            return c.try_cast("double") if numeric \
                 and not _is_numeric_node(x) else c
 
         lc, rc = side(left), side(right)
@@ -1067,9 +1070,11 @@ def _compile_expr(ast):
         }[op]
     if kind == "arith":
         op, lc, rc = ast[1], _num(ast[2]), _num(ast[3])
-        return {
-            "+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc,
-        }[op]
+        if op == "/":
+            # SPARQL type error -> unbound: NULL instead of ANSI
+            # DIVIDE_BY_ZERO (doubles throw too under ANSI mode)
+            return F.when(rc != 0, lc / rc)
+        return {"+": lc + rc, "-": lc - rc, "*": lc * rc}[op]
     if kind == "in":
         negate, probe, items = ast[1], ast[2], ast[3]
         pc = _compile_expr(probe)
@@ -1083,7 +1088,11 @@ def _compile_expr(ast):
     if kind == "call":
         name, args = ast[1], ast[2]
         if name == "STR":
-            return _compile_expr(args[0])  # terms are already strings
+            # terms are already strings; a computed numeric (arith,
+            # STRLEN, ...) gets its lexical form — also the escape
+            # hatch for mixing numerics with strings in COALESCE/IF
+            # under Spark's static typing
+            return _compile_expr(args[0]).cast("string")
         if name == "BOUND":
             return fn_bound(args[0][1])
         if name in ("ISIRI", "ISURI"):
@@ -1128,9 +1137,13 @@ def _compile_expr(ast):
         if name == "IF":
             if len(args) != 3:
                 raise SparqlSyntaxError("IF needs (cond, then, else)")
-            return F.when(
-                _compile_expr(args[0]), _compile_expr(args[1])
-            ).otherwise(_compile_expr(args[2]))
+            # mixed numeric/string branches: unify numerically with
+            # try_cast — Spark would otherwise insert an ANSI
+            # string->integral cast that throws on non-numeric terms
+            tn, en = _is_numeric_node(args[1]), _is_numeric_node(args[2])
+            tc = _num(args[1]) if en and not tn else _compile_expr(args[1])
+            ec = _num(args[2]) if tn and not en else _compile_expr(args[2])
+            return F.when(_compile_expr(args[0]), tc).otherwise(ec)
         if name in ("STRBEFORE", "STRAFTER"):
             if len(args) != 2:
                 raise SparqlSyntaxError(f"{name} needs 2 arguments")
@@ -1141,13 +1154,17 @@ def _compile_expr(ast):
                 hit = F.substring(a, F.lit(1), pos - F.lit(1))
             else:
                 hit = F.substring(a, pos + F.length(b), F.length(a))
-            return F.when(pos > 0, hit).otherwise(F.lit(""))
+            # an unbound argument is a type error -> unbound: the
+            # no-occurrence "" applies only when BOTH args are bound
+            return F.when(pos > 0, hit).when(
+                a.isNotNull() & b.isNotNull(), F.lit("")
+            )
         if name == "SUBSTR":
             if len(args) not in (2, 3):
                 raise SparqlSyntaxError("SUBSTR needs (str, start[, len])")
             a = _compile_expr(args[0])
-            start = _compile_expr(args[1]).cast("int")
-            length = (_compile_expr(args[2]).cast("int")
+            start = _compile_expr(args[1]).try_cast("int")
+            length = (_compile_expr(args[2]).try_cast("int")
                       if len(args) == 3 else F.length(a))
             return F.substring(a, start, length)  # both 1-based
         if name == "REPLACE":
@@ -1201,9 +1218,11 @@ def _is_numeric_node(ast) -> bool:
 def _num(ast):
     """Compile an expression operand under numeric coercion: lexical
     string terms cast to double (SPARQL numeric ops over typed
-    literals; our terms are lexical forms)."""
+    literals; our terms are lexical forms). try_cast: a non-numeric
+    term is a SPARQL type error -> unbound (NULL), not an ANSI cast
+    exception."""
     c = _compile_expr(ast)
-    return c if _is_numeric_node(ast) else c.cast("double")
+    return c if _is_numeric_node(ast) else c.try_cast("double")
 
 
 def _meta_arg_vars(ast, acc: set):

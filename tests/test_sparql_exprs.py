@@ -326,6 +326,48 @@ def test_order_by_expression(spark):
         """)
 
 
+# ------------------------------------------------- type-error semantics
+
+
+def test_numeric_type_errors_are_unbound_not_exceptions(spark):
+    """SPARQL semantics under Spark's ANSI mode: a non-numeric term in
+    a numeric comparison / arithmetic / SUM is a SPARQL type error —
+    the solution drops (filter) or the value is unbound (NULL), it
+    must NOT raise CAST_INVALID_INPUT and kill the job."""
+    tri = _triples(spark, [
+        ("a", "p", "10"), ("b", "p", "oops"), ("c", "p", "3"),
+    ])
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <p> ?v . FILTER(?v > 5) }
+    """).collect()}
+    assert got == {"a"}
+    # arithmetic over a non-number is unbound, COALESCE recovers
+    # (STR() stringifies the numeric — Spark's static typing would
+    # otherwise coerce the string fallback to double)
+    got = {(r["s"], r["d"]) for r in sparql(tri, """
+        SELECT ?s (COALESCE(STR(?v * 2), "n/a") AS ?d) WHERE { ?s <p> ?v }
+    """).collect()}
+    assert got == {("a", "20.0"), ("b", "n/a"), ("c", "6.0")}
+    # SUM skips the type-error term instead of raising
+    row = sparql(tri, """
+        SELECT (SUM(?v) AS ?t) (COUNT(?v) AS ?n) WHERE { ?s <p> ?v }
+    """).collect()[0]
+    assert (float(row["t"]), row["n"]) == (13.0, 3)
+
+
+def test_division_by_zero_is_unbound(spark):
+    tri = _triples(spark, [("a", "p", "0"), ("b", "p", "4")])
+    got = {(r["s"], r["d"]) for r in sparql(tri, """
+        SELECT ?s (COALESCE(STR(8 / ?v), "err") AS ?d) WHERE { ?s <p> ?v }
+    """).collect()}
+    assert got == {("a", "err"), ("b", "2.0")}
+    # ... and in FILTER position the solution just drops
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <p> ?v . FILTER(8 / ?v = 2) }
+    """).collect()}
+    assert got == {"b"}
+
+
 # ------------------------------------------------- union dtype fix
 
 
