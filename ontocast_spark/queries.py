@@ -1493,6 +1493,46 @@ WHERE pred = 'segment' AND obj LIKE 'B%'
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First EXTERNAL oracle row for the multimodal plumbing
+    (operators/multimodal.py — previously local-tests-only): build a
+    media table with real ``binary`` payloads (UTF-8 encoded document
+    text — the codec boundary is the documented stub, the Spark-side
+    plumbing is real), run the actual ``extract_media_features``
+    mapInPandas operator with the deterministic fake decoder, and
+    project the SQL-checkable invariants: per-media byte count
+    (computed INSIDE the Arrow batch loop, so it pins the
+    binary-column batch path end-to-end) and the feature vector
+    dimensionality. The feature values themselves stay pinned by local
+    tests (tests/test_training_ops.py); DuckDB mirrors the byte counts
+    via octet_length(encode(...))."""
+    from .operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video")).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_media_features(media, decoder="fake")
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.size("feature").alias("feature_dim"),
+    )
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+SELECT 'm' || doc_id::VARCHAR AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       octet_length(encode(text))::INT AS n_bytes,
+       32::INT AS feature_dim
+FROM documents
+"""
+
+
 def q_kg_class_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second oracled invariant projection of q_kg_pipeline (VERDICT r4
     next-step #5): the per-conversation predicate-class histogram of
@@ -3362,6 +3402,7 @@ QUERIES = {
     "q_kg_class_histogram": q_kg_class_histogram,
     "q_sparql_exprs": q_sparql_exprs,
     "q_sparql_modify": q_sparql_modify,
+    "q_multimodal_features": q_multimodal_features,
     # -- (b) green in exactly one round (r4) — bank a second row ---------
     "q_split_leakage": q_split_leakage,
     "q_session_window": q_session_window,
@@ -3473,6 +3514,7 @@ ORACLES = {
     "q_kg_class_histogram": ORACLE_KG_CLASS_HISTOGRAM,
     "q_sparql_exprs": ORACLE_SPARQL_EXPRS,
     "q_sparql_modify": ORACLE_SPARQL_MODIFY,
+    "q_multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "q_validate_predicates": ORACLE_VALIDATE_PREDICATES,
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
