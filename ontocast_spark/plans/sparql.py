@@ -64,7 +64,10 @@ plus the aggregate/path forms the programmatic API already evaluates):
   ``isIRI``/``isURI``, ``isLiteral``, ``LANG``, ``DATATYPE``,
   ``LANGMATCHES``, ``CONCAT``, ``STRLEN``, ``UCASE``, ``LCASE``,
   ``COALESCE``, ``IF``, ``STRBEFORE``, ``STRAFTER``, ``SUBSTR``,
-  ``REPLACE``, ``ABS``, ``CEIL``, ``FLOOR``, ``ROUND`` — each
+  ``REPLACE``, ``ABS``, ``CEIL``, ``FLOOR``, ``ROUND``, the
+  SPARQL 1.1 digests (``MD5``, ``SHA1``, ``SHA256``, ``SHA384``,
+  ``SHA512``) and dateTime accessors (``YEAR``, ``MONTH``, ``DAY``,
+  ``HOURS``, ``MINUTES``, ``SECONDS``) — each
   compiled to Catalyst builtins (term-metadata builtins auto-enable
   ``bind_term_meta`` when the triple table carries the metadata
   columns).
@@ -719,6 +722,8 @@ class _Parser:
         "CONCAT", "STRLEN", "UCASE", "LCASE",
         "COALESCE", "IF", "STRBEFORE", "STRAFTER", "SUBSTR", "REPLACE",
         "ABS", "CEIL", "FLOOR", "ROUND", "LANGMATCHES",
+        "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
     }
 
     def _expr_primary(self):
@@ -1203,6 +1208,32 @@ def _compile_expr(ast):
                 return lang.isNotNull() & (lang != "")
             low = F.lower(lang)
             return (low == rng.lower()) | low.startswith(rng.lower() + "-")
+        if name in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+            if len(args) != 1:
+                raise SparqlSyntaxError(f"{name} needs 1 argument")
+            # SPARQL 1.1 §17.4.4.{11-15}: digest of the UTF-8 lexical
+            # form, lowercase hex — exactly what the JVM builtins emit
+            c = _compile_expr(args[0]).cast("string")
+            if name == "MD5":
+                return F.md5(c)
+            if name == "SHA1":
+                return F.sha1(c)
+            return F.sha2(c, int(name[3:]))
+        if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+                    "SECONDS"):
+            if len(args) != 1:
+                raise SparqlSyntaxError(f"{name} needs 1 argument")
+            # xsd:dateTime accessors over lexical forms; try_cast so a
+            # non-dateTime term is a SPARQL type error -> unbound
+            # (NULL), not an ANSI cast exception. SECONDS returns the
+            # integral second (the spec's xsd:decimal fractional part
+            # would need sub-second lexical handling our terms lack).
+            ts = _compile_expr(args[0]).try_cast("timestamp")
+            return {
+                "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+                "HOURS": F.hour, "MINUTES": F.minute,
+                "SECONDS": F.second,
+            }[name](ts)
     raise SparqlSyntaxError(f"cannot compile FILTER node {ast!r}")
 
 
@@ -1211,7 +1242,9 @@ def _is_numeric_node(ast) -> bool:
     return isinstance(ast, tuple) and (
         ast[0] in ("num", "arith")
         or (ast[0] == "call"
-            and ast[1] in ("STRLEN", "ABS", "CEIL", "FLOOR", "ROUND"))
+            and ast[1] in ("STRLEN", "ABS", "CEIL", "FLOOR", "ROUND",
+                           "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+                           "SECONDS"))
     )
 
 

@@ -385,3 +385,69 @@ def test_union_bind_numeric_var_keeps_dtype(spark):
     assert dict(out.dtypes)["n"] == "int"
     got = {(r["s"], r["n"]) for r in out.collect()}
     assert got == {("a", 3), ("b", None)}
+
+
+# ------------------------------------------------- digests / dateTime
+
+
+def test_hash_builtins(spark):
+    """SPARQL 1.1 §17.4.4.11-15: MD5/SHA* of the UTF-8 lexical form,
+    lowercase hex — compiled to the JVM digest builtins."""
+    import hashlib
+
+    tri = _triples(spark, [("a", "name", "Ada"), ("b", "name", "Bob")])
+    out = sparql(tri, """
+        SELECT ?x (MD5(?n) AS ?h5) (SHA1(?n) AS ?h1)
+               (SHA256(?n) AS ?h256) (SHA512(?n) AS ?h512)
+        WHERE { ?x <name> ?n }
+    """)
+    rows = {r["x"]: r for r in out.collect()}
+    for x, text in (("a", "Ada"), ("b", "Bob")):
+        b = text.encode()
+        assert rows[x]["h5"] == hashlib.md5(b).hexdigest()
+        assert rows[x]["h1"] == hashlib.sha1(b).hexdigest()
+        assert rows[x]["h256"] == hashlib.sha256(b).hexdigest()
+        assert rows[x]["h512"] == hashlib.sha512(b).hexdigest()
+
+
+def test_hash_builtin_in_filter(spark):
+    import hashlib
+
+    tri = _triples(spark, [("a", "name", "Ada"), ("b", "name", "Bob")])
+    want = hashlib.sha256(b"Bob").hexdigest()
+    got = {r["x"] for r in sparql(
+        tri, f'SELECT ?x WHERE {{ ?x <name> ?n FILTER(SHA256(?n) = "{want}") }}'
+    ).collect()}
+    assert got == {"b"}
+
+
+def test_datetime_accessors(spark):
+    """YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS over xsd:dateTime lexical
+    forms; a non-dateTime term is a type error -> unbound (NULL)."""
+    tri = _triples(spark, [
+        ("e1", "at", "2024-03-05T12:34:56"),
+        ("e2", "at", "not-a-date"),
+    ])
+    out = sparql(tri, """
+        SELECT ?s (YEAR(?t) AS ?y) (MONTH(?t) AS ?mo) (DAY(?t) AS ?d)
+               (HOURS(?t) AS ?h) (MINUTES(?t) AS ?mi) (SECONDS(?t) AS ?sec)
+        WHERE { ?s <at> ?t }
+    """)
+    rows = {r["s"]: r for r in out.collect()}
+    assert (rows["e1"]["y"], rows["e1"]["mo"], rows["e1"]["d"]) == (2024, 3, 5)
+    assert (rows["e1"]["h"], rows["e1"]["mi"], rows["e1"]["sec"]) == (12, 34, 56)
+    assert all(rows["e2"][c] is None for c in ("y", "mo", "d", "h", "mi", "sec"))
+
+
+def test_datetime_accessor_numeric_context(spark):
+    """Accessors are numeric nodes: comparisons and arithmetic work
+    without explicit casts (and filter out the unbound row)."""
+    tri = _triples(spark, [
+        ("e1", "at", "2023-12-31T23:59:59"),
+        ("e2", "at", "2024-01-01T00:00:00"),
+        ("e3", "at", "junk"),
+    ])
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <at> ?t FILTER(YEAR(?t) >= 2024) }
+    """).collect()}
+    assert got == {"e2"}
