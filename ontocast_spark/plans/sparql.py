@@ -75,7 +75,20 @@ plus the aggregate/path forms the programmatic API already evaluates):
   (incl. UNION arms) — evaluated independently, joined on the
   projected variables (spec §12).
 
-Out of scope (raise ``SparqlSyntaxError``): SERVICE, MINUS/EXISTS
+- ``SERVICE [SILENT] <endpoint> { ... }`` (SPARQL 1.1 Federated
+  Query): the body parses through the full local grammar, then
+  re-serializes (with this query's PREFIX declarations) as a
+  ``SELECT *`` against the remote endpoint per the SPARQL Protocol
+  (stdlib urllib GET, ``application/sparql-results+json``;
+  :func:`register_service_client` swaps the transport). Remote
+  bindings join the local solutions null-safely (every remote
+  variable is treated as possibly unbound). ``SILENT`` turns
+  endpoint failure into the unit solution (spec §18.6). Our own
+  serve-mode ``/sparql`` endpoint speaks the matching protocol, so
+  two ontocast-spark deployments can federate.
+
+Out of scope (raise ``SparqlSyntaxError``): variable SERVICE
+endpoints, SERVICE bodies binding no variables, MINUS/EXISTS
 bodies whose solutions can be unbound (OPTIONAL/uneven UNION/UNDEF/
 BIND inside the probe), subqueries with nullable projections,
 group-scoped FILTERs referencing variables bound outside the group,
@@ -138,6 +151,65 @@ RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 class SparqlSyntaxError(ValueError):
     pass
+
+
+class SparqlServiceError(RuntimeError):
+    """A SERVICE endpoint could not be reached or answered malformed
+    results. ``SERVICE SILENT`` swallows this into the unit solution."""
+
+
+#: Pluggable SERVICE transport: ``fn(endpoint_iri, query_text) ->
+#: sparql-results+json dict``. Defaults to a stdlib urllib GET per the
+#: SPARQL 1.1 Protocol; tests and airgapped deployments can register a
+#: stub or a pooled client.
+_SERVICE_CLIENT = None
+
+
+def register_service_client(fn) -> None:
+    global _SERVICE_CLIENT
+    _SERVICE_CLIENT = fn
+
+
+def _default_service_client(endpoint: str, query: str) -> dict:
+    import json as _json
+    from urllib import parse as _parse
+    from urllib import request as _request
+
+    url = endpoint + ("&" if "?" in endpoint else "?") \
+        + _parse.urlencode({"query": query})
+    req = _request.Request(
+        url, headers={"Accept": "application/sparql-results+json"}
+    )
+    with _request.urlopen(req, timeout=30) as resp:
+        return _json.loads(resp.read().decode("utf-8"))
+
+
+def _service_solutions(endpoint: str, inner: str, prefixes: dict):
+    """Run the captured SERVICE body as ``SELECT *`` on the remote
+    endpoint; return ``(vars, rows)`` with ``None`` for unbound slots.
+    Results materialize on the driver — federation inherently funnels
+    through the remote endpoint, so the result set is bounded by what
+    that endpoint returns, not by our input scale."""
+    text = "".join(
+        f"PREFIX {p}: <{ns}>\n" for p, ns in sorted(prefixes.items())
+    ) + "SELECT * WHERE { " + inner + " }"
+    client = _SERVICE_CLIENT or _default_service_client
+    try:
+        doc = client(endpoint, text)
+        vars_ = list(doc["head"]["vars"])
+        rows = [
+            tuple(b[v]["value"] if v in b else None for v in vars_)
+            for b in doc["results"]["bindings"]
+        ]
+    except SparqlServiceError:
+        raise
+    except Exception as e:
+        raise SparqlServiceError(f"SERVICE <{endpoint}>: {e}") from e
+    if not vars_:
+        raise SparqlServiceError(
+            f"SERVICE <{endpoint}> returned no variables"
+        )
+    return vars_, rows
 
 
 # ----------------------------------------------------------- tokenizer
@@ -532,6 +604,8 @@ class _Parser:
                 self._append_bgp(g, self._graph_block())
             elif self._kw("MINUS"):
                 g.elements.append(("minus", self._group()))
+            elif self._kw("SERVICE"):
+                g.elements.append(("service", self._service_clause()))
             elif self._kw("VALUES"):
                 g.elements.append(("values", self._values_clause()))
             elif self._kw("BIND"):
@@ -550,6 +624,39 @@ class _Parser:
                 self._append_bgp(g, pats)
         self._expect_op("}")
         return g
+
+    def _service_clause(self):
+        """``SERVICE [SILENT] <endpoint> { group }`` (SPARQL 1.1
+        Federated Query). The body parses through the full local
+        grammar (so syntax errors surface at parse time) AND its token
+        span is kept verbatim — at evaluation it is re-serialized as a
+        ``SELECT * WHERE { ... }`` against the remote endpoint, with
+        this query's PREFIX declarations re-emitted so prefixed names
+        mean the same thing remotely."""
+        silent = bool(self._kw("SILENT"))
+        t = self._next()
+        if t.kind == "IRI":
+            endpoint = self.base + t.value[1:-1] if self.base \
+                else t.value[1:-1]
+        elif t.kind == "PNAME":
+            endpoint = self._resolve_pname(t.value)
+        else:
+            raise SparqlSyntaxError(
+                "SERVICE needs a constant endpoint IRI (variable "
+                "endpoints are outside the supported subset)"
+            )
+        start = self.pos
+        self._group()  # validate the body through the full grammar
+        toks = self.toks[start:self.pos]
+        # drop the outer braces; SPARQL terminals are whitespace-
+        # joinable, so a space-joined token stream is a valid query
+        inner = " ".join(tok.value for tok in toks[1:-1])
+        if not any(tok.kind == "VAR" for tok in toks):
+            raise SparqlSyntaxError(
+                "SERVICE bodies must bind at least one variable in "
+                "this subset"
+            )
+        return (endpoint, silent, inner, dict(self.prefixes))
 
     def _maybe_union(self, first):
         """After a braced group / subquery element, collect a ``UNION``
@@ -1448,11 +1555,11 @@ def _compile_group(
                 "isIRI/isLiteral/lang/datatype need obj_is_literal/"
                 "obj_lang/obj_datatype columns on the triple table"
             )
-        if any(tag in ("union", "group", "subselect")
+        if any(tag in ("union", "group", "subselect", "service")
                for tag, _ in g.elements):
             raise SparqlSyntaxError(
-                "term-metadata builtins over a UNION or nested group "
-                "are outside the supported subset"
+                "term-metadata builtins over a UNION, SERVICE, or "
+                "nested group are outside the supported subset"
             )
     sols: DataFrame | None = None
     maybe: set = set()
@@ -1528,6 +1635,22 @@ def _compile_group(
             sols = sol_minus(
                 sols, df, left_nullable=bool(maybe & set(df.columns))
             )
+        elif tag == "service":
+            endpoint, silent, inner, prefixes = payload
+            try:
+                svars, srows = _service_solutions(endpoint, inner, prefixes)
+            except SparqlServiceError:
+                if not silent:
+                    raise
+                # SERVICE SILENT failure -> the unit solution (spec
+                # §18.6): join identity, so just skip the element
+                continue
+            sdf = triples.sparkSession.createDataFrame(
+                srows, ", ".join(f"`{v}` string" for v in svars)
+            )
+            # every remote var may be unbound (the remote WHERE can
+            # use OPTIONAL we never see) -> null-safe join planning
+            merge(sdf, set(svars))
         elif tag == "values":
             vars_, rows = payload
             sols = bgp_values(sols, triples.sparkSession, vars_, rows)

@@ -9,6 +9,17 @@ KG pipeline on a single-document conversation, and returns the MCP
 response shape: ``{"status": "success", "data": {"facts": <turtle>,
 "ontology": <turtle>}, "metadata": {...}}``.
 
+``/sparql`` speaks the SPARQL 1.1 Protocol over the server's
+accumulated KG (the reference delegates this role to Fuseki): GET with
+``?query=``, POST with ``application/sparql-query`` /
+``application/sparql-update`` / form-encoded bodies; SELECT answers in
+the SPARQL Query Results JSON format, ASK as ``{"boolean": ...}``,
+CONSTRUCT/DESCRIBE as ``text/turtle``, updates mutate the store.
+Facts from each /process call accumulate into the same store, so the
+reference's process -> store -> query lifecycle round-trips against
+one server — and :func:`plans.sparql.sparql`'s ``SERVICE`` clause can
+federate INTO this endpoint.
+
 This is the *interactive* lifecycle — one document per request through
 the same SparkSession (requests serialize on a lock; Spark's scheduler
 is thread-safe but per-request isolation keeps latency predictable).
@@ -20,6 +31,7 @@ with the reference.
 from __future__ import annotations
 
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -37,9 +49,14 @@ INFO = {
 
 
 def process_text(
-    spark: SparkSession, text: str, index=None, max_chunks: int | None = None
-) -> dict:
-    """One-document run -> MCP result dict (facts + ontology Turtle)."""
+    spark: SparkSession, text: str, index=None, max_chunks: int | None = None,
+    with_rows: bool = False,
+):
+    """One-document run -> MCP result dict (facts + ontology Turtle).
+    With ``with_rows=True`` returns ``(dict, fact_rows)`` so the serve
+    handler can accumulate the facts into its query store (the
+    reference's lifecycle: process -> store to the triple store ->
+    query, cli/serve.py:64-230 + fuseki.py)."""
     from .ontology import builtin_ontology_index
     from .pipeline import PipelineConfig, run_pipeline
     from .schemas import merge_lang_expr
@@ -68,7 +85,7 @@ def process_text(
 
     facts = rows_to_tuples(out["kg_triples"])
     onto = rows_to_tuples(out["ontology_alignments"])
-    return {
+    result = {
         "status": "success",
         "data": {
             "facts": serialize_turtle(facts),
@@ -80,10 +97,76 @@ def process_text(
             "n_ontology_triples": len(onto),
         },
     }
+    return (result, facts) if with_rows else result
 
 
-def make_handler(spark: SparkSession, index=None):
+_STORE_SCHEMA = (
+    "subj string, pred string, obj string, obj_is_literal boolean, "
+    "obj_datatype string"
+)
+
+#: absolute-IRI detection for SPARQL JSON results typing: solution
+#: values are lexical forms (term metadata does not survive projection),
+#: so scheme-shaped values report as ``uri`` and the rest as ``literal``
+_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://|^urn:")
+
+
+def _json_results(df) -> dict:
+    """DataFrame of solutions -> SPARQL 1.1 Query Results JSON."""
+    cols = df.columns
+    bindings = []
+    for r in df.collect():
+        b = {}
+        for c in cols:
+            v = r[c]
+            if v is None:
+                continue  # unbound: omitted from the binding object
+            v = str(v)
+            b[c] = {
+                "type": "uri" if _IRI_RE.match(v) else "literal",
+                "value": v,
+            }
+        bindings.append(b)
+    return {"head": {"vars": cols}, "results": {"bindings": bindings}}
+
+
+def _graph_turtle(df) -> str:
+    """CONSTRUCT/DESCRIBE graph DataFrame -> Turtle text. The graph
+    carries term metadata when the store does; otherwise objects type
+    by IRI shape."""
+    from .sources.turtle import serialize_turtle
+
+    has_meta = "obj_is_literal" in df.columns
+    rows = []
+    for r in df.collect():
+        lit = bool(r["obj_is_literal"]) if has_meta \
+            else not _IRI_RE.match(r["obj"] or "")
+        dt = r["obj_datatype"] if has_meta else None
+        rows.append((r["subj"], r["pred"], r["obj"], lit, dt))
+    return serialize_turtle(rows)
+
+
+def make_handler(spark: SparkSession, index=None, triples=None):
+    """``triples`` seeds the server's SPARQL query store: a list of
+    ``(subj, pred, obj, obj_is_literal, obj_datatype)`` rows or a
+    DataFrame with those columns. /process results accumulate into the
+    same store, mirroring the reference's process->Fuseki->query
+    lifecycle. The store is driver-resident (interactive serve mode);
+    the batch CLI + parquet + :func:`plans.sparql.sparql` remain the
+    at-scale query path."""
     lock = threading.Lock()
+    if triples is None:
+        store: list = []
+    elif isinstance(triples, list):
+        store = list(triples)
+    else:
+        store = [
+            (r["subj"], r["pred"], r["obj"],
+             bool(r["obj_is_literal"]) if "obj_is_literal" in triples.columns
+             else not _IRI_RE.match(r["obj"] or ""),
+             r["obj_datatype"] if "obj_datatype" in triples.columns else None)
+            for r in triples.collect()
+        ]
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test servers
@@ -97,24 +180,116 @@ def make_handler(spark: SparkSession, index=None):
             self.end_headers()
             self.wfile.write(body)
 
+        def _reply_raw(self, code: int, body: str, ctype: str) -> None:
+            data = body.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _store_df(self):
+            return spark.createDataFrame(store, _STORE_SCHEMA)
+
+        def _sparql(self, qtext: str) -> None:
+            """Evaluate one SPARQL Protocol operation against the
+            store and reply in the matching result format."""
+            from .plans.sparql import parse_sparql, sparql
+
+            try:
+                form = parse_sparql(qtext).form
+                with lock:
+                    out = sparql(self._store_df(), qtext)
+                    if form in ("insert_data", "delete", "modify"):
+                        rows = [
+                            (r["subj"], r["pred"], r["obj"],
+                             r["obj_is_literal"], r["obj_datatype"])
+                            for r in out.collect()
+                        ]
+                        store[:] = rows
+                        self._reply(
+                            200,
+                            {"status": "success", "n_triples": len(rows)},
+                        )
+                        return
+                if form == "ask":
+                    self._reply(200, {"head": {}, "boolean": bool(out)})
+                elif form in ("construct", "describe"):
+                    self._reply_raw(200, _graph_turtle(out), "text/turtle")
+                else:
+                    self._reply(200, _json_results(out))
+            except ValueError as e:  # SparqlSyntaxError
+                self._reply(
+                    400,
+                    {"status": "error", "error": str(e),
+                     "error_type": "SparqlSyntaxError"},
+                )
+            except Exception as e:  # pragma: no cover
+                self._reply(
+                    500,
+                    {"status": "error", "error": str(e),
+                     "error_type": type(e).__name__},
+                )
+
         def do_GET(self):
-            if self.path == "/health":
+            from urllib.parse import parse_qs, urlsplit
+
+            parts = urlsplit(self.path)
+            if parts.path == "/health":
                 try:
                     spark.sql("SELECT 1").collect()
                     self._reply(200, {"status": "healthy"})
                 except Exception as e:  # pragma: no cover
                     self._reply(500, {"status": "unhealthy", "error": str(e)})
-            elif self.path == "/info":
+            elif parts.path == "/info":
                 self._reply(200, INFO)
+            elif parts.path == "/sparql":
+                q = parse_qs(parts.query).get("query")
+                if not q:
+                    self._reply(
+                        400,
+                        {"status": "error",
+                         "error": "missing query parameter",
+                         "error_type": "ValidationError"},
+                    )
+                else:
+                    self._sparql(q[0])
             else:
                 self._reply(404, {"status": "error", "error": "not found"})
 
         def do_POST(self):
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            raw = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            if self.path == "/sparql":
+                # SPARQL 1.1 Protocol: direct POST or form-encoded
+                if ctype in ("application/sparql-query",
+                             "application/sparql-update"):
+                    self._sparql(raw.decode("utf-8", errors="replace"))
+                elif ctype == "application/x-www-form-urlencoded":
+                    from urllib.parse import parse_qs
+
+                    params = parse_qs(raw.decode("utf-8", errors="replace"))
+                    op = params.get("query") or params.get("update")
+                    if not op:
+                        self._reply(
+                            400,
+                            {"status": "error",
+                             "error": "missing query/update parameter",
+                             "error_type": "ValidationError"},
+                        )
+                    else:
+                        self._sparql(op[0])
+                else:
+                    self._reply(
+                        400,
+                        {"status": "error",
+                         "error": f"Unsupported content type: {ctype}",
+                         "error_type": "ValidationError"},
+                    )
+                return
             if self.path != "/process":
                 self._reply(404, {"status": "error", "error": "not found"})
                 return
-            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
-            raw = self.rfile.read(int(self.headers.get("Content-Length", 0)))
             if ctype == "application/json":
                 try:
                     text = json.loads(raw.decode("utf-8")).get("text", "")
@@ -137,7 +312,10 @@ def make_handler(spark: SparkSession, index=None):
                 return
             try:
                 with lock:
-                    result = process_text(spark, text, index=index)
+                    result, rows = process_text(
+                        spark, text, index=index, with_rows=True
+                    )
+                    store.extend(rows)  # queryable via /sparql
                 self._reply(200, result)
             except Exception as e:  # pragma: no cover
                 self._reply(
@@ -150,11 +328,14 @@ def make_handler(spark: SparkSession, index=None):
 
 
 def serve(
-    spark: SparkSession, host: str = "127.0.0.1", port: int = 8999, index=None
+    spark: SparkSession, host: str = "127.0.0.1", port: int = 8999,
+    index=None, triples=None,
 ) -> ThreadingHTTPServer:
     """Start the HTTP server (non-blocking; returns the server — call
     ``.shutdown()`` to stop). CLI: ``python -m ontocast_spark.serve``."""
-    server = ThreadingHTTPServer((host, port), make_handler(spark, index))
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(spark, index, triples=triples)
+    )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server
