@@ -64,7 +64,8 @@ def is_meta_col(name: str) -> bool:
 class Path:
     """AST node for the supported SPARQL 1.1 property-path subset:
     ``iri``, inverse ``^p``, sequence ``p/q``, alternative ``p|q``,
-    ``p+`` (one or more), ``p*`` (zero or more), ``p?`` (zero or one).
+    ``p+`` (one or more), ``p*`` (zero or more), ``p?`` (zero or one),
+    negated property sets ``!(:p|^:q)``.
     Build with the factory helpers (:func:`p_iri`, :func:`p_seq`, ...)
     or parse the SPARQL surface syntax with :func:`parse_path`
     (IRIs must be ``<>``-bracketed there — the reference's ontology
@@ -114,9 +115,18 @@ def p_opt(p: Path) -> Path:
     return Path("opt", (p,))
 
 
+def p_nps(iris) -> Path:
+    """Negated property set, forward members: any edge whose predicate
+    is NOT one of ``iris`` (SPARQL 1.1 ``!(:p|:q)``). The surface
+    form's inverse members (``!(^:p)``) compose as
+    ``p_inv(p_nps([...]))`` per the spec's translation (§18.2.2.3)."""
+    return Path("nps", iri=tuple(iris))
+
+
 def parse_path(expr: str) -> Path:
     """Recursive-descent parser for the path surface syntax:
-    ``<iri>``, ``^``, ``/``, ``|``, postfix ``+ * ?``, parentheses.
+    ``<iri>``, ``^``, ``/``, ``|``, postfix ``+ * ?``, parentheses,
+    negated property sets ``!<iri>`` / ``!(<iri>|^<iri>|...)``.
     Precedence (loosest first): ``|`` < ``/`` < postfix < ``^``/atom.
     IRIs MUST be angle-bracketed — raw IRIs contain ``/``."""
     pos = 0
@@ -127,9 +137,55 @@ def parse_path(expr: str) -> Path:
             pos += 1
         return expr[pos] if pos < len(expr) else ""
 
+    def iri_member():
+        nonlocal pos
+        if peek() != "<":
+            raise ValueError(
+                f"negated property sets take <iri> members at {pos} "
+                f"in {expr!r}"
+            )
+        end = expr.index(">", pos)
+        iri = expr[pos + 1:end]
+        pos = end + 1
+        return iri
+
+    def nps() -> Path:
+        nonlocal pos
+        fwd: list = []
+        inv: list = []
+
+        def member():
+            nonlocal pos
+            rev = peek() == "^"
+            if rev:
+                pos += 1
+            (inv if rev else fwd).append(iri_member())
+
+        if peek() == "(":
+            pos += 1
+            if peek() != ")":
+                member()
+                while peek() == "|":
+                    pos += 1
+                    member()
+            if peek() != ")":
+                raise ValueError(f"unbalanced ( in path: {expr!r}")
+            pos += 1
+        else:
+            member()
+        arms = []
+        if fwd or not inv:
+            arms.append(p_nps(fwd))
+        if inv:
+            arms.append(p_inv(p_nps(inv)))
+        return postfix(p_alt(*arms))
+
     def atom() -> Path:
         nonlocal pos
         c = peek()
+        if c == "!":
+            pos += 1
+            return nps()
         if c == "^":
             pos += 1
             return p_inv(atom())
@@ -235,6 +291,13 @@ def path_pairs(
     k = path.kind
     if k == "iri":
         return triples.filter(F.col("pred") == F.lit(path.iri)).select(
+            F.col("subj").alias("s"), F.col("obj").alias("o")
+        )
+    if k == "nps":
+        # negation needs the complement scan by definition; the NOT IN
+        # still pushes to the source as a predicate filter
+        cond = ~F.col("pred").isin(*path.iri) if path.iri else F.lit(True)
+        return triples.filter(cond).select(
             F.col("subj").alias("s"), F.col("obj").alias("o")
         )
     if k == "inv":
@@ -928,7 +991,9 @@ def bgp_aggregate(
     """SPARQL 1.1 aggregates over a solution set: ``GROUP BY
     group_vars`` with ``aggs = [(fn, var, alias)]`` (or
     ``(fn, var, alias, distinct)`` — a 4th element applies the
-    SPARQL ``DISTINCT`` set-modifier inside the aggregate), fn one of
+    SPARQL ``DISTINCT`` set-modifier inside the aggregate; a 5th
+    non-None element overrides ``concat_sep`` for that GROUP_CONCAT,
+    the text front-end's ``; SEPARATOR="..."`` clause), fn one of
     count / sum / min / max / avg / sample / group_concat, and
     ``("count", "*", alias)`` for ``COUNT(*)``. Maps 1:1 onto a
     DataFrame groupBy — partial (map-side) aggregation and AQE come
@@ -961,9 +1026,10 @@ def bgp_aggregate(
         if fn == "group_concat":
             members = (F.collect_set(col) if distinct
                        else F.collect_list(col))
+            sep = rest[1] if len(rest) > 1 and rest[1] is not None \
+                else concat_sep
             exprs.append(
-                F.array_join(F.array_sort(members), concat_sep)
-                .alias(alias)
+                F.array_join(F.array_sort(members), sep).alias(alias)
             )
             continue
         if fn not in _AGG_FNS:

@@ -51,7 +51,8 @@ plus the aggregate/path forms the programmatic API already evaluates):
   OPTIONAL body, ...). Group-level FILTERs scope to their own group:
   ``OPTIONAL { P FILTER(e) }`` is the spec's LeftJoin(A, P, e) —
   evaluated on the optional solutions BEFORE the left join.
-  Property paths ride the predicate slot (``^ / | + * ?``, parens).
+  Property paths ride the predicate slot (``^ / | + * ?``, parens,
+  negated property sets ``!(:p|^:q)``).
   The compiler statically tracks which variables may be unbound
   (OPTIONAL-introduced, uneven UNION arms, VALUES UNDEF, BIND) and
   anchors every solution join on the certainly-bound shared
@@ -140,6 +141,7 @@ from .bgp import (
     p_alt,
     p_inv,
     p_iri,
+    p_nps,
     p_opt,
     p_plus,
     p_seq,
@@ -470,6 +472,9 @@ class _Parser:
         t = self._peek()
         if t is None:
             raise SparqlSyntaxError("expected a predicate")
+        if self._at_op("!"):
+            self.pos += 1
+            return self._path_postfix(self._path_nps(), None)
         if self._at_op("("):
             self.pos += 1
             node, _ = self._path_alt()
@@ -487,6 +492,49 @@ class _Parser:
         else:
             raise SparqlSyntaxError(f"bad predicate {t.value!r}")
         return self._path_postfix(p_iri(iri), iri)
+
+    def _path_nps(self) -> Path:
+        """``!<iri>`` / ``!(<iri>|^<iri>|...)`` — negated property
+        set. Spec translation (§18.2.2.3): forward members become one
+        not-in edge scan, inverse members an inverted one, unioned."""
+        fwd: list = []
+        inv: list = []
+
+        def member():
+            rev = False
+            if self._at_op("^"):
+                self.pos += 1
+                rev = True
+            t = self._next()
+            if t.kind == "IRI":
+                iri = self.base + t.value[1:-1] if self.base \
+                    else t.value[1:-1]
+            elif t.kind == "PNAME":
+                iri = self._resolve_pname(t.value)
+            elif t.kind == "KW" and t.value == "a":
+                iri = RDF_TYPE_IRI
+            else:
+                raise SparqlSyntaxError(
+                    "negated property sets take IRI members"
+                )
+            (inv if rev else fwd).append(iri)
+
+        if self._at_op("("):
+            self.pos += 1
+            if not self._at_op(")"):
+                member()
+                while self._at_op("|"):
+                    self.pos += 1
+                    member()
+            self._expect_op(")")
+        else:
+            member()
+        arms = []
+        if fwd or not inv:
+            arms.append(p_nps(fwd))
+        if inv:
+            arms.append(p_inv(p_nps(inv)))
+        return p_alt(*arms)
 
     def _path_postfix(self, node: Path, plain: str | None):
         # a lone `?` tokenizes as OP (the VAR rule needs a following
@@ -1028,9 +1076,28 @@ class _Parser:
                         # plain-column fast path
                         arg = self._expr_or()
                         src = arg[1] if arg[0] == "var" else arg
+                    sep = None
+                    if self._at_op(";"):
+                        # GROUP_CONCAT(?x; SEPARATOR="...") (§18.5.1.7)
+                        self.pos += 1
+                        if fn != "group_concat":
+                            raise SparqlSyntaxError(
+                                "SEPARATOR only applies to GROUP_CONCAT"
+                            )
+                        if not self._kw("SEPARATOR"):
+                            raise SparqlSyntaxError(
+                                "expected SEPARATOR after ';'"
+                            )
+                        self._expect_op("=")
+                        t = self._next()
+                        if t.kind != "STRING":
+                            raise SparqlSyntaxError(
+                                "SEPARATOR needs a string literal"
+                            )
+                        sep = _unquote(t.value)
                     self._expect_op(")")
                     alias = self._as_alias("aggregate")
-                    q.aggs.append((fn, src, alias, distinct))
+                    q.aggs.append((fn, src, alias, distinct, sep))
                 else:
                     # (expr AS ?alias) projection
                     expr = self._expr_or()

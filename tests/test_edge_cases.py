@@ -276,6 +276,8 @@ def _brute_path(triples, path):
             return closure(ev(p.children[0])) | ident
         if k == "opt":
             return ev(p.children[0]) | ident
+        if k == "nps":
+            return {(s, o) for s, pp, o in triples if pp not in p.iri}
         raise ValueError(k)
 
     return ev(path)
@@ -295,7 +297,9 @@ def test_property_path_operators(spark):
     tri = spark.createDataFrame(triples, "subj string, pred string, obj string")
     for expr in ["<sub>", "<sub>+", "<sub>*", "<sub>?", "^<sub>",
                  "<sub>/<lbl>", "<sub>|<lbl>", "(<sub>/<sub>)+",
-                 "^<sub>/<lbl>", "<sub>+/<lbl>"]:
+                 "^<sub>/<lbl>", "<sub>+/<lbl>",
+                 "!<sub>", "!(<sub>|<lbl>)", "!<lbl>/<lbl>", "!()",
+                 "!(^<sub>)", "!(<lbl>|^<sub>)"]:
         ast = parse_path(expr)
         got = {(r["s"], r["o"]) for r in path_pairs(tri, ast).collect()}
         want = _brute_path(triples, ast)
@@ -319,13 +323,18 @@ def test_property_path_random_graphs(spark):
     import random
 
     from ontocast_spark.plans.bgp import (
-        p_alt, p_inv, p_iri, p_opt, p_plus, p_seq, p_star, path_pairs,
+        p_alt, p_inv, p_iri, p_nps, p_opt, p_plus, p_seq, p_star,
+        path_pairs,
     )
 
     rng = random.Random(31)
 
     def rand_path(depth):
         if depth == 0:
+            if rng.random() < 0.3:
+                return p_nps(
+                    [x for x in ("p", "q") if rng.random() < 0.5]
+                )
             return p_iri(rng.choice(["p", "q"]))
         op = rng.choice(["inv", "seq", "alt", "plus", "star", "opt"])
         if op == "inv":

@@ -451,3 +451,66 @@ def test_datetime_accessor_numeric_context(spark):
         SELECT ?s WHERE { ?s <at> ?t FILTER(YEAR(?t) >= 2024) }
     """).collect()}
     assert got == {"e2"}
+
+
+# --------------------------------------------- GROUP_CONCAT SEPARATOR
+
+
+def test_group_concat_separator(spark):
+    """GROUP_CONCAT(?x; SEPARATOR="...") (§18.5.1.7); members sort for
+    determinism at any parallelism, default separator stays a space."""
+    tri = _triples(spark, [
+        ("a", "tag", "x"), ("a", "tag", "y"), ("b", "tag", "z"),
+        ("a", "mark", "m1"), ("a", "mark", "m2"),
+    ])
+    got = {(r["s"], r["tags"]) for r in sparql(tri, """
+        SELECT ?s (GROUP_CONCAT(DISTINCT ?t; SEPARATOR=", ") AS ?tags)
+        WHERE { ?s <tag> ?t } GROUP BY ?s
+    """).collect()}
+    assert got == {("a", "x, y"), ("b", "z")}
+    # multiset multiplicity (via the two ?m join partners) without
+    # DISTINCT; RDF graphs are triple sets, so duplicates must come
+    # from solutions, not repeated input rows
+    got = {(r["s"], r["tags"]) for r in sparql(tri, """
+        SELECT ?s (GROUP_CONCAT(?t) AS ?tags)
+        WHERE { ?s <tag> ?t . ?s <mark> ?m } GROUP BY ?s
+    """).collect()}
+    assert got == {("a", "x x y y")}
+
+
+def test_separator_guards(spark):
+    tri = _triples(spark, [("a", "p", "1")])
+    with pytest.raises(SparqlSyntaxError, match="only applies"):
+        sparql(tri, """
+            SELECT (COUNT(?o; SEPARATOR=",") AS ?n) WHERE { ?s <p> ?o }
+        """)
+
+
+# ------------------------------------------- negated property sets
+
+
+def test_negated_property_set_text_surface(spark):
+    """`!` in the predicate slot: !iri, !(iri|iri), inverse members,
+    postfix modifiers — spec §18.2.2.3 split into forward/inverse
+    not-in edge scans."""
+    tri = _triples(spark, [
+        ("a", "knows", "b"), ("a", "likes", "c"), ("b", "hates", "c"),
+    ])
+    got = {(r["s"], r["o"]) for r in sparql(tri, """
+        SELECT ?s ?o WHERE { ?s !<knows> ?o }
+    """).collect()}
+    assert got == {("a", "c"), ("b", "c")}
+    got = {(r["s"], r["o"]) for r in sparql(tri, """
+        SELECT ?s ?o WHERE { ?s !(<knows>|<likes>) ?o }
+    """).collect()}
+    assert got == {("b", "c")}
+    # inverse member: edges arriving at ?s by any predicate but likes
+    got = {(r["s"], r["o"]) for r in sparql(tri, """
+        SELECT ?s ?o WHERE { ?s !(^<likes>) ?o }
+    """).collect()}
+    assert got == {("b", "a"), ("c", "b")}
+    # composes with sequencing and a plain pattern join
+    got = {(r["s"], r["o"]) for r in sparql(tri, """
+        SELECT ?s ?o WHERE { ?s !<likes>/<hates> ?o }
+    """).collect()}
+    assert got == {("a", "c")}
