@@ -1493,6 +1493,57 @@ WHERE pred = 'segment' AND obj LIKE 'B%'
 """
 
 
+def q_sparql_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 builtin surface end-to-end through the text front-end:
+    the SPARQL 1.1 digests (SHA256/MD5 -> JVM ``sha2``/``md5``, no
+    Python in the hot path), the xsd:dateTime accessors
+    (YEAR/MONTH/DAY/HOURS in projections, MINUTES/SECONDS in FILTER —
+    ``try_cast`` keeps a malformed term an unbound, not an ANSI cast
+    kill), and a negated property set ``!<at>`` picking the non-time
+    edges as a pushed-down NOT-IN predicate scan. Reference surface:
+    the Fuseki endpoint the reference delegates full SPARQL to
+    (fuseki.py:188-270)."""
+    from .plans.sparql import sparql as run_sparql
+
+    events = _t(spark, sf_dir, "events")
+    eid = F.concat(F.lit("e"), F.col("event_id").cast("string"))
+    triples = (
+        events.select(
+            eid.alias("subj"), F.lit("at").alias("pred"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("obj"),
+        )
+        .union(events.select(eid, F.lit("type"), F.col("event_type")))
+    )
+    text = """
+    SELECT ?e ?ty (SHA256(?ty) AS ?tyh) (MD5(?e) AS ?eh)
+           (YEAR(?t) AS ?y) (MONTH(?t) AS ?mo) (DAY(?t) AS ?d)
+           (HOURS(?t) AS ?h)
+    WHERE {
+      ?e <at> ?t .
+      ?e !<at> ?ty
+      FILTER(MINUTES(?t) >= 30 && SECONDS(?t) < 15)
+    }
+    """
+    return run_sparql(triples, text)
+
+
+ORACLE_SPARQL_BUILTINS = """
+WITH t AS (
+  SELECT 'e' || event_id::VARCHAR AS subj, 'at' AS pred,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS obj FROM events
+  UNION ALL
+  SELECT 'e' || event_id::VARCHAR, 'type', event_type FROM events
+),
+at_edge AS (SELECT subj, obj AS t FROM t WHERE pred = 'at'),
+other AS (SELECT subj, obj AS ty FROM t WHERE pred <> 'at')
+SELECT at_edge.subj AS e, ty, sha256(ty) AS tyh, md5(at_edge.subj) AS eh,
+       year(t::TIMESTAMP)::INT AS y, month(t::TIMESTAMP)::INT AS mo,
+       day(t::TIMESTAMP)::INT AS d, hour(t::TIMESTAMP)::INT AS h
+FROM at_edge JOIN other USING (subj)
+WHERE minute(t::TIMESTAMP) >= 30 AND second(t::TIMESTAMP) < 15
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First EXTERNAL oracle row for the multimodal plumbing
     (operators/multimodal.py — previously local-tests-only): build a
@@ -3402,6 +3453,7 @@ QUERIES = {
     "q_kg_class_histogram": q_kg_class_histogram,
     "q_sparql_exprs": q_sparql_exprs,
     "q_sparql_modify": q_sparql_modify,
+    "q_sparql_builtins": q_sparql_builtins,
     "q_multimodal_features": q_multimodal_features,
     # -- (b) green in exactly one round (r4) — bank a second row ---------
     "q_split_leakage": q_split_leakage,
@@ -3449,10 +3501,10 @@ QUERIES = {
     "q_dataset_split": q_dataset_split,
     "q_decontaminate": q_decontaminate,
     "q_pack_sequences": q_pack_sequences,
-    "q_bgp_select": q_bgp_select,
     # ---- entries below are OUTSIDE the 50-entry external window --------
     # (>= 2 external green rows each; tests/test_oracle_parity.py keeps
     # checking every entry locally every run)
+    "q_bgp_select": q_bgp_select,  # r5: rotated out for q_sparql_builtins
     "q_bgp_construct": q_bgp_construct,  # r5: rotated out for q_sparql_nested
     "q_validate_predicates": q_validate_predicates,
     "q_json_props": q_json_props,
@@ -3514,6 +3566,7 @@ ORACLES = {
     "q_kg_class_histogram": ORACLE_KG_CLASS_HISTOGRAM,
     "q_sparql_exprs": ORACLE_SPARQL_EXPRS,
     "q_sparql_modify": ORACLE_SPARQL_MODIFY,
+    "q_sparql_builtins": ORACLE_SPARQL_BUILTINS,
     "q_multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "q_validate_predicates": ORACLE_VALIDATE_PREDICATES,
     "q_token_stats": ORACLE_TOKEN_STATS,
