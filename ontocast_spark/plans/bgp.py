@@ -340,6 +340,46 @@ _TERM_META = (("obj_is_literal", "__is_literal", "false"),
                ("obj_datatype", "__datatype", "null"))
 
 
+def _order_patterns(patterns: list) -> list:
+    """Greedy selectivity ordering for one BGP's patterns — inner
+    joins commute, so any order is result-identical, but intermediate
+    sizes are not: seed with the most constant-bound pattern, then
+    repeatedly take the most-constant pattern sharing a variable with
+    the already-bound set, deferring disconnected patterns (cross
+    joins) to the smallest possible frontier. This is the classic
+    variable-counting heuristic (Stocker et al., WWW'08, the approach
+    Jena's default reorderer uses) — without it a user-written order
+    like ``{ ?s ?p ?o . ?s rdf:type :T }`` drags the whole graph into
+    the first join at 100x scale. Ties keep the written order, so
+    equally-selective queries plan exactly as authored."""
+    def score(pat) -> int:
+        n = 0
+        for term in pat:
+            if isinstance(term, Path):
+                n += 1  # a path filters predicates but fans out
+            elif not (isinstance(term, str) and term.startswith("?")):
+                n += 2  # constant slot
+        return n
+
+    def pat_vars(pat) -> set:
+        return {t[1:] for t in pat
+                if isinstance(t, str) and t.startswith("?")}
+
+    remaining = list(range(len(patterns)))
+    order: list = []
+    bound: set = set()
+    while remaining:
+        pool = remaining
+        if order:
+            pool = [i for i in remaining
+                    if pat_vars(patterns[i]) & bound] or remaining
+        best = max(pool, key=lambda i: (score(patterns[i]), -i))
+        remaining.remove(best)
+        order.append(best)
+        bound |= pat_vars(patterns[best])
+    return [patterns[i] for i in order]
+
+
 def bgp_select(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
@@ -384,7 +424,7 @@ def bgp_select(
         else []
     )
     result: DataFrame | None = None
-    for pat in patterns:
+    for pat in _order_patterns(patterns):
         s, p, o = pat[0], pat[1], pat[2]
         g = pat[3] if len(pat) == 4 else None
         is_path = isinstance(p, Path) or (

@@ -1580,8 +1580,8 @@ def _nested_body(triples: DataFrame, g: _Group, what: str) -> DataFrame:
     if m:
         raise SparqlSyntaxError(
             f"{what} bodies whose solutions can be unbound (OPTIONAL, "
-            "UNION with uneven variables, VALUES UNDEF, or BIND "
-            "inside) are outside the supported subset"
+            "UNION with uneven variables, VALUES UNDEF, BIND, or "
+            "SERVICE inside) are outside the supported subset"
         )
     if any(is_meta_col(c) for c in df.columns):
         raise SparqlSyntaxError(

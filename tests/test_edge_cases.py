@@ -686,3 +686,32 @@ def test_inference_plan_shapes(spark):
         assert "BroadcastNestedLoopJoin" not in plan
     plan = infer_types(tri)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # schema side broadcasts
+
+
+def test_bgp_pattern_reordering(spark):
+    """bgp_select plans the most-constant pattern first and keeps
+    connected patterns adjacent (variable-counting heuristic); the
+    rewrite is order-invariant on results."""
+    from ontocast_spark.plans.bgp import _order_patterns, bgp_select
+
+    # wildcard first as written; the typed pattern must seed the plan
+    pats = [("?s", "?p", "?o"), ("?s", "type", "T")]
+    assert _order_patterns(pats) == [("?s", "type", "T"),
+                                     ("?s", "?p", "?o")]
+    # disconnected pattern written in the middle defers to the end
+    pats = [("?a", "p", "?b"), ("?x", "q", "?y"), ("?b", "p", "?c")]
+    assert _order_patterns(pats) == [
+        ("?a", "p", "?b"), ("?b", "p", "?c"), ("?x", "q", "?y"),
+    ]
+    # ties keep the written order
+    pats = [("?a", "p", "?b"), ("?b", "q", "?c")]
+    assert _order_patterns(pats) == pats
+
+    tri = spark.createDataFrame(
+        [("a", "type", "T"), ("a", "p", "x"), ("b", "p", "y")],
+        "subj string, pred string, obj string",
+    )
+    got = {(r["s"], r["p"], r["o"]) for r in bgp_select(
+        tri, [("?s", "?p", "?o"), ("?s", "type", "T")]
+    ).collect()}
+    assert got == {("a", "type", "T"), ("a", "p", "x")}
