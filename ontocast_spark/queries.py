@@ -3498,13 +3498,13 @@ QUERIES = {
     "q_embedding_neardup": q_embedding_neardup,
     "q_ann_topk": q_ann_topk,
     "q_ivf_assign": q_ivf_assign,
-    "q_dataset_split": q_dataset_split,
-    "q_decontaminate": q_decontaminate,
-    "q_pack_sequences": q_pack_sequences,
     # ---- entries below are OUTSIDE the 50-entry external window --------
     # (>= 2 external green rows each; tests/test_oracle_parity.py keeps
     # checking every entry locally every run)
-    "q_bgp_select": q_bgp_select,  # r5: rotated out for q_sparql_builtins
+    "q_dataset_split": q_dataset_split,  # r5: rotated out for q_sparql_builtins
+    "q_decontaminate": q_decontaminate,
+    "q_pack_sequences": q_pack_sequences,
+    "q_bgp_select": q_bgp_select,
     "q_bgp_construct": q_bgp_construct,  # r5: rotated out for q_sparql_nested
     "q_validate_predicates": q_validate_predicates,
     "q_json_props": q_json_props,
