@@ -52,7 +52,11 @@ plus the aggregate/path forms the programmatic API already evaluates):
   ``OPTIONAL { P FILTER(e) }`` is the spec's LeftJoin(A, P, e) —
   evaluated on the optional solutions BEFORE the left join.
   Property paths ride the predicate slot (``^ / | + * ?``, parens,
-  negated property sets ``!(:p|^:q)``).
+  negated property sets ``!(:p|^:q)``). Blank nodes — ``[]``,
+  ``_:label``, and ``[ pred obj ; ... ]`` property lists (nested,
+  subject or object position) — compile to internal ``!``-prefixed
+  join variables: scoped existentials that never project into
+  ``SELECT *`` and cannot collide with user ``?vars`` (spec §19.6).
   The compiler statically tracks which variables may be unbound
   (OPTIONAL-introduced, uneven UNION arms, VALUES UNDEF, BIND) and
   anchors every solution join on the certainly-bound shared
@@ -227,7 +231,7 @@ _TOKEN_RE = re.compile(
     | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_][A-Za-z0-9_\-.]*
                 |[A-Za-z_][A-Za-z0-9_\-]*:)
     | (?P<KW>[A-Za-z][A-Za-z0-9_]*)
-    | (?P<OP>\|\||&&|!=|<=|>=|\^\^|[{}().,;=<>!*+/|^-])
+    | (?P<OP>\|\||&&|!=|<=|>=|\^\^|[{}().,;=<>!*+/|^\[\]-])
     """,
     re.X,
 )
@@ -330,6 +334,7 @@ class _Parser:
         self.pos = 0
         self.prefixes: dict[str, str] = {}
         self.base = ""
+        self._bn = 0  # fresh-blank-node counter ([] property lists)
 
     # -- token helpers
     def _peek(self, ahead: int = 0) -> _Tok | None:
@@ -403,16 +408,54 @@ class _Parser:
             raise SparqlSyntaxError(f"undeclared prefix {prefix!r}:")
         return self.prefixes[prefix] + local
 
-    def _term(self) -> str:
+    def _term(self, out: list | None = None) -> str:
         """Subject/object term: var, IRI, prefixed name, literal,
-        number, or ``a``. Returns the pattern-term string form the BGP
-        compiler takes (``?var`` or a constant)."""
+        number, ``a``, or a blank node (``[]``, ``_:label``, or a
+        ``[ pred obj ; ... ]`` property list when ``out`` — the
+        pattern list under construction — is given). Returns the
+        pattern-term string form the BGP compiler takes (``?var`` or a
+        constant). Blank nodes compile to internal ``!``-prefixed
+        variables (spec §19.6 scoped-to-the-BGP existentials): they
+        join like variables but are excluded from ``SELECT *`` and
+        cannot be written as ``?vars`` (``!`` is outside the VAR
+        token grammar), so they never leak into results."""
         t = self._next()
         if t.kind == "VAR":
             return "?" + t.value[1:]
+        if t.kind == "OP" and t.value == "[":
+            var = f"?!bn{self._bn}"
+            self._bn += 1
+            if self._at_op("]"):
+                self.pos += 1
+                return var
+            if out is None:
+                raise SparqlSyntaxError(
+                    "blank node property lists are only allowed in "
+                    "triple patterns"
+                )
+            while True:
+                pred = self._pred()
+                while True:
+                    out.append((var, pred, self._term(out)))
+                    if self._at_op(","):
+                        self.pos += 1
+                        continue
+                    break
+                if self._at_op(";"):
+                    self.pos += 1
+                    if self._at_op("]"):
+                        break
+                    continue
+                break
+            self._expect_op("]")
+            return var
         if t.kind == "IRI":
             return self.base + t.value[1:-1] if self.base else t.value[1:-1]
         if t.kind == "PNAME":
+            if t.value.startswith("_:"):
+                # label-stable blank node: same internal variable on
+                # every use within the query
+                return "?!bnl_" + t.value[2:]
             return self._resolve_pname(t.value)
         if t.kind == "STRING":
             val = _unquote(t.value)
@@ -564,11 +607,20 @@ class _Parser:
 
     # -- triple block with ; and , continuations
     def _triples_block(self, out: list):
-        subj = self._term()
+        n0 = len(out)
+        subj = self._term(out)
+        if subj.startswith("?!bn") and len(out) > n0 and (
+            self._at_op(".") or self._at_op("}")
+        ):
+            # TriplesSameSubject allows a bare property list as the
+            # whole statement: [ :p :o ] .
+            if self._at_op("."):
+                self.pos += 1
+            return
         while True:
             pred = self._pred()
             while True:
-                obj = self._term()
+                obj = self._term(out)
                 out.append((subj, pred, obj))
                 if self._at_op(","):
                     self.pos += 1
@@ -1450,12 +1502,19 @@ def _meta_arg_vars(ast, acc: set):
 def _reject_paths(patterns, where: str) -> None:
     """SPARQL forbids property paths in CONSTRUCT/UPDATE templates —
     fail with a parse-level error instead of a deep Spark literal
-    error (a :class:`Path` cannot instantiate a triple)."""
+    error (a :class:`Path` cannot instantiate a triple). Blank nodes
+    in templates (spec: mint a fresh bnode per solution) are outside
+    the supported subset — reject them with a clear error too."""
     for pat in patterns or ():
         for term in pat:
             if isinstance(term, Path):
                 raise SparqlSyntaxError(
                     f"property path not allowed in {where}"
+                )
+            if isinstance(term, str) and term.startswith("?!bn"):
+                raise SparqlSyntaxError(
+                    f"blank nodes in {where}s are outside the "
+                    "supported subset"
                 )
 
 
@@ -1897,7 +1956,10 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
     else:
         if q.havings:
             raise SparqlSyntaxError("HAVING needs aggregates")
-        vars_ = q.variables if q.variables is not None else plain
+        # SELECT *: blank-node bindings (internal !-vars) never
+        # project (spec §19.6 — bnodes are scoped existentials)
+        vars_ = q.variables if q.variables is not None \
+            else [c for c in plain if not c.startswith("!")]
         for k, _ in q.order_by:
             for v in sorted(order_vars(k)):
                 if v not in sols.columns:

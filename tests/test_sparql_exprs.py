@@ -514,3 +514,61 @@ def test_negated_property_set_text_surface(spark):
         SELECT ?s ?o WHERE { ?s !<likes>/<hates> ?o }
     """).collect()}
     assert got == {("a", "c")}
+
+
+# ---------------------------------------------------- blank nodes
+
+
+def test_blank_node_syntax(spark):
+    """[] anonymous nodes, [ pred obj ; ... ] property lists, and
+    _:label blank nodes compile to internal !-prefixed variables:
+    they join like variables, never project (spec §19.6), and cannot
+    collide with user ?vars (! is outside the VAR token grammar)."""
+    tri = _triples(spark, [
+        ("a", "knows", "b"), ("b", "name", "Bob"), ("b", "age", "30"),
+        ("c", "name", "Cai"),
+    ])
+    # [] = fresh anonymous variable
+    got = {r["s"] for r in sparql(
+        tri, "SELECT ?s WHERE { ?s <knows> [] }"
+    ).collect()}
+    assert got == {"a"}
+    # object-position property list
+    got = {r["n"] for r in sparql(tri, """
+        SELECT ?n WHERE { ?s <knows> [ <name> ?n ] }
+    """).collect()}
+    assert got == {"Bob"}
+    # subject-position property list as the whole statement, with ;
+    got = {r["n"] for r in sparql(tri, """
+        SELECT ?n WHERE { [ <name> ?n ; <age> "30" ] . }
+    """).collect()}
+    assert got == {"Bob"}
+    # nested property lists
+    got = {r["n"] for r in sparql(tri, """
+        SELECT ?n WHERE { [ <knows> [ <name> ?n ] ] . }
+    """).collect()}
+    assert got == {"Bob"}
+    # _:label is stable across patterns (a real join variable)
+    got = {(r["a"], r["n"]) for r in sparql(tri, """
+        SELECT ?a ?n WHERE { ?a <knows> _:x . _:x <name> ?n }
+    """).collect()}
+    assert got == {("a", "Bob")}
+
+
+def test_blank_nodes_never_project(spark):
+    tri = _triples(spark, [("a", "knows", "b"), ("b", "name", "Bob")])
+    out = sparql(tri, "SELECT * WHERE { ?s <knows> [ <name> ?n ] }")
+    assert set(out.columns) == {"s", "n"}
+    assert {(r["s"], r["n"]) for r in out.collect()} == {("a", "Bob")}
+
+
+def test_blank_node_guards(spark):
+    tri = _triples(spark, [("a", "p", "1")])
+    with pytest.raises(SparqlSyntaxError, match="blank node"):
+        sparql(tri, """
+            CONSTRUCT { ?s <p2> [] } WHERE { ?s <p> ?o }
+        """)
+    with pytest.raises(SparqlSyntaxError, match="ground triples"):
+        sparql(tri, 'INSERT DATA { [] <p> "x" }')
+    with pytest.raises(SparqlSyntaxError):
+        sparql(tri, 'SELECT ?s WHERE { ?s <p> ?o VALUES ?o { [] } }')
