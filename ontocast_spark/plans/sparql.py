@@ -71,8 +71,9 @@ plus the aggregate/path forms the programmatic API already evaluates):
   ``COALESCE``, ``IF``, ``STRBEFORE``, ``STRAFTER``, ``SUBSTR``,
   ``REPLACE``, ``ABS``, ``CEIL``, ``FLOOR``, ``ROUND``, the
   SPARQL 1.1 digests (``MD5``, ``SHA1``, ``SHA256``, ``SHA384``,
-  ``SHA512``) and dateTime accessors (``YEAR``, ``MONTH``, ``DAY``,
-  ``HOURS``, ``MINUTES``, ``SECONDS``) — each
+  ``SHA512``), dateTime accessors (``YEAR``, ``MONTH``, ``DAY``,
+  ``HOURS``, ``MINUTES``, ``SECONDS``), ``isNumeric``, and
+  ``ENCODE_FOR_URI`` — each
   compiled to Catalyst builtins (term-metadata builtins auto-enable
   ``bind_term_meta`` when the triple table carries the metadata
   columns).
@@ -931,6 +932,7 @@ class _Parser:
         "ABS", "CEIL", "FLOOR", "ROUND", "LANGMATCHES",
         "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
         "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+        "ISNUMERIC", "ENCODE_FOR_URI",
     }
 
     def _expr_primary(self):
@@ -1460,6 +1462,18 @@ def _compile_expr(ast):
                 "HOURS": F.hour, "MINUTES": F.minute,
                 "SECONDS": F.second,
             }[name](ts)
+        if name == "ISNUMERIC":
+            # over lexical forms: numeric iff the term parses as a
+            # number (the same coercion rule arithmetic uses)
+            return _compile_expr(args[0]).try_cast("double").isNotNull()
+        if name == "ENCODE_FOR_URI":
+            # XPath fn:encode-for-uri via the JVM url_encode, patched
+            # where application/x-www-form-urlencoded differs from the
+            # RFC 3986 unreserved set: '+'->%20, '*'->%2A, %7E->'~'
+            e = F.url_encode(_compile_expr(args[0]).cast("string"))
+            e = F.replace(e, F.lit("+"), F.lit("%20"))
+            e = F.replace(e, F.lit("*"), F.lit("%2A"))
+            return F.replace(e, F.lit("%7E"), F.lit("~"))
     raise SparqlSyntaxError(f"cannot compile FILTER node {ast!r}")
 
 

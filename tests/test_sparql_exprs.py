@@ -572,3 +572,24 @@ def test_blank_node_guards(spark):
         sparql(tri, 'INSERT DATA { [] <p> "x" }')
     with pytest.raises(SparqlSyntaxError):
         sparql(tri, 'SELECT ?s WHERE { ?s <p> ?o VALUES ?o { [] } }')
+
+
+def test_isnumeric_and_encode_for_uri(spark):
+    tri = _triples(spark, [
+        ("a", "p", "42.5"), ("b", "p", "nope"), ("c", "p", "Los Angeles"),
+    ])
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <p> ?v FILTER(isNumeric(?v)) }
+    """).collect()}
+    assert got == {"a"}
+    got = {(r["s"], r["e"]) for r in sparql(tri, """
+        SELECT ?s (ENCODE_FOR_URI(?v) AS ?e)
+        WHERE { ?s <p> ?v FILTER(?s = "c") }
+    """).collect()}
+    assert got == {("c", "Los%20Angeles")}  # spec §17.4.2.8 example
+    # RFC 3986 unreserved set: ~ stays, * escapes, others %XX uppercase
+    tri2 = _triples(spark, [("x", "p", "a~b*c/d e")])
+    got = [r["e"] for r in sparql(tri2, """
+        SELECT (ENCODE_FOR_URI(?v) AS ?e) WHERE { ?s <p> ?v }
+    """).collect()]
+    assert got == ["a~b%2Ac%2Fd%20e"]
