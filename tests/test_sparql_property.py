@@ -130,6 +130,8 @@ def _pattern(rng, var_pool):
 
 
 def _fmt(term):
+    if term == "?__bn":
+        return "[]"  # the engine compiles [] to an internal join var
     return term if term.startswith("?") else f"<{term}>"
 
 
@@ -145,6 +147,21 @@ def _gen_case(rng):
         base[0] = ("?x", base[0][1], base[0][2])
     base_vars = sorted({t[1:] for pat in base for t in pat
                         if t.startswith("?")})
+    if rng.random() < 0.4:
+        # swap one base slot for a [] blank node: brute models it as
+        # the variable ?__bn, the engine as an internal !-var; both
+        # drop out of SELECT * and the comparison sees the multiset
+        # the projection leaves behind
+        i = rng.randrange(len(base))
+        s, p, o = base[i]
+        cand = ("?__bn", p, o) if rng.random() < 0.5 else (s, p, "?__bn")
+        nb = base[:i] + [cand] + base[i + 1:]
+        nvars = sorted(
+            {t[1:] for pat in nb for t in pat if t.startswith("?")}
+            - {"__bn"}
+        )
+        if nvars:  # keep at least one visible variable
+            base, base_vars = nb, nvars
     lines = [
         f"  {_fmt(s)} {_fmt(p)} {_fmt(o)} ." for s, p, o in base
     ]
