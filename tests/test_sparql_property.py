@@ -296,3 +296,30 @@ def test_minus_spec_corners(spark):
     # base (2 sols) x rows: <a> rows overlap+match the probe -> removed;
     # the UNDEF rows have no domain overlap on ?s -> both survive
     assert got2 == [None, None]
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**30))
+def test_parser_total_on_token_soup(seed):
+    """Robustness: any whitespace-joined soup of valid SPARQL tokens
+    either parses or raises SparqlSyntaxError — never IndexError /
+    AttributeError / an unbounded loop. (The tokenizer rejects
+    non-token input with SparqlSyntaxError already.)"""
+    from ontocast_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+
+    rng = random.Random(seed)
+    toks = [
+        "SELECT", "?x", "?y", "WHERE", "{", "}", "(", ")", "FILTER",
+        "OPTIONAL", "UNION", "<a>", '"s"', "42", ".", ";", ",", "*",
+        "a", "[", "]", "!", "^", "|", "/", "MINUS", "VALUES", "BIND",
+        "AS", "UNDEF", "SERVICE", "GROUP", "BY", "ORDER", "LIMIT",
+        "_:b", "PREFIX", "ex:", "p:q", "ASK", "CONSTRUCT", "DELETE",
+        "INSERT", "DATA", "COUNT", "DISTINCT", "=", "&&", "||",
+    ]
+    text = " ".join(
+        rng.choice(toks) for _ in range(rng.randrange(1, 14))
+    )
+    try:
+        parse_sparql(text)
+    except SparqlSyntaxError:
+        pass
