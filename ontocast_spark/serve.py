@@ -102,8 +102,16 @@ def process_text(
 
 _STORE_SCHEMA = (
     "subj string, pred string, obj string, obj_is_literal boolean, "
-    "obj_datatype string"
+    "obj_datatype string, graph string"
 )
+
+
+def _norm_row(row) -> tuple:
+    """Store rows are (subj, pred, obj, obj_is_literal, obj_datatype,
+    graph); accept 5-tuples (default graph -> NULL) for callers that
+    predate named-graph support."""
+    row = tuple(row)
+    return row + (None,) * (6 - len(row))
 
 #: absolute-IRI detection for SPARQL JSON results typing: solution
 #: values are lexical forms (term metadata does not survive projection),
@@ -158,13 +166,18 @@ def make_handler(spark: SparkSession, index=None, triples=None):
     if triples is None:
         store: list = []
     elif isinstance(triples, list):
-        store = list(triples)
+        store = [_norm_row(r) for r in triples]
     else:
         store = [
-            (r["subj"], r["pred"], r["obj"],
-             bool(r["obj_is_literal"]) if "obj_is_literal" in triples.columns
-             else not _IRI_RE.match(r["obj"] or ""),
-             r["obj_datatype"] if "obj_datatype" in triples.columns else None)
+            _norm_row((
+                r["subj"], r["pred"], r["obj"],
+                bool(r["obj_is_literal"])
+                if "obj_is_literal" in triples.columns
+                else not _IRI_RE.match(r["obj"] or ""),
+                r["obj_datatype"] if "obj_datatype" in triples.columns
+                else None,
+                r["graph"] if "graph" in triples.columns else None,
+            ))
             for r in triples.collect()
         ]
 
@@ -203,7 +216,8 @@ def make_handler(spark: SparkSession, index=None, triples=None):
                     if form in ("insert_data", "delete", "modify"):
                         rows = [
                             (r["subj"], r["pred"], r["obj"],
-                             r["obj_is_literal"], r["obj_datatype"])
+                             r["obj_is_literal"], r["obj_datatype"],
+                             r["graph"])
                             for r in out.collect()
                         ]
                         store[:] = rows
@@ -231,10 +245,29 @@ def make_handler(spark: SparkSession, index=None, triples=None):
                      "error_type": type(e).__name__},
                 )
 
+        @staticmethod
+        def _route(path: str) -> str | None:
+            """Last path segment when it names a protocol service —
+            bare (``/sparql``) or dataset-scoped (``/ds/sparql``), the
+            layout :class:`sources.fuseki.FusekiClient` requests."""
+            segs = [s for s in path.split("/") if s]
+            if segs and len(segs) <= 2 and segs[-1] in (
+                "sparql", "data", "get"
+            ):
+                return segs[-1]
+            return None
+
+        def _graph_param(self, query: str) -> str | None:
+            from urllib.parse import parse_qs
+
+            g = parse_qs(query).get("graph", [None])[0]
+            return None if g in (None, "default") else g
+
         def do_GET(self):
             from urllib.parse import parse_qs, urlsplit
 
             parts = urlsplit(self.path)
+            op = self._route(parts.path)
             if parts.path == "/health":
                 try:
                     spark.sql("SELECT 1").collect()
@@ -243,7 +276,7 @@ def make_handler(spark: SparkSession, index=None, triples=None):
                     self._reply(500, {"status": "unhealthy", "error": str(e)})
             elif parts.path == "/info":
                 self._reply(200, INFO)
-            elif parts.path == "/sparql":
+            elif op == "sparql":
                 q = parse_qs(parts.query).get("query")
                 if not q:
                     self._reply(
@@ -254,13 +287,92 @@ def make_handler(spark: SparkSession, index=None, triples=None):
                     )
                 else:
                     self._sparql(q[0])
+            elif op in ("get", "data"):
+                # Graph Store Protocol GET (Fuseki also serves the
+                # legacy /get endpoint the reference's client reads)
+                from .sources.turtle import serialize_turtle
+
+                g = self._graph_param(parts.query)
+                with lock:
+                    rows = [r[:5] for r in store if r[5] == g]
+                if g is not None and not rows:
+                    self._reply(
+                        404, {"status": "error", "error": "no such graph"}
+                    )
+                else:
+                    self._reply_raw(
+                        200, serialize_turtle(rows), "text/turtle"
+                    )
             else:
                 self._reply(404, {"status": "error", "error": "not found"})
 
+        def do_PUT(self):
+            """Graph Store Protocol PUT: replace a named graph (or the
+            default graph) with the Turtle body — what
+            write_facts_fuseki / write_ontology_fuseki emit per
+            conversation."""
+            from urllib.parse import urlsplit
+
+            from .sources.turtle import parse_turtle
+
+            parts = urlsplit(self.path)
+            if self._route(parts.path) != "data":
+                self._reply(404, {"status": "error", "error": "not found"})
+                return
+            raw = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            try:
+                new, _ = parse_turtle(raw.decode("utf-8"))
+            except Exception as e:
+                self._reply(
+                    400,
+                    {"status": "error", "error": str(e),
+                     "error_type": "TurtleParseError"},
+                )
+                return
+            g = self._graph_param(parts.query)
+            with lock:
+                existed = any(r[5] == g for r in store)
+                store[:] = [r for r in store if r[5] != g] \
+                    + [(s, p, o, lit, dt, g) for s, p, o, lit, dt in new]
+            self._reply(
+                200 if existed else 201,
+                {"status": "success", "n_triples": len(new)},
+            )
+
         def do_POST(self):
+            from urllib.parse import urlsplit
+
+            parts = urlsplit(self.path)
+            op = self._route(parts.path)
             ctype = (self.headers.get("Content-Type") or "").split(";")[0]
             raw = self.rfile.read(int(self.headers.get("Content-Length", 0)))
-            if self.path == "/sparql":
+            if op == "data":
+                # Graph Store Protocol POST: merge into the graph
+                from .sources.turtle import parse_turtle
+
+                try:
+                    new, _ = parse_turtle(raw.decode("utf-8"))
+                except Exception as e:
+                    self._reply(
+                        400,
+                        {"status": "error", "error": str(e),
+                         "error_type": "TurtleParseError"},
+                    )
+                    return
+                g = self._graph_param(parts.query)
+                with lock:
+                    seen = {(r[0], r[1], r[2]) for r in store if r[5] == g}
+                    added = [
+                        (s, p, o, lit, dt, g)
+                        for s, p, o, lit, dt in new
+                        if (s, p, o) not in seen
+                    ]
+                    store.extend(added)
+                self._reply(
+                    200, {"status": "success", "n_triples": len(added)}
+                )
+                return
+            if op == "sparql":
                 # SPARQL 1.1 Protocol: direct POST or form-encoded
                 if ctype in ("application/sparql-query",
                              "application/sparql-update"):
@@ -315,7 +427,8 @@ def make_handler(spark: SparkSession, index=None, triples=None):
                     result, rows = process_text(
                         spark, text, index=index, with_rows=True
                     )
-                    store.extend(rows)  # queryable via /sparql
+                    # queryable via /sparql (default graph)
+                    store.extend(_norm_row(r) for r in rows)
                 self._reply(200, result)
             except Exception as e:  # pragma: no cover
                 self._reply(

@@ -256,3 +256,78 @@ def test_service_stub_client_unbound_rows(spark):
     finally:
         register_service_client(None)
     assert sparql_mod._SERVICE_CLIENT is None
+
+
+# ------------------------------------- Graph Store Protocol interop
+
+
+def test_fuseki_client_against_serve_endpoint(spark):
+    """Full interop loop, no stubs: our own FusekiClient (the class
+    the distributed sinks use) runs the reference's complete
+    store-lifecycle against OUR serve endpoint — Graph Store PUT/GET
+    plus the real two-step ontology discovery (GRAPH-inside-UNION
+    SPARQL, then per-graph fetch). The serve endpoint is standing in
+    for Fuseki exactly where the reference deploys Fuseki."""
+    from ontocast_spark.sources.fuseki import FusekiClient
+
+    srv = serve(spark, host="127.0.0.1", port=0)
+    try:
+        client = FusekiClient(
+            f"http://127.0.0.1:{srv.server_address[1]}", "ds"
+        )
+        # Graph Store PUT / GET round-trip (incl. a language tag)
+        ttl = '<https://x/s> <https://x/p> "v"@en .\n'
+        assert client.put_graph("https://x/graph1", ttl)
+        triples, _ = client.get_graph("https://x/graph1")
+        assert triples == [("https://x/s", "https://x/p", "v", True, "@en")]
+
+        # two-step discovery + fetch: the reference's fetch_ontology_index
+        onto_ttl = (
+            "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+            "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+            "<https://ex.com/fin> a owl:Ontology .\n"
+            "<https://ex.com/fin#Organization> a owl:Class ; "
+            'rdfs:label "organization" .\n'
+        )
+        client.put_graph("https://ex.com/fin", onto_ttl)
+        index = client.fetch_ontology_index()
+        kinds = {(t.term_iri, t.kind) for t in index.terms}
+        assert ("https://ex.com/fin#Organization", "class") in kinds
+
+        # PUT replaces; POST merges
+        assert client.put_graph(
+            "https://x/graph1", '<https://x/s2> <https://x/p> "w" .\n'
+        )
+        triples, _ = client.get_graph("https://x/graph1")
+        assert [t[0] for t in triples] == ["https://x/s2"]
+    finally:
+        srv.shutdown()
+
+
+def test_gsp_default_graph_and_named_isolation(spark):
+    import urllib.request
+
+    srv = serve(spark, host="127.0.0.1", port=0, triples=list(SEED))
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        # named-graph rows are invisible to plain (default-graph) BGPs
+        from ontocast_spark.sources.fuseki import FusekiClient
+
+        client = FusekiClient(base, "ds")
+        client.put_graph("https://g/1", f'<{EX}zoe> <{EX}name> "Zoe" .\n')
+        code, _, body = _get_query(
+            base, f"SELECT ?n WHERE {{ ?s <{EX}name> ?n }} ORDER BY ?n"
+        )
+        names = [b["n"]["value"]
+                 for b in json.loads(body)["results"]["bindings"]]
+        assert names == ["Ada", "Bob"]  # Zoe only via GRAPH
+        code, _, body = _get_query(base, f"""
+            SELECT ?n WHERE {{ GRAPH <https://g/1> {{ ?s <{EX}name> ?n }} }}
+        """)
+        assert [b["n"]["value"]
+                for b in json.loads(body)["results"]["bindings"]] == ["Zoe"]
+        # default graph readable over GSP without a graph param
+        with urllib.request.urlopen(base + "/ds/get", timeout=60) as r:
+            assert "Ada" in r.read().decode()
+    finally:
+        srv.shutdown()
