@@ -331,3 +331,39 @@ def test_gsp_default_graph_and_named_isolation(spark):
             assert "Ada" in r.read().decode()
     finally:
         srv.shutdown()
+
+
+def test_distributed_sink_against_serve_endpoint(spark):
+    """The executor-side facts sink (write_facts_fuseki: one named
+    graph per conversation, PUT from applyInPandas workers) lands in
+    OUR serve endpoint, then the graphs read back over SPARQL — the
+    reference's store round-trip with Spark doing the distributed
+    writes and no stub server."""
+    from ontocast_spark.sources.fuseki import write_facts_fuseki
+
+    srv = serve(spark, host="127.0.0.1", port=0)
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        kg = spark.createDataFrame(
+            [
+                ("c1", "https://g/c1", EX + "a", EX + "name", "Ada",
+                 True, None),
+                ("c1", "https://g/c1", EX + "a", EX + "knows", EX + "b",
+                 False, None),
+                ("c2", "https://g/c2", EX + "b", EX + "name", "Bob",
+                 True, None),
+            ],
+            "conv_id string, doc_iri string, subj string, pred string, "
+            "obj string, obj_is_literal boolean, obj_datatype string",
+        )
+        assert write_facts_fuseki(kg, base, "ds") == 2
+        code, _, body = _get_query(base, """
+            SELECT ?g (COUNT(?s) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+            GROUP BY ?g ORDER BY ?g
+        """)
+        assert code == 200
+        got = [(b["g"]["value"], b["n"]["value"])
+               for b in json.loads(body)["results"]["bindings"]]
+        assert got == [("https://g/c1", "2"), ("https://g/c2", "1")]
+    finally:
+        srv.shutdown()
