@@ -715,3 +715,29 @@ def test_bgp_pattern_reordering(spark):
         tri, [("?s", "?p", "?o"), ("?s", "type", "T")]
     ).collect()}
     assert got == {("a", "type", "T"), ("a", "p", "x")}
+
+
+def test_bgp_reorder_is_result_invariant(spark):
+    """Every permutation of a BGP's written pattern order yields the
+    same solution multiset — the selectivity reorderer must never
+    change semantics, only intermediate sizes."""
+    import itertools
+
+    from ontocast_spark.plans.bgp import bgp_select
+
+    tri = spark.createDataFrame(
+        [("a", "type", "T"), ("a", "p", "x"), ("x", "q", "m"),
+         ("b", "p", "y"), ("y", "q", "m"), ("b", "type", "T")],
+        "subj string, pred string, obj string",
+    )
+    pats = [("?s", "?p0", "?v"), ("?s", "type", "T"), ("?v", "q", "?m")]
+    want = None
+    for perm in itertools.permutations(pats):
+        got = sorted(
+            tuple(r[c] for c in sorted(["s", "p0", "v", "m"]))
+            for r in bgp_select(tri, list(perm), distinct=False).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want, perm
+    assert want  # non-trivial case actually matched
