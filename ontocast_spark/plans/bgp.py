@@ -431,11 +431,21 @@ def bgp_select(
             isinstance(p, str) and p.startswith("<")
         )
         if is_path:
+            src = triples
             if g is not None:
-                raise ValueError(
-                    "property paths inside GRAPH blocks are unsupported"
-                )
-            t = path_pairs(triples, p)
+                if isinstance(g, str) and g.startswith("?"):
+                    raise ValueError(
+                        "property paths need a constant GRAPH IRI "
+                        "(variable-graph paths are unsupported)"
+                    )
+                # scope the whole path evaluation (closures included)
+                # to the named graph's edges
+                src = src.filter(F.col("graph") == F.lit(g))
+            elif "graph" in triples.columns:
+                # default-graph semantics hold for paths too: only
+                # NULL-graph rows feed the path relation
+                src = src.filter(F.col("graph").isNull())
+            t = path_pairs(src, p)
             slot_terms = [("s", s), ("o", o)]
             pattern_meta: list = []  # path endpoints are IRIs/nodes
         else:

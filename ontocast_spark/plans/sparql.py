@@ -99,7 +99,9 @@ bodies whose solutions can be unbound (OPTIONAL/uneven UNION/UNDEF/
 BIND inside the probe), subqueries with nullable projections,
 group-scoped FILTERs referencing variables bound outside the group,
 term-metadata builtins over UNION arms or MINUS/EXISTS bodies,
-property paths in CONSTRUCT/UPDATE templates or GRAPH blocks, REGEX/
+property paths in CONSTRUCT/UPDATE templates or variable-graph
+``GRAPH ?g`` blocks (constant-IRI GRAPH blocks evaluate paths scoped
+to that graph's edges), REGEX/
 REPLACE flags outside Java's ``imsx``, bare aggregate calls in
 HAVING, ``COUNT(DISTINCT *)``.
 Comparison operators in FILTER must be whitespace-separated from

@@ -593,3 +593,29 @@ def test_isnumeric_and_encode_for_uri(spark):
         SELECT (ENCODE_FOR_URI(?v) AS ?e) WHERE { ?s <p> ?v }
     """).collect()]
     assert got == ["a~b%2Ac%2Fd%20e"]
+
+
+def test_property_path_in_graph_block(spark):
+    """Paths inside a constant-IRI GRAPH block evaluate over that
+    graph's edges only; default-graph path patterns on a quad table
+    never see named-graph rows; variable-graph paths stay rejected."""
+    quads = spark.createDataFrame(
+        [
+            ("a", "sub", "b", None), ("b", "sub", "c", None),
+            ("a", "sub", "z", "g1"), ("z", "sub", "w", "g1"),
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    got = {(r["x"], r["y"]) for r in sparql(quads, """
+        SELECT ?x ?y WHERE { GRAPH <g1> { ?x <sub>+ ?y } }
+    """).collect()}
+    assert got == {("a", "z"), ("z", "w"), ("a", "w")}
+    # default graph: the closure must not leak g1 edges
+    got = {(r["x"], r["y"]) for r in sparql(quads, """
+        SELECT ?x ?y WHERE { ?x <sub>+ ?y }
+    """).collect()}
+    assert got == {("a", "b"), ("b", "c"), ("a", "c")}
+    with pytest.raises(ValueError, match="constant GRAPH IRI"):
+        sparql(quads, """
+            SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <sub>+ ?y } }
+        """).collect()
