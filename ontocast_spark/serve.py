@@ -463,6 +463,12 @@ def main(argv=None) -> None:  # pragma: no cover
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8999)
     ap.add_argument("--ontology-dir", default=None)
+    ap.add_argument(
+        "--triples", default=None,
+        help="parquet path of (subj, pred, obj[, obj_is_literal, "
+        "obj_datatype, graph]) rows to seed the SPARQL/Graph-Store "
+        "endpoints with",
+    )
     args = ap.parse_args(argv)
     index = None
     if args.ontology_dir:
@@ -470,8 +476,10 @@ def main(argv=None) -> None:  # pragma: no cover
 
         index = load_ontology_dir(args.ontology_dir)
     spark = build_spark(app_name="ontocast-serve")
+    triples = spark.read.parquet(args.triples) if args.triples else None
     server = ThreadingHTTPServer(
-        (args.host, args.port), make_handler(spark, index)
+        (args.host, args.port),
+        make_handler(spark, index, triples=triples),
     )
     print(f"serving on http://{args.host}:{args.port}")
     server.serve_forever()
