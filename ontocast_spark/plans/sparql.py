@@ -80,6 +80,11 @@ plus the aggregate/path forms the programmatic API already evaluates):
 - Subqueries: ``{ SELECT ... }`` anywhere a group element is legal
   (incl. UNION arms) — evaluated independently, joined on the
   projected variables (spec §12).
+- Dataset clauses on SELECT / ASK / CONSTRUCT: ``FROM <g>`` (the
+  query's default graph = merge of the listed named graphs) and
+  ``FROM NAMED <g>`` (restrict GRAPH-addressable graphs) — spec
+  §13.2, one pushed-down isin filter each; any clause present defines
+  the FULL dataset (the omitted side is empty).
 
 - ``SERVICE [SILENT] <endpoint> { ... }`` (SPARQL 1.1 Federated
   Query): the body parses through the full local grammar, then
@@ -319,6 +324,8 @@ class ParsedQuery:
     describe_var: str | None = None
     insert_rows: list | None = None
     insert_template: list | None = None
+    from_graphs: list | None = None  # FROM <g> (None = no dataset clause)
+    from_named: list | None = None  # FROM NAMED <g>
     group_by: list[str] = field(default_factory=list)
     aggs: list = field(default_factory=list)  # (fn, var, alias, distinct)
     exprs: list = field(default_factory=list)  # (expr_ast, alias)
@@ -367,6 +374,29 @@ class _Parser:
     def _at_op(self, op: str, ahead: int = 0) -> bool:
         t = self._peek(ahead)
         return t is not None and t.kind == "OP" and t.value == op
+
+    def _dataset_clauses(self):
+        """``FROM <g>`` / ``FROM NAMED <g>`` dataset clauses (spec
+        §13.2): returns ``(default_graphs, named_graphs)``, both
+        ``None`` when no clause is present. Presence of ANY clause
+        defines the full dataset — an omitted side is the EMPTY set,
+        not "unrestricted"."""
+        fg = fn = None
+        while self._kw("FROM"):
+            named = self._kw("NAMED")
+            t = self._next()
+            if t.kind == "IRI":
+                iri = self.base + t.value[1:-1] if self.base \
+                    else t.value[1:-1]
+            elif t.kind == "PNAME":
+                iri = self._resolve_pname(t.value)
+            else:
+                raise SparqlSyntaxError("FROM needs a graph IRI")
+            if named:
+                fn = (fn or []) + [iri]
+            else:
+                fg = (fg or []) + [iri]
+        return fg, fn
 
     def _template(self, what: str) -> list:
         """A braced update/construct triple template."""
@@ -979,14 +1009,17 @@ class _Parser:
             q = self._select()
         elif self._kw("ASK"):
             q = ParsedQuery(form="ask")
+            q.from_graphs, q.from_named = self._dataset_clauses()
             self._kw("WHERE")
             q.where = self._group()
         elif self._kw("CONSTRUCT"):
             if self._at_op("{"):
                 tmpl = self._template("CONSTRUCT")
+                fg, fn = self._dataset_clauses()
                 if not self._kw("WHERE"):
                     raise SparqlSyntaxError("CONSTRUCT needs WHERE")
                 q = ParsedQuery(form="construct", template=tmpl)
+                q.from_graphs, q.from_named = fg, fn
                 q.where = self._group()
             elif self._kw("WHERE"):
                 # CONSTRUCT WHERE { bgp } shorthand (spec §10.1.2):
@@ -1164,6 +1197,7 @@ class _Parser:
             else:
                 break
         q.variables = None if star else variables
+        q.from_graphs, q.from_named = self._dataset_clauses()
         if not self._kw("WHERE"):
             raise SparqlSyntaxError("SELECT needs WHERE")
         q.where = self._group()
@@ -1841,7 +1875,29 @@ def _compile_where(triples: DataFrame, q: ParsedQuery):
     GRAPH patterns need a ``graph`` column (anywhere in the nesting),
     and an empty WHERE is a syntax error. Plain SELECT keeps multiset
     semantics (no dedup shuffle); DISTINCT / aggregate / ASK /
-    CONSTRUCT forms deduplicate at the BGP."""
+    CONSTRUCT forms deduplicate at the BGP.
+
+    ``FROM`` / ``FROM NAMED`` clauses rebuild the dataset first (spec
+    §13.2): the default graph becomes the merge of the FROM graphs
+    (their rows re-labelled NULL), the named graphs exactly the FROM
+    NAMED set — one isin filter each, pushed to the scan."""
+    if q.from_graphs is not None or q.from_named is not None:
+        if "graph" not in triples.columns:
+            raise SparqlSyntaxError(
+                "FROM/FROM NAMED need a 'graph' column on the triple "
+                "table"
+            )
+        fg, fn = q.from_graphs or [], q.from_named or []
+        default_part = (
+            triples.filter(F.col("graph").isin(fg))
+            .withColumn("graph", F.lit(None).cast("string"))
+        ) if fg else None
+        named_part = triples.filter(F.col("graph").isin(fn)) if fn else None
+        if default_part is not None and named_part is not None:
+            triples = default_part.union(named_part)
+        else:
+            triples = default_part if default_part is not None \
+                else named_part
     for grp in _walk_groups(q.where):
         if any(len(p) == 4 for p in _group_bgp_patterns(grp)) \
                 and "graph" not in triples.columns:

@@ -619,3 +619,48 @@ def test_property_path_in_graph_block(spark):
         sparql(quads, """
             SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <sub>+ ?y } }
         """).collect()
+
+
+def test_from_and_from_named(spark):
+    """FROM / FROM NAMED dataset clauses (spec §13.2): FROM graphs
+    merge into the query's default graph; FROM NAMED restricts what
+    GRAPH can address; any clause present defines the FULL dataset."""
+    quads = spark.createDataFrame(
+        [
+            ("d", "p", "0", None),
+            ("a", "p", "1", "g1"), ("b", "p", "2", "g2"),
+            ("c", "p", "3", "g3"),
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    # FROM <g1> <g2>: default graph = g1+g2 merge; store default drops
+    got = {r["s"] for r in sparql(quads, """
+        SELECT ?s FROM <g1> FROM <g2> WHERE { ?s <p> ?o }
+    """).collect()}
+    assert got == {"a", "b"}
+    # with FROM only, the named set is EMPTY: GRAPH matches nothing
+    got = sparql(quads, """
+        SELECT ?s FROM <g1> WHERE { GRAPH ?g { ?s <p> ?o } }
+    """).count()
+    assert got == 0
+    # FROM NAMED only: default graph empty, GRAPH sees just g2
+    got = {(r["g"], r["s"]) for r in sparql(quads, """
+        SELECT ?g ?s FROM NAMED <g2> WHERE { GRAPH ?g { ?s <p> ?o } }
+    """).collect()}
+    assert got == {("g2", "b")}
+    assert sparql(
+        quads, "SELECT ?s FROM NAMED <g2> WHERE { ?s <p> ?o }"
+    ).count() == 0
+    # both sides together
+    got = {(r["s"], r["t"]) for r in sparql(quads, """
+        SELECT ?s ?t FROM <g1> FROM NAMED <g3> WHERE {
+            ?s <p> ?o . GRAPH <g3> { ?t <p> ?o3 }
+        }
+    """).collect()}
+    assert got == {("a", "c")}
+    # ASK takes dataset clauses too
+    assert sparql(quads, "ASK FROM <g3> { ?s <p> ?o }") is True
+    # a plain triple table cannot answer dataset clauses
+    tri = _triples(spark, [("a", "p", "1")])
+    with pytest.raises(SparqlSyntaxError, match="graph"):
+        sparql(tri, "SELECT ?s FROM <g1> WHERE { ?s <p> ?o }")
