@@ -235,7 +235,7 @@ _TOKEN_RE = re.compile(
     | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
     | (?P<STRING>(?:"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
                  (?:@[A-Za-z]+(?:-[A-Za-z0-9]+)*)?)
-    | (?P<NUM>[+-]?(?:\d+\.\d+|\d+))
+    | (?P<NUM>[+-]?(?:\d+\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_][A-Za-z0-9_\-.]*
                 |[A-Za-z_][A-Za-z0-9_\-]*:)
     | (?P<KW>[A-Za-z][A-Za-z0-9_]*)

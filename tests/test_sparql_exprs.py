@@ -664,3 +664,15 @@ def test_from_and_from_named(spark):
     tri = _triples(spark, [("a", "p", "1")])
     with pytest.raises(SparqlSyntaxError, match="graph"):
         sparql(tri, "SELECT ?s FROM <g1> WHERE { ?s <p> ?o }")
+
+
+def test_exponent_numeric_literals(spark):
+    tri = _triples(spark, [("a", "p", "2000"), ("b", "p", "100")])
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <p> ?v FILTER(?v > 1.5e3) }
+    """).collect()}
+    assert got == {"a"}
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <p> ?v FILTER(?v = 1E2) }
+    """).collect()}
+    assert got == {"b"}
