@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 _SLOTS = ("subj", "pred", "obj")
 
@@ -417,12 +418,23 @@ def bgp_select(
         raise ValueError(
             "GRAPH patterns need a 'graph' column on the triple table"
         )
-    meta_srcs = (
-        [(src, sfx, dflt) for src, sfx, dflt in _TERM_META
-         if src in triples.columns]
-        if bind_term_meta
-        else []
-    )
+    meta_srcs: list = []
+    if bind_term_meta:
+        if "obj_is_literal" not in triples.columns:
+            raise ValueError(
+                "bind_term_meta needs an obj_is_literal column"
+            )
+        for src, sfx, dflt in _TERM_META:
+            if src in triples.columns:
+                meta_srcs.append(
+                    (src, sfx, dflt, triples.schema[src].dataType)
+                )
+            else:
+                # the table lacks this metadata column (e.g. obj_lang
+                # merged into obj_datatype at an API boundary): bind
+                # the neutral default so lang()/datatype() answer
+                # unbound instead of dying on an unresolved column
+                meta_srcs.append((None, sfx, dflt, StringType()))
     result: DataFrame | None = None
     for pat in _order_patterns(patterns):
         s, p, o = pat[0], pat[1], pat[2]
@@ -475,10 +487,11 @@ def bgp_select(
                 else:
                     seen[var] = slot
                     cols.append(F.col(slot).alias(var))
-                    for src, sfx, dflt in pattern_meta:
+                    for src, sfx, dflt, dtype in pattern_meta:
                         val = (
-                            F.col(src) if slot == "obj"
-                            else F.expr(dflt).cast(triples.schema[src].dataType)
+                            F.col(src)
+                            if slot == "obj" and src is not None
+                            else F.expr(dflt).cast(dtype)
                         )
                         cols.append(val.alias(f"{var}{sfx}"))
             else:
@@ -621,11 +634,13 @@ def sol_join(
     return out
 
 
-def sol_union(sols: list[DataFrame]) -> DataFrame:
+def sol_union(sols: list[DataFrame], distinct: bool = True) -> DataFrame:
     """Union solution sets by variable name: variables missing in one
     branch become NULL (unbound) columns, per SPARQL's UNION
-    semantics; the result is deduplicated (set semantics, matching
-    :func:`bgp_union`)."""
+    semantics. ``distinct=True`` (the default, matching
+    :func:`bgp_union`) deduplicates; spec §18.5 UNION is a multiset
+    union, so bag-semantics callers (plain non-DISTINCT SELECT) pass
+    ``distinct=False``."""
     if not sols:
         raise ValueError("empty solution union")
     all_vars = sorted({c for s in sols for c in s.columns})
@@ -649,7 +664,7 @@ def sol_union(sols: list[DataFrame]) -> DataFrame:
     out = aligned[0]
     for s in aligned[1:]:
         out = out.unionByName(s)
-    return out.dropDuplicates()
+    return out.dropDuplicates() if distinct else out
 
 
 def bgp_optional(

@@ -126,7 +126,6 @@ from pyspark.sql import functions as F
 from .bgp import (
     Path,
     bgp_aggregate,
-    _join_solutions,
     bgp_construct,
     bgp_delete_where,
     bgp_describe,
@@ -1187,6 +1186,7 @@ class _Parser:
                     self._expect_op(")")
                     alias = self._as_alias("aggregate")
                     q.aggs.append((fn, src, alias, distinct, sep))
+                    variables.append(alias)
                 else:
                     # (expr AS ?alias) projection
                     expr = self._expr_or()
@@ -1346,10 +1346,19 @@ def _compile_expr(ast):
         return {"+": lc + rc, "-": lc - rc, "*": lc * rc}[op]
     if kind == "in":
         negate, probe, items = ast[1], ast[2], ast[3]
-        pc = _compile_expr(probe)
         c = None
         for i in items:  # OR-equality chain keeps NULL/error semantics
-            e = pc == _compile_expr(i)
+            # same numeric coercion as the cmp path: `?x IN (1, 2)`
+            # over a non-numeric term must be unbound (try_cast ->
+            # NULL), never an ANSI CAST_INVALID_INPUT job kill
+            numeric = _is_numeric_node(probe) or _is_numeric_node(i)
+
+            def side(x):
+                sc = _compile_expr(x)
+                return sc.try_cast("double") if numeric \
+                    and not _is_numeric_node(x) else sc
+
+            e = side(probe) == side(i)
             c = e if c is None else (c | e)
         if c is None:
             c = F.lit(False)  # `?x IN ()` is false, NOT IN () true
@@ -1459,7 +1468,9 @@ def _compile_expr(ast):
             return {
                 "ABS": F.abs(c), "CEIL": F.ceil(c).cast("double"),
                 "FLOOR": F.floor(c).cast("double"),
-                "ROUND": F.round(c, 0),
+                # fn:round ties go toward +inf (ROUND(-2.5) = -2), not
+                # Spark's HALF_UP away-from-zero
+                "ROUND": F.floor(c + F.lit(0.5)).cast("double"),
             }[name]
         if name == "LANGMATCHES":
             if len(args) != 2 or args[1][0] != "str":
@@ -1514,14 +1525,25 @@ def _compile_expr(ast):
 
 
 def _is_numeric_node(ast) -> bool:
-    """Does this expression node already evaluate to a number?"""
-    return isinstance(ast, tuple) and (
-        ast[0] in ("num", "arith")
-        or (ast[0] == "call"
-            and ast[1] in ("STRLEN", "ABS", "CEIL", "FLOOR", "ROUND",
-                           "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
-                           "SECONDS"))
-    )
+    """Does this expression node already evaluate to a number?
+    Recursive through IF/COALESCE: a conditional whose branches are
+    all numeric is numeric, so comparisons against it keep the
+    try_cast coercion guard (ANSI-safety)."""
+    if not isinstance(ast, tuple):
+        return False
+    if ast[0] in ("num", "arith"):
+        return True
+    if ast[0] != "call":
+        return False
+    if ast[1] in ("STRLEN", "ABS", "CEIL", "FLOOR", "ROUND",
+                  "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+                  "SECONDS"):
+        return True
+    if ast[1] == "IF" and len(ast[2]) == 3:
+        return _is_numeric_node(ast[2][1]) and _is_numeric_node(ast[2][2])
+    if ast[1] == "COALESCE" and ast[2]:
+        return all(_is_numeric_node(a) for a in ast[2])
+    return False
 
 
 def _num(ast):
@@ -1651,15 +1673,17 @@ def _group_bgp_patterns(g: _Group):
             yield from payload
 
 
-def _compile_union(triples: DataFrame, arms: list):
+def _compile_union(triples: DataFrame, arms: list, dedup: bool = True):
     """UNION element: compile each arm independently and union the
-    solutions by variable name (set semantics, like the programmatic
-    :func:`bgp_union`). A variable absent from some arm is unbound
-    (NULL) in that arm's rows, so it joins the returned nullable set."""
+    solutions by variable name. A variable absent from some arm is
+    unbound (NULL) in that arm's rows, so it joins the returned
+    nullable set. ``dedup`` follows the query form: spec §18.5 UNION
+    is a multiset union, so plain non-DISTINCT SELECTs keep duplicate
+    solutions (and skip the dedup shuffle)."""
     compiled = []
     for tag, payload in arms:
         if tag == "group":
-            df, m = _compile_group(triples, payload)
+            df, m = _compile_group(triples, payload, dedup=dedup)
             if df is None:
                 raise SparqlSyntaxError("empty UNION arm")
         else:  # subselect arm
@@ -1675,7 +1699,7 @@ def _compile_union(triples: DataFrame, arms: list):
     for df, m in compiled:
         maybe |= m
         maybe |= all_vars - set(df.columns)
-    return sol_union([df for df, _ in compiled]), maybe
+    return sol_union([df for df, _ in compiled], distinct=dedup), maybe
 
 
 def _nested_body(triples: DataFrame, g: _Group, what: str) -> DataFrame:
@@ -1775,7 +1799,7 @@ def _compile_group(
                 set(),
             )
         elif tag == "group":
-            df, m = _compile_group(triples, payload)
+            df, m = _compile_group(triples, payload, dedup=dedup)
             if df is not None:  # an empty nested {} is the join identity
                 merge(df, m)
         elif tag == "subselect":
@@ -1788,13 +1812,15 @@ def _compile_group(
                 )
             merge(df, set())
         elif tag == "union":
-            df, m = _compile_union(triples, payload)
+            df, m = _compile_union(triples, payload, dedup)
             merge(df, m)
         elif tag == "optional":
             body_meta = meta_here or any(
                 _expr_uses_meta(f) for f in payload.filters
             )
-            df, m = _compile_group(triples, payload, needs_meta=body_meta)
+            df, m = _compile_group(
+                triples, payload, needs_meta=body_meta, dedup=dedup
+            )
             if df is None:
                 raise SparqlSyntaxError("empty OPTIONAL body")
             if sols is not None and not (
@@ -1843,6 +1869,12 @@ def _compile_group(
             if var in sols.columns:
                 raise SparqlSyntaxError(
                     f"BIND target ?{var} is already bound"
+                )
+            loose = _expr_vars(expr) - set(sols.columns)
+            if loose:
+                raise SparqlSyntaxError(
+                    f"BIND references ?{sorted(loose)[0]}, which is "
+                    "not bound in its group"
                 )
             sols = sols.withColumn(var, _compile_expr(expr))
             maybe.add(var)
@@ -1954,7 +1986,7 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
 
     order_cols = [order_key(k).asc() if a else order_key(k).desc()
                   for k, a in q.order_by] if q.order_by else []
-    if q.aggs:
+    if q.aggs or q.group_by:
         # an aggregate may take a full expression argument —
         # materialize those as hidden columns first (evaluated over
         # the pre-group solutions, spec §18.2.4 Aggregation(E, ...))
@@ -1973,8 +2005,19 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
             col = f"_aggarg_{i}"
             base = base.withColumn(col, _compile_expr(src))
             aggs.append((fn, col, alias, *rest))
+        missing_keys = [k for k in q.group_by if k not in base.columns]
+        if missing_keys:
+            raise SparqlSyntaxError(
+                f"GROUP BY ?{missing_keys[0]} is not bound by the WHERE"
+            )
         plain_b = [c for c in base.columns if not is_meta_col(c)]
-        out = bgp_aggregate(base.select(*plain_b), q.group_by, aggs)
+        if q.aggs:
+            out = bgp_aggregate(base.select(*plain_b), q.group_by, aggs)
+        else:
+            # GROUP BY with no aggregate in the SELECT list still
+            # groups (spec §18.2.4): one solution per distinct key
+            # combination
+            out = base.select(*q.group_by).dropDuplicates()
         for h in q.havings:
             loose = _expr_vars(h) - set(out.columns)
             if loose:
@@ -2025,6 +2068,17 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
                     )
         if order_cols:
             out = out.orderBy(*order_cols)
+        if q.variables is not None:
+            # apply the declared projection: drop unprojected GROUP BY
+            # keys and fix the column order the SELECT list declares
+            missing = [v for v in q.variables if v not in out.columns]
+            if missing:
+                raise SparqlSyntaxError(
+                    f"SELECT ?{missing[0]} is not a GROUP BY key or "
+                    "aggregate alias"
+                )
+            out = out.select(*q.variables)
+            maybe_out = {v for v in maybe_out if v in q.variables}
     else:
         if q.havings:
             raise SparqlSyntaxError("HAVING needs aggregates")

@@ -129,7 +129,11 @@ def _json_results(df) -> dict:
             v = r[c]
             if v is None:
                 continue  # unbound: omitted from the binding object
-            v = str(v)
+            if isinstance(v, bool):
+                # xsd:boolean lexical forms, not Python's True/False
+                v = "true" if v else "false"
+            else:
+                v = str(v)
             b[c] = {
                 "type": "uri" if _IRI_RE.match(v) else "literal",
                 "value": v,

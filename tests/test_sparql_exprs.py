@@ -676,3 +676,120 @@ def test_exponent_numeric_literals(spark):
         SELECT ?s WHERE { ?s <p> ?v FILTER(?v = 1E2) }
     """).collect()}
     assert got == {"b"}
+
+
+# --------------------------------------- review-pass hardening (r5)
+
+
+def test_in_list_numeric_coercion_ansi_safe(spark):
+    """?x IN (1, 2) over a store containing non-numeric terms must
+    treat the type error as unbound (row drops), not die on ANSI
+    CAST_INVALID_INPUT."""
+    tri = _triples(spark, [("a", "p", "1"), ("b", "p", "abc"),
+                           ("c", "p", "2.0")])
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <p> ?v FILTER(?v IN (1, 2)) }
+    """).collect()}
+    assert got == {"a", "c"}
+    # NOT IN over a type error: "abc" != 1 errors (§17.4.1.10), the
+    # && chain errors, the filter drops the row — so only rows whose
+    # comparisons all succeed AND mismatch survive
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <p> ?v FILTER(?v NOT IN (1, 3)) }
+    """).collect()}
+    assert got == {"c"}  # 2.0 is numeric and matches neither
+    # string items keep string comparison:
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <p> ?v FILTER(?v IN ("abc", "1")) }
+    """).collect()}
+    assert got == {"a", "b"}
+
+
+def test_group_by_without_aggregates(spark):
+    tri = _triples(spark, [
+        ("a", "t", "x"), ("a", "t", "y"), ("b", "t", "x"),
+    ])
+    out = sparql(tri, "SELECT ?s WHERE { ?s <t> ?v } GROUP BY ?s")
+    assert set(out.columns) == {"s"}
+    assert sorted(r["s"] for r in out.collect()) == ["a", "b"]
+    # HAVING over the group key
+    got = sorted(r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <t> ?v } GROUP BY ?s HAVING (?s != "a")
+    """).collect())
+    assert got == ["b"]
+    with pytest.raises(SparqlSyntaxError, match="not bound"):
+        sparql(tri, "SELECT ?s WHERE { ?s <t> ?v } GROUP BY ?zz")
+
+
+def test_aggregate_projection_applies(spark):
+    """The SELECT list controls aggregate output columns: unprojected
+    GROUP BY keys must not leak, and declared order holds."""
+    tri = _triples(spark, [("a", "p", "1"), ("a", "p", "2"),
+                           ("b", "p", "5")])
+    out = sparql(tri, """
+        SELECT (SUM(?v) AS ?total) WHERE { ?s <p> ?v } GROUP BY ?s
+    """)
+    assert out.columns == ["total"]
+    assert sorted(float(r["total"]) for r in out.collect()) == [3.0, 5.0]
+    out = sparql(tri, """
+        SELECT (COUNT(?v) AS ?n) ?s WHERE { ?s <p> ?v } GROUP BY ?s
+    """)
+    assert out.columns == ["n", "s"]
+    with pytest.raises(SparqlSyntaxError, match="GROUP BY key"):
+        sparql(tri, """
+            SELECT ?v (COUNT(?v) AS ?n) WHERE { ?s <p> ?v } GROUP BY ?s
+        """)
+
+
+def test_lang_on_table_without_obj_lang(spark):
+    """A table carrying obj_is_literal/obj_datatype but no obj_lang
+    (the serve-store shape) answers LANG() with unbound instead of an
+    unresolved-column crash."""
+    tri = spark.createDataFrame(
+        [("a", "label", "hi", True, None)],
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_datatype string",
+    )
+    assert sparql(tri, """
+        SELECT ?s WHERE { ?s <label> ?v FILTER(LANG(?v) = "en") }
+    """).count() == 0
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <label> ?v FILTER(isLiteral(?v)) }
+    """).collect()}
+    assert got == {"a"}
+
+
+def test_union_bag_semantics(spark):
+    tri = _triples(spark, [("a", "p", "x")])
+    q = """
+        SELECT ?s WHERE { { ?s <p> "x" } UNION { ?s <p> "x" } }
+    """
+    assert [r["s"] for r in sparql(tri, q).collect()] == ["a", "a"]
+    qd = """
+        SELECT DISTINCT ?s WHERE { { ?s <p> "x" } UNION { ?s <p> "x" } }
+    """
+    assert [r["s"] for r in sparql(tri, qd).collect()] == ["a"]
+
+
+def test_if_numeric_comparison_ansi_safe(spark):
+    tri = _triples(spark, [("a", "p", "1"), ("b", "p", "zzz")])
+    got = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <p> ?v FILTER(IF(BOUND(?v), 1, 2) = ?v) }
+    """).collect()}
+    assert got == {"a"}
+
+
+def test_round_ties_toward_positive_infinity(spark):
+    tri = _triples(spark, [("a", "p", "-2.5"), ("b", "p", "2.5")])
+    got = {(r["s"], float(r["r"])) for r in sparql(tri, """
+        SELECT ?s (ROUND(?v) AS ?r) WHERE { ?s <p> ?v }
+    """).collect()}
+    assert got == {("a", -2.0), ("b", 3.0)}  # fn:round, not HALF_UP
+
+
+def test_bind_unbound_reference_is_syntax_error(spark):
+    tri = _triples(spark, [("a", "p", "1")])
+    with pytest.raises(SparqlSyntaxError, match="BIND references"):
+        sparql(tri, """
+            SELECT ?z WHERE { ?s <p> ?o BIND(?missing + 1 AS ?z) }
+        """)

@@ -367,3 +367,14 @@ def test_distributed_sink_against_serve_endpoint(spark):
         assert got == [("https://g/c1", "2"), ("https://g/c2", "1")]
     finally:
         srv.shutdown()
+
+
+def test_boolean_bindings_use_xsd_lexical_forms(server):
+    code, _, body = _get_query(server, f"""
+        SELECT ?s (STRLEN(?n) = 3 AS ?three)
+        WHERE {{ ?s <{EX}name> ?n }} ORDER BY ?s
+    """)
+    assert code == 200
+    vals = {b["three"]["value"]
+            for b in json.loads(body)["results"]["bindings"]}
+    assert vals == {"true"}  # not Python's "True"
