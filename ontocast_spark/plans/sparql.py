@@ -344,6 +344,9 @@ class _Parser:
         self.prefixes: dict[str, str] = {}
         self.base = ""
         self._bn = 0  # fresh-blank-node counter ([] property lists)
+        # aggregate calls are legal in expressions only inside HAVING
+        # and ORDER BY ASC()/DESC() (hoisted to hidden aggregates)
+        self._allow_aggs = False
 
     # -- token helpers
     def _peek(self, ahead: int = 0) -> _Tok | None:
@@ -988,6 +991,25 @@ class _Parser:
             name = t.value.upper()
             if name in ("TRUE", "FALSE"):
                 return ("bool", name == "TRUE")
+            if name.lower() in _AGG_FNS and self._allow_aggs:
+                # bare aggregate call in HAVING / ORDER BY — hoisted
+                # into a hidden aggregate column at evaluation
+                fn = name.lower()
+                self._expect_op("(")
+                distinct = self._kw("DISTINCT")
+                if self._at_op("*"):
+                    self.pos += 1
+                    src = "*"
+                    if distinct:
+                        raise SparqlSyntaxError(
+                            "COUNT(DISTINCT *) is outside the "
+                            "supported subset"
+                        )
+                else:
+                    arg = self._expr_or()
+                    src = arg[1] if arg[0] == "var" else arg
+                self._expect_op(")")
+                return ("aggcall", fn, src, distinct)
             if name not in self._FUNCS:
                 raise SparqlSyntaxError(f"unsupported FILTER function {t.value}")
             self._expect_op("(")
@@ -1224,17 +1246,24 @@ class _Parser:
                         self.pos += 1
                         asc = t.value.upper() == "ASC"
                         self._expect_op("(")
-                        expr = self._expr_or()
+                        self._allow_aggs = True
+                        try:
+                            expr = self._expr_or()
+                        finally:
+                            self._allow_aggs = False
                         self._expect_op(")")
                         key = expr[1] if expr[0] == "var" else expr
                         q.order_by.append((key, asc))
                     else:
                         break
             elif self._kw("HAVING"):
-                # subset: expressions over GROUP BY keys / aggregate
-                # aliases (the common idiom); bare aggregate calls in
-                # the condition are outside the subset
-                q.havings.append(self._filter_expr())
+                # expressions over GROUP BY keys, aggregate aliases,
+                # or bare aggregate calls (hoisted to hidden columns)
+                self._allow_aggs = True
+                try:
+                    q.havings.append(self._filter_expr())
+                finally:
+                    self._allow_aggs = False
             elif self._kw("LIMIT"):
                 n = self._next()
                 if n.kind != "NUM" or not n.value.isdigit():
@@ -1291,6 +1320,29 @@ def _expr_vars(ast) -> set:
             for x in a:
                 out |= _expr_vars(x)
     return out
+
+
+def _hoist_aggcalls(ast, sink: list):
+    """Replace ``("aggcall", fn, src, distinct)`` nodes (bare
+    aggregate calls in HAVING / ORDER BY) with references to hidden
+    aggregate columns, appending ``(fn, src, alias, distinct, None)``
+    entries to ``sink`` — spec §18.2.4 collects aggregates from every
+    clause into the same Aggregation step."""
+    if not isinstance(ast, tuple):
+        return ast
+    if ast[0] == "aggcall":
+        alias = f"_hagg_{len(sink)}"
+        sink.append((ast[1], ast[2], alias, ast[3], None))
+        return ("var", alias)
+    out = []
+    for a in ast:
+        if isinstance(a, tuple):
+            out.append(_hoist_aggcalls(a, sink))
+        elif isinstance(a, list):
+            out.append([_hoist_aggcalls(x, sink) for x in a])
+        else:
+            out.append(a)
+    return tuple(out)
 
 
 def _pattern_vars(patterns) -> set:
@@ -1978,6 +2030,17 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
             maybe = maybe | {alias}  # an expression may evaluate NULL
     plain = [c for c in sols.columns if not is_meta_col(c)]
 
+    # bare aggregate calls in HAVING / ORDER BY hoist into hidden
+    # aggregate columns (spec §18.2.4 collects aggregates from every
+    # clause); the rewritten expressions then reference them as vars
+    hidden: list = []
+    havings = [_hoist_aggcalls(h, hidden) for h in q.havings]
+    order_by = [
+        (k if isinstance(k, str) else _hoist_aggcalls(k, hidden), a)
+        for k, a in q.order_by
+    ]
+    all_aggs = list(q.aggs) + hidden
+
     def order_key(k):
         return F.col(k) if isinstance(k, str) else _compile_expr(k)
 
@@ -1985,14 +2048,14 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
         return {k} if isinstance(k, str) else _expr_vars(k)
 
     order_cols = [order_key(k).asc() if a else order_key(k).desc()
-                  for k, a in q.order_by] if q.order_by else []
-    if q.aggs or q.group_by:
+                  for k, a in order_by] if order_by else []
+    if all_aggs or q.group_by:
         # an aggregate may take a full expression argument —
         # materialize those as hidden columns first (evaluated over
         # the pre-group solutions, spec §18.2.4 Aggregation(E, ...))
         aggs = []
         base = sols
-        for i, (fn, src, alias, *rest) in enumerate(q.aggs):
+        for i, (fn, src, alias, *rest) in enumerate(all_aggs):
             if isinstance(src, str):
                 aggs.append((fn, src, alias, *rest))
                 continue
@@ -2011,20 +2074,19 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
                 f"GROUP BY ?{missing_keys[0]} is not bound by the WHERE"
             )
         plain_b = [c for c in base.columns if not is_meta_col(c)]
-        if q.aggs:
+        if aggs:
             out = bgp_aggregate(base.select(*plain_b), q.group_by, aggs)
         else:
             # GROUP BY with no aggregate in the SELECT list still
             # groups (spec §18.2.4): one solution per distinct key
             # combination
             out = base.select(*q.group_by).dropDuplicates()
-        for h in q.havings:
+        for h in havings:
             loose = _expr_vars(h) - set(out.columns)
             if loose:
                 raise SparqlSyntaxError(
                     f"HAVING references ?{sorted(loose)[0]}, which is "
-                    "not a GROUP BY key or aggregate alias (bare "
-                    "aggregate calls in HAVING are outside the subset)"
+                    "not a GROUP BY key or aggregate alias"
                 )
             out = out.filter(_compile_expr(h))
         # COUNT never returns NULL; any other aggregate over a group
@@ -2056,7 +2118,7 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
                 )
             out = out.withColumn(alias, _compile_expr(expr))
             maybe_out = maybe_out | {alias}
-        for k, _ in q.order_by:
+        for k, _ in order_by:
             if not isinstance(k, str) and _expr_uses_meta(k):
                 raise SparqlSyntaxError(
                     "term-metadata builtins cannot follow aggregation"
@@ -2070,7 +2132,8 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
             out = out.orderBy(*order_cols)
         if q.variables is not None:
             # apply the declared projection: drop unprojected GROUP BY
-            # keys and fix the column order the SELECT list declares
+            # keys and the hidden hoisted aggregates, and fix the
+            # column order the SELECT list declares
             missing = [v for v in q.variables if v not in out.columns]
             if missing:
                 raise SparqlSyntaxError(
@@ -2079,6 +2142,8 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
                 )
             out = out.select(*q.variables)
             maybe_out = {v for v in maybe_out if v in q.variables}
+        elif hidden:
+            out = out.drop(*[a[2] for a in hidden])
     else:
         if q.havings:
             raise SparqlSyntaxError("HAVING needs aggregates")
@@ -2086,7 +2151,7 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
         # project (spec §19.6 — bnodes are scoped existentials)
         vars_ = q.variables if q.variables is not None \
             else [c for c in plain if not c.startswith("!")]
-        for k, _ in q.order_by:
+        for k, _ in order_by:
             for v in sorted(order_vars(k)):
                 if v not in sols.columns:
                     raise SparqlSyntaxError(f"ORDER BY ?{v} is not bound")

@@ -190,7 +190,7 @@ def test_numeric_builtins(spark):
     """).collect()[0]
     assert (float(row["a"]), float(row["c"]), float(row["f"])) == \
         (2.5, -2.0, -3.0)
-    assert float(row["r"]) in (-2.0, -3.0)  # half-rounding mode latitude
+    assert float(row["r"]) == -2.0  # fn:round ties toward +inf
 
 
 def test_langmatches(spark):
@@ -792,4 +792,39 @@ def test_bind_unbound_reference_is_syntax_error(spark):
     with pytest.raises(SparqlSyntaxError, match="BIND references"):
         sparql(tri, """
             SELECT ?z WHERE { ?s <p> ?o BIND(?missing + 1 AS ?z) }
+        """)
+
+
+def test_bare_aggregates_in_having_and_order_by(spark):
+    """HAVING (COUNT(?x) > n) and ORDER BY DESC(SUM(?x)) without a
+    SELECT alias — hoisted into hidden aggregate columns that never
+    reach the output."""
+    tri = _triples(spark, [
+        ("a", "score", "1"), ("a", "score", "2"),
+        ("b", "score", "9"), ("c", "score", "3"), ("c", "score", "4"),
+    ])
+    out = sparql(tri, """
+        SELECT ?s WHERE { ?s <score> ?v } GROUP BY ?s
+        HAVING (COUNT(?v) >= 2)
+        ORDER BY DESC(SUM(?v))
+    """)
+    assert out.columns == ["s"]
+    assert [r["s"] for r in out.collect()] == ["c", "a"]
+    # combined with a projected aggregate, and COUNT(*) form
+    out = sparql(tri, """
+        SELECT ?s (MIN(?v) AS ?lo) WHERE { ?s <score> ?v } GROUP BY ?s
+        HAVING (COUNT(*) = 1) ORDER BY ?s
+    """)
+    assert out.columns == ["s", "lo"]
+    assert [(r["s"], r["lo"]) for r in out.collect()] == [("b", "9")]
+    # implicit whole-solution group: HAVING over COUNT with no GROUP BY
+    n = sparql(tri, """
+        SELECT (COUNT(?v) AS ?n) WHERE { ?s <score> ?v }
+        HAVING (COUNT(?v) > 100)
+    """).count()
+    assert n == 0
+    # aggregates stay illegal in FILTER position
+    with pytest.raises(SparqlSyntaxError, match="unsupported FILTER"):
+        sparql(tri, """
+            SELECT ?s WHERE { ?s <score> ?v FILTER(COUNT(?v) > 1) }
         """)
