@@ -377,6 +377,52 @@ class _Parser:
         t = self._peek(ahead)
         return t is not None and t.kind == "OP" and t.value == op
 
+    def _agg_body(self, fn: str):
+        """The shared ``( [DISTINCT] * | expr [; SEPARATOR="..."] )``
+        tail of an aggregate call — used by the SELECT-list parser and
+        bare HAVING / ORDER BY aggregates. Returns
+        ``(src, distinct, sep)``; nested aggregate calls are rejected
+        at parse time (spec §18.2.4 forbids them)."""
+        self._expect_op("(")
+        distinct = self._kw("DISTINCT")
+        if self._at_op("*"):
+            self.pos += 1
+            src = "*"
+            if distinct:
+                raise SparqlSyntaxError(
+                    f"{fn.upper()}(DISTINCT *) is outside the "
+                    "supported subset"
+                )
+        else:
+            # a full expression argument: AGG(?a * ?b),
+            # AGG(STRLEN(?x)), ... — a bare ?var stays the
+            # plain-column fast path. Aggregates cannot nest, so the
+            # argument parses with aggregate calls disallowed.
+            saved = self._allow_aggs
+            self._allow_aggs = False
+            try:
+                arg = self._expr_or()
+            finally:
+                self._allow_aggs = saved
+            src = arg[1] if arg[0] == "var" else arg
+        sep = None
+        if self._at_op(";"):
+            # GROUP_CONCAT(?x; SEPARATOR="...") (§18.5.1.7)
+            self.pos += 1
+            if fn != "group_concat":
+                raise SparqlSyntaxError(
+                    "SEPARATOR only applies to GROUP_CONCAT"
+                )
+            if not self._kw("SEPARATOR"):
+                raise SparqlSyntaxError("expected SEPARATOR after ';'")
+            self._expect_op("=")
+            t = self._next()
+            if t.kind != "STRING":
+                raise SparqlSyntaxError("SEPARATOR needs a string literal")
+            sep = _unquote(t.value)
+        self._expect_op(")")
+        return src, distinct, sep
+
     def _dataset_clauses(self):
         """``FROM <g>`` / ``FROM NAMED <g>`` dataset clauses (spec
         §13.2): returns ``(default_graphs, named_graphs)``, both
@@ -995,21 +1041,8 @@ class _Parser:
                 # bare aggregate call in HAVING / ORDER BY — hoisted
                 # into a hidden aggregate column at evaluation
                 fn = name.lower()
-                self._expect_op("(")
-                distinct = self._kw("DISTINCT")
-                if self._at_op("*"):
-                    self.pos += 1
-                    src = "*"
-                    if distinct:
-                        raise SparqlSyntaxError(
-                            "COUNT(DISTINCT *) is outside the "
-                            "supported subset"
-                        )
-                else:
-                    arg = self._expr_or()
-                    src = arg[1] if arg[0] == "var" else arg
-                self._expect_op(")")
-                return ("aggcall", fn, src, distinct)
+                src, distinct, sep = self._agg_body(fn)
+                return ("aggcall", fn, src, distinct, sep)
             if name not in self._FUNCS:
                 raise SparqlSyntaxError(f"unsupported FILTER function {t.value}")
             self._expect_op("(")
@@ -1170,42 +1203,7 @@ class _Parser:
                 )
                 if is_agg:
                     fn = self._next().value.lower()
-                    self._expect_op("(")
-                    distinct = self._kw("DISTINCT")
-                    if self._at_op("*"):
-                        self.pos += 1
-                        src = "*"
-                        if distinct:
-                            raise SparqlSyntaxError(
-                                "COUNT(DISTINCT *) is outside the "
-                                "supported subset"
-                            )
-                    else:
-                        # a full expression argument: AGG(?a * ?b),
-                        # AGG(STRLEN(?x)), ... — a bare ?var stays the
-                        # plain-column fast path
-                        arg = self._expr_or()
-                        src = arg[1] if arg[0] == "var" else arg
-                    sep = None
-                    if self._at_op(";"):
-                        # GROUP_CONCAT(?x; SEPARATOR="...") (§18.5.1.7)
-                        self.pos += 1
-                        if fn != "group_concat":
-                            raise SparqlSyntaxError(
-                                "SEPARATOR only applies to GROUP_CONCAT"
-                            )
-                        if not self._kw("SEPARATOR"):
-                            raise SparqlSyntaxError(
-                                "expected SEPARATOR after ';'"
-                            )
-                        self._expect_op("=")
-                        t = self._next()
-                        if t.kind != "STRING":
-                            raise SparqlSyntaxError(
-                                "SEPARATOR needs a string literal"
-                            )
-                        sep = _unquote(t.value)
-                    self._expect_op(")")
+                    src, distinct, sep = self._agg_body(fn)
                     alias = self._as_alias("aggregate")
                     q.aggs.append((fn, src, alias, distinct, sep))
                     variables.append(alias)
@@ -1322,27 +1320,51 @@ def _expr_vars(ast) -> set:
     return out
 
 
-def _hoist_aggcalls(ast, sink: list):
-    """Replace ``("aggcall", fn, src, distinct)`` nodes (bare
+def _hoist_aggcalls(ast, sink: list, index: dict):
+    """Replace ``("aggcall", fn, src, distinct, sep)`` nodes (bare
     aggregate calls in HAVING / ORDER BY) with references to hidden
-    aggregate columns, appending ``(fn, src, alias, distinct, None)``
+    aggregate columns, appending ``(fn, src, alias, distinct, sep)``
     entries to ``sink`` — spec §18.2.4 collects aggregates from every
-    clause into the same Aggregation step."""
+    clause into the same Aggregation step. ``index`` maps
+    ``(fn, repr(src), distinct, sep)`` to an existing alias (seeded
+    from the SELECT-list aggregates), so identical aggregates compute
+    once; fresh aliases use the ``!`` prefix, which is outside the
+    VAR token grammar and therefore cannot shadow a user variable."""
     if not isinstance(ast, tuple):
         return ast
     if ast[0] == "aggcall":
-        alias = f"_hagg_{len(sink)}"
-        sink.append((ast[1], ast[2], alias, ast[3], None))
+        fn, src, distinct, sep = ast[1], ast[2], ast[3], ast[4]
+        key = (fn, repr(src), distinct, sep)
+        alias = index.get(key)
+        if alias is None:
+            alias = f"!hagg{len(sink)}"
+            sink.append((fn, src, alias, distinct, sep))
+            index[key] = alias
         return ("var", alias)
     out = []
     for a in ast:
         if isinstance(a, tuple):
-            out.append(_hoist_aggcalls(a, sink))
+            out.append(_hoist_aggcalls(a, sink, index))
         elif isinstance(a, list):
-            out.append([_hoist_aggcalls(x, sink) for x in a])
+            out.append([_hoist_aggcalls(x, sink, index) for x in a])
         else:
             out.append(a)
     return tuple(out)
+
+
+def _has_aggcall(ast) -> bool:
+    """Does this (un-hoisted) expression AST contain a bare aggregate
+    call?"""
+    if not isinstance(ast, tuple):
+        return False
+    if ast[0] == "aggcall":
+        return True
+    for a in ast[1:]:
+        if isinstance(a, tuple) and _has_aggcall(a):
+            return True
+        if isinstance(a, list) and any(_has_aggcall(x) for x in a):
+            return True
+    return False
 
 
 def _pattern_vars(patterns) -> set:
@@ -1651,11 +1673,26 @@ def sparql(triples: DataFrame, text: str):
     q = parse_sparql(text)
     if q.form == "describe":
         if q.describe_var is not None:
+            if q.aggs or q.group_by or q.havings:
+                raise SparqlSyntaxError(
+                    "DESCRIBE does not take aggregation in this subset"
+                )
             sols, _ = _compile_where(triples, q)
             if q.describe_var not in sols.columns:
                 raise SparqlSyntaxError(
                     f"DESCRIBE ?{q.describe_var} is not bound by the WHERE"
                 )
+            if q.order_by:
+                keys = []
+                for k, asc in q.order_by:
+                    col = F.col(k) if isinstance(k, str) \
+                        else _compile_expr(k)
+                    keys.append(col.asc() if asc else col.desc())
+                sols = sols.orderBy(*keys)
+            if q.offset:
+                sols = sols.offset(q.offset)
+            if q.limit is not None:
+                sols = sols.limit(q.limit)
             return bgp_describe_resources(
                 triples, sols.select(F.col(q.describe_var).alias("r"))
             )
@@ -1988,15 +2025,24 @@ def _compile_where(triples: DataFrame, q: ParsedQuery):
             raise SparqlSyntaxError(
                 "GRAPH blocks need a 'graph' column on the triple table"
             )
-    dedup = q.form != "select" or q.distinct or bool(q.aggs)
-    # term-metadata builtins in SELECT expressions need the metadata
-    # columns threaded through the WHERE compile
+    # hoisted HAVING / ORDER BY aggregates must see the same solution
+    # multiset the aliased SELECT form sees, so they set the dedup
+    # flag exactly like q.aggs
+    hoisted = any(_has_aggcall(h) for h in q.havings) or any(
+        not isinstance(k, str) and _has_aggcall(k)
+        for k, _ in q.order_by
+    )
+    dedup = q.form != "select" or q.distinct or bool(q.aggs) or hoisted
+    # term-metadata builtins in SELECT expressions (or inside hoisted
+    # aggregate arguments) need the metadata columns threaded through
+    # the WHERE compile
     needs_meta = (
         any(_expr_uses_meta(e) for e, _ in q.exprs)
         or any(not isinstance(k, str) and _expr_uses_meta(k)
                for k, _ in q.order_by)
         or any(not isinstance(src, str) and _expr_uses_meta(src)
                for _, src, *_ in q.aggs)
+        or any(_expr_uses_meta(h) for h in q.havings)
     )
     sols, maybe = _compile_group(
         triples, q.where, needs_meta=needs_meta, dedup=dedup
@@ -2032,11 +2078,22 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
 
     # bare aggregate calls in HAVING / ORDER BY hoist into hidden
     # aggregate columns (spec §18.2.4 collects aggregates from every
-    # clause); the rewritten expressions then reference them as vars
+    # clause); the rewritten expressions then reference them as vars.
+    # The index is seeded from the SELECT-list aggregates so an
+    # identical call reuses the projected alias instead of computing
+    # the aggregation twice.
     hidden: list = []
-    havings = [_hoist_aggcalls(h, hidden) for h in q.havings]
+    agg_index: dict = {}
+    for fn_, src_, alias_, *rest_ in q.aggs:
+        agg_index.setdefault(
+            (fn_, repr(src_), bool(rest_ and rest_[0]),
+             rest_[1] if len(rest_) > 1 else None),
+            alias_,
+        )
+    havings = [_hoist_aggcalls(h, hidden, agg_index) for h in q.havings]
     order_by = [
-        (k if isinstance(k, str) else _hoist_aggcalls(k, hidden), a)
+        (k if isinstance(k, str)
+         else _hoist_aggcalls(k, hidden, agg_index), a)
         for k, a in q.order_by
     ]
     all_aggs = list(q.aggs) + hidden
@@ -2065,7 +2122,9 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
                     f"aggregate argument references unbound "
                     f"?{sorted(loose)[0]}"
                 )
-            col = f"_aggarg_{i}"
+            # ! prefix: outside the VAR grammar, cannot shadow a
+            # user variable
+            col = f"!aggarg{i}"
             base = base.withColumn(col, _compile_expr(src))
             aggs.append((fn, col, alias, *rest))
         missing_keys = [k for k in q.group_by if k not in base.columns]
@@ -2082,6 +2141,13 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
             # combination
             out = base.select(*q.group_by).dropDuplicates()
         for h in havings:
+            if _expr_uses_meta(h):
+                # a meta builtin INSIDE an aggregate argument was
+                # hoisted away above; a remaining one ranges over the
+                # post-aggregation solutions, which carry no metadata
+                raise SparqlSyntaxError(
+                    "term-metadata builtins cannot follow aggregation"
+                )
             loose = _expr_vars(h) - set(out.columns)
             if loose:
                 raise SparqlSyntaxError(
@@ -2151,6 +2217,11 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
         # project (spec §19.6 — bnodes are scoped existentials)
         vars_ = q.variables if q.variables is not None \
             else [c for c in plain if not c.startswith("!")]
+        # projecting a variable the WHERE never binds is legal SPARQL
+        # (§18.2.1 Project): the column is simply unbound
+        for v in [v for v in vars_ if v not in sols.columns]:
+            sols = sols.withColumn(v, F.lit(None).cast("string"))
+            maybe = maybe | {v}
         for k, _ in order_by:
             for v in sorted(order_vars(k)):
                 if v not in sols.columns:
@@ -2179,17 +2250,34 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
     return out, maybe_out
 
 
+def _has_modifiers(q: ParsedQuery) -> bool:
+    return bool(
+        q.group_by or q.havings or q.aggs or q.order_by
+        or q.limit is not None or q.offset
+    )
+
+
 def _eval_query(triples: DataFrame, q: ParsedQuery):
     """Evaluate a parsed SELECT/ASK/CONSTRUCT query over the triple
-    table."""
+    table. ASK/CONSTRUCT apply solution modifiers (GROUP BY / HAVING /
+    ORDER / LIMIT / OFFSET are legal on every query form, spec §18.2.4
+    / grammar SolutionModifier) by evaluating the solution sequence
+    through the SELECT pipeline first."""
     if q.form in ("ask", "construct"):
-        sols, _ = _compile_where(triples, q)
+        if _has_modifiers(q):
+            from dataclasses import replace
+
+            sols, _ = _eval_select_sols(
+                triples, replace(q, form="select", variables=None)
+            )
+        else:
+            raw, _ = _compile_where(triples, q)
+            sols = raw.select(
+                *[c for c in raw.columns if not is_meta_col(c)]
+            )
         if q.form == "ask":
             return not sols.limit(1).isEmpty()
-        plain = [c for c in sols.columns if not is_meta_col(c)]
         _reject_paths(q.template, "CONSTRUCT template")
-        return bgp_construct(
-            sols.select(*plain).dropDuplicates(), q.template
-        )
+        return bgp_construct(sols.dropDuplicates(), q.template)
     out, _ = _eval_select_sols(triples, q)
     return out

@@ -828,3 +828,94 @@ def test_bare_aggregates_in_having_and_order_by(spark):
         sparql(tri, """
             SELECT ?s WHERE { ?s <score> ?v FILTER(COUNT(?v) > 1) }
         """)
+
+
+def test_hoisting_review_fixes(spark):
+    """Second review pass on the hoisting machinery: dedup parity
+    between aliased and bare aggregates, GROUP_CONCAT SEPARATOR in
+    HAVING, nested-aggregate rejection, no ?_hagg shadowing, and
+    identical aggregates computed once (same alias reused)."""
+    tri = _triples(spark, [
+        ("a", "score", "1"), ("a", "score", "2"), ("b", "score", "9"),
+    ])
+    # GROUP_CONCAT with SEPARATOR works in HAVING via the shared parser
+    got = [r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <score> ?v } GROUP BY ?s
+        HAVING (GROUP_CONCAT(?v; SEPARATOR=",") = "1,2")
+    """).collect()]
+    assert got == ["a"]
+    # nested aggregates are a parse-time error
+    with pytest.raises(SparqlSyntaxError, match="unsupported FILTER"):
+        sparql(tri, """
+            SELECT ?s WHERE { ?s <score> ?v } GROUP BY ?s
+            HAVING (SUM(COUNT(?v)) > 1)
+        """)
+    # a user variable literally named ?_hagg_0 cannot be shadowed
+    tri2 = _triples(spark, [("a", "p", "x"), ("a", "p", "y")])
+    got = {(r["s"], r["_hagg_0"]) for r in sparql(tri2, """
+        SELECT ?s ?_hagg_0 WHERE { ?s <p> ?_hagg_0 }
+        GROUP BY ?s ?_hagg_0 HAVING (COUNT(?s) >= 1)
+    """).collect()}
+    assert got == {("a", "x"), ("a", "y")}
+
+
+def test_ask_construct_with_modifiers(spark):
+    """Solution modifiers are legal on every query form: ASK respects
+    HAVING/LIMIT, CONSTRUCT slices its solution sequence before
+    templating."""
+    tri = _triples(spark, [
+        ("a", "score", "1"), ("a", "score", "2"), ("b", "score", "9"),
+    ])
+    assert sparql(tri, """
+        ASK WHERE { ?s <score> ?v } HAVING (COUNT(?v) > 100)
+    """) is False
+    assert sparql(tri, """
+        ASK WHERE { ?s <score> ?v } HAVING (COUNT(?v) >= 3)
+    """) is True
+    assert sparql(tri, "ASK { ?s <score> ?v } LIMIT 0") is False
+    out = sparql(tri, """
+        CONSTRUCT { ?s <seen> ?v } WHERE { ?s <score> ?v }
+        ORDER BY DESC(?v) LIMIT 1
+    """)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert got == {("b", "seen", "9")}
+
+
+def test_describe_var_with_limit(spark):
+    tri = _triples(spark, [
+        ("a", "knows", "b"), ("a", "knows", "c"), ("b", "name", "Bob"),
+        ("c", "name", "Cai"),
+    ])
+    out = sparql(tri, """
+        DESCRIBE ?x WHERE { <a> <knows> ?x } ORDER BY ?x LIMIT 1
+    """)
+    got = {(r["subj"], r["obj"]) for r in out.collect()}
+    assert got == {("a", "b"), ("b", "Bob")}  # only ?x = b described
+
+
+def test_projecting_never_bound_variable(spark):
+    """SELECT ?s ?nope over a WHERE that never binds ?nope: legal, the
+    column is unbound (§18.2.1), not an AnalysisException."""
+    tri = _triples(spark, [("a", "p", "1")])
+    out = sparql(tri, "SELECT ?s ?nope WHERE { ?s <p> ?o }")
+    assert out.columns == ["s", "nope"]
+    assert [(r["s"], r["nope"]) for r in out.collect()] == [("a", None)]
+
+
+def test_bare_agg_dedup_parity_with_duplicate_rows(spark):
+    """A physically duplicated triple row must be counted identically
+    by HAVING (COUNT(?v) >= 2) and the aliased SELECT form (both
+    dedup at the BGP: the graph is a triple SET)."""
+    tri = _triples(spark, [
+        ("a", "score", "1"), ("a", "score", "1"),  # duplicate row
+        ("b", "score", "2"), ("b", "score", "3"),
+    ])
+    bare = {r["s"] for r in sparql(tri, """
+        SELECT ?s WHERE { ?s <score> ?v } GROUP BY ?s
+        HAVING (COUNT(?v) >= 2)
+    """).collect()}
+    aliased = {r["s"] for r in sparql(tri, """
+        SELECT ?s (COUNT(?v) AS ?n) WHERE { ?s <score> ?v } GROUP BY ?s
+        HAVING (?n >= 2)
+    """).collect()}
+    assert bare == aliased == {"b"}
