@@ -856,6 +856,7 @@ def bgp_values(
     spark,
     variables: list[str],
     rows: list[tuple],
+    left_nullable: set | None = None,
 ) -> DataFrame:
     """SPARQL ``VALUES``: constrain (or seed) solutions with an inline
     table. Compatibility join on the shared variables — an UNBOUND
@@ -866,7 +867,16 @@ def bgp_values(
     wildcards — multiply the joined solutions, so no dedup here; a
     SELECT DISTINCT collapses them downstream. The inline table is
     tiny, so it broadcasts; with no prior solutions it IS the solution
-    set."""
+    set.
+
+    ``left_nullable`` names the solution variables that may be NULL
+    (the text front-end's statically-tracked maybe-unbound set); for a
+    shared variable with no UNDEF in the inline data and not in that
+    set, the compatibility disjunction collapses to a plain equality —
+    giving Catalyst an equi-conjunct so the join plans as a hash join
+    rather than a BroadcastNestedLoopJoin. ``None`` (the default)
+    assumes every left variable may be NULL, the conservative
+    programmatic-API behavior."""
     inline = spark.createDataFrame(
         rows, ", ".join(f"{v} string" for v in variables)
     )
@@ -879,7 +889,13 @@ def bgp_values(
     cond = F.lit(True)
     for v in shared:
         lv, rv = F.col(f"_l.{v}"), F.col(f"_r.{v}")
-        cond = cond & (lv.isNull() | rv.isNull() | (lv == rv))
+        idx = variables.index(v)
+        no_undef = all(r[idx] is not None for r in rows)
+        if no_undef and left_nullable is not None \
+                and v not in left_nullable:
+            cond = cond & (lv == rv)
+        else:
+            cond = cond & (lv.isNull() | rv.isNull() | (lv == rv))
     extra = [v for v in inline.columns if v not in shared]
     return lhs.join(rhs, cond, "inner").select(
         *[

@@ -1944,7 +1944,10 @@ def _compile_group(
             merge(sdf, set(svars))
         elif tag == "values":
             vars_, rows = payload
-            sols = bgp_values(sols, triples.sparkSession, vars_, rows)
+            sols = bgp_values(
+                sols, triples.sparkSession, vars_, rows,
+                left_nullable=maybe,
+            )
             maybe |= {
                 v for i, v in enumerate(vars_)
                 if any(r[i] is None for r in rows)

@@ -741,3 +741,29 @@ def test_bgp_reorder_is_result_invariant(spark):
             want = got
         assert got == want, perm
     assert want  # non-trivial case actually matched
+
+
+def test_sparql_driver_queries_plan_hash_joins(spark):
+    """Scale guard over EVERY SPARQL-path driver query: no
+    BroadcastNestedLoopJoin, no CartesianProduct — each solution join
+    anchors on bound shared variables (sol_join split-path plans), at
+    any nesting depth, through paths, negation, VALUES, and hoisted
+    aggregates. A regression here is the classic 100x scale-killer."""
+    from ontocast_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    names = [n for n in QUERIES if n.startswith(("q_sparql", "q_bgp"))]
+    assert len(names) >= 12  # the sweep covers the real surface
+    for name in names:
+        df = QUERIES[name](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # a nested-loop join is tolerable ONLY against a broadcast
+        # inline-VALUES local relation (constant-size build side — the
+        # UNDEF wildcard row is compatibility-joined by definition);
+        # any BNLJ beyond the LocalTableScan count means a data-sized
+        # build side leaked in
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        inline = plan.count("LocalTableScan") \
+            + plan.count("Scan ExistingRDD")
+        assert bnlj <= inline, name
+        assert "CartesianProduct" not in plan, name
