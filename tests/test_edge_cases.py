@@ -767,3 +767,39 @@ def test_sparql_driver_queries_plan_hash_joins(spark):
             + plan.count("Scan ExistingRDD")
         assert bnlj <= inline, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_bucketed_triple_store_star_join_is_shuffle_free(spark, tmp_path):
+    """write_triples_bucketed: a subject-star BGP (three patterns
+    sharing ?s) over the bucketed table plans with ZERO Exchange
+    operators — the bucketing pre-pays the only shuffle subject-keyed
+    access ever needs (the 100-TB quad-store layout)."""
+    from ontocast_spark.io import write_triples_bucketed
+    from ontocast_spark.plans.bgp import bgp_select
+
+    tri = spark.createDataFrame(
+        [(f"s{i % 50}", f"p{i % 3}", f"o{i}") for i in range(600)],
+        "subj string, pred string, obj string",
+    )
+    b = write_triples_bucketed(tri, "tri_bucketed_test", buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # at 100 TB no side broadcasts — disable the small-table shortcut
+    # so the plan shows what the bucketing buys on big data
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = bgp_select(b, [
+            ("?s", "p0", "?a"), ("?s", "p1", "?b"), ("?s", "p2", "?c"),
+        ])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0
+        assert "SelectedBucketsCount" in plan  # the bucketed scan
+        # and it computes the right thing
+        brute = bgp_select(tri, [
+            ("?s", "p0", "?a"), ("?s", "p1", "?b"), ("?s", "p2", "?c"),
+        ])
+        got = {tuple(r) for r in out.collect()}
+        want = {tuple(r) for r in brute.collect()}
+        assert got == want and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS tri_bucketed_test")
