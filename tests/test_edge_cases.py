@@ -803,3 +803,30 @@ def test_bucketed_triple_store_star_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS tri_bucketed_test")
+
+
+def test_graph_partitioned_store_prunes_partitions(spark, tmp_path):
+    """A quad table written partitionBy("graph") turns every
+    constant-IRI GRAPH query into a partition-pruned scan (and the
+    default graph into the null partition) — the companion layout to
+    subject bucketing for the 100-TB store."""
+    from ontocast_spark.plans.sparql import sparql
+
+    path = str(tmp_path / "quads")
+    spark.createDataFrame(
+        [("a", "p", "1", None), ("b", "p", "2", "g1"),
+         ("c", "p", "3", "g2")],
+        "subj string, pred string, obj string, graph string",
+    ).write.partitionBy("graph").parquet(path)
+    quads = spark.read.parquet(path)
+
+    out = sparql(quads, "SELECT ?s WHERE { GRAPH <g1> { ?s <p> ?o } }")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(graph" in plan \
+        or "PartitionFilters: [(graph" in plan, plan
+    assert {r["s"] for r in out.collect()} == {"b"}
+    # default graph = the null partition, also pruned
+    out = sparql(quads, "SELECT ?s WHERE { ?s <p> ?o }")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isnull(graph" in plan, plan
+    assert {r["s"] for r in out.collect()} == {"a"}
