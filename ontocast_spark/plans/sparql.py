@@ -1228,8 +1228,30 @@ class _Parser:
             if self._kw("GROUP"):
                 if not self._kw("BY"):
                     raise SparqlSyntaxError("GROUP needs BY")
-                while self._peek() is not None and self._peek().kind == "VAR":
-                    q.group_by.append(self._next().value[1:])
+                while True:
+                    t = self._peek()
+                    if t is not None and t.kind == "VAR":
+                        self.pos += 1
+                        q.group_by.append(t.value[1:])
+                    elif t is not None and t.kind == "OP" \
+                            and t.value == "(":
+                        # GroupCondition '(' Expression ('AS' Var)? ')'
+                        # — an aliased key becomes a visible variable
+                        # (§18.2.4), an anonymous one a hidden column
+                        self.pos += 1
+                        expr = self._expr_or()
+                        alias = None
+                        if self._kw("AS"):
+                            v = self._next()
+                            if v.kind != "VAR":
+                                raise SparqlSyntaxError(
+                                    "GROUP BY AS needs a ?var"
+                                )
+                            alias = v.value[1:]
+                        self._expect_op(")")
+                        q.group_by.append(("expr", expr, alias))
+                    else:
+                        break
             elif self._kw("ORDER"):
                 if not self._kw("BY"):
                     raise SparqlSyntaxError("ORDER needs BY")
@@ -2046,6 +2068,8 @@ def _compile_where(triples: DataFrame, q: ParsedQuery):
         or any(not isinstance(src, str) and _expr_uses_meta(src)
                for _, src, *_ in q.aggs)
         or any(_expr_uses_meta(h) for h in q.havings)
+        or any(not isinstance(k, str) and _expr_uses_meta(k[1])
+               for k in q.group_by)
     )
     sols, maybe = _compile_group(
         triples, q.where, needs_meta=needs_meta, dedup=dedup
@@ -2130,19 +2154,40 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
             col = f"!aggarg{i}"
             base = base.withColumn(col, _compile_expr(src))
             aggs.append((fn, col, alias, *rest))
-        missing_keys = [k for k in q.group_by if k not in base.columns]
-        if missing_keys:
-            raise SparqlSyntaxError(
-                f"GROUP BY ?{missing_keys[0]} is not bound by the WHERE"
-            )
+        group_cols: list = []
+        expr_key_aliases: list = []
+        for j, k in enumerate(q.group_by):
+            if isinstance(k, str):
+                if k not in base.columns:
+                    raise SparqlSyntaxError(
+                        f"GROUP BY ?{k} is not bound by the WHERE"
+                    )
+                group_cols.append(k)
+                continue
+            _, ast, alias = k
+            loose = _expr_vars(ast) - set(base.columns)
+            if loose:
+                raise SparqlSyntaxError(
+                    f"GROUP BY expression references unbound "
+                    f"?{sorted(loose)[0]}"
+                )
+            name = alias if alias is not None else f"!gkey{j}"
+            if name in base.columns:
+                raise SparqlSyntaxError(
+                    f"GROUP BY alias ?{name} is already bound"
+                )
+            base = base.withColumn(name, _compile_expr(ast))
+            group_cols.append(name)
+            if alias is not None:
+                expr_key_aliases.append(alias)
         plain_b = [c for c in base.columns if not is_meta_col(c)]
         if aggs:
-            out = bgp_aggregate(base.select(*plain_b), q.group_by, aggs)
+            out = bgp_aggregate(base.select(*plain_b), group_cols, aggs)
         else:
             # GROUP BY with no aggregate in the SELECT list still
             # groups (spec §18.2.4): one solution per distinct key
             # combination
-            out = base.select(*q.group_by).dropDuplicates()
+            out = base.select(*group_cols).dropDuplicates()
         for h in havings:
             if _expr_uses_meta(h):
                 # a meta builtin INSIDE an aggregate argument was
@@ -2159,8 +2204,10 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
                 )
             out = out.filter(_compile_expr(h))
         # COUNT never returns NULL; any other aggregate over a group
-        # whose inputs are all unbound does
-        maybe_out = {v for v in q.group_by if v in maybe} | {
+        # whose inputs are all unbound does — and an expression key
+        # may evaluate to NULL
+        maybe_out = {v for v in group_cols if v in maybe} \
+            | set(expr_key_aliases) | {
             alias for fn, src, alias, *_ in q.aggs
             if fn != "count" and (
                 (src in maybe) if isinstance(src, str)
@@ -2211,8 +2258,12 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
                 )
             out = out.select(*q.variables)
             maybe_out = {v for v in maybe_out if v in q.variables}
-        elif hidden:
-            out = out.drop(*[a[2] for a in hidden])
+        else:
+            # no explicit projection: drop hidden hoisted aggregates
+            # and anonymous expression group keys (!-prefixed)
+            internal = [c for c in out.columns if c.startswith("!")]
+            if internal:
+                out = out.drop(*internal)
     else:
         if q.havings:
             raise SparqlSyntaxError("HAVING needs aggregates")

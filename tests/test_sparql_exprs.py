@@ -919,3 +919,36 @@ def test_bare_agg_dedup_parity_with_duplicate_rows(spark):
         HAVING (?n >= 2)
     """).collect()}
     assert bare == aliased == {"b"}
+
+
+def test_group_by_expression_keys(spark):
+    """GROUP BY (expr AS ?v) binds a visible key variable; an
+    anonymous (expr) groups on a hidden column that never reaches the
+    output (§18.2.4 GroupCondition)."""
+    tri = _triples(spark, [
+        ("a", "name", "apple"), ("b", "name", "avocado"),
+        ("c", "name", "banana"),
+    ])
+    got = {(r["initial"], r["n"]) for r in sparql(tri, """
+        SELECT ?initial (COUNT(?v) AS ?n) WHERE { ?s <name> ?v }
+        GROUP BY (SUBSTR(?v, 1, 1) AS ?initial)
+    """).collect()}
+    assert got == {("a", 2), ("b", 1)}
+    # anonymous expression key: grouped correctly, column hidden
+    out = sparql(tri, """
+        SELECT (COUNT(?v) AS ?n) WHERE { ?s <name> ?v }
+        GROUP BY (SUBSTR(?v, 1, 1))
+    """)
+    assert out.columns == ["n"]
+    assert sorted(r["n"] for r in out.collect()) == [1, 2]
+    # mixed var + aliased expression keys, HAVING over the alias
+    got = {(r["s"], r["k"]) for r in sparql(tri, """
+        SELECT ?s ?k WHERE { ?s <name> ?v }
+        GROUP BY ?s (STRLEN(?v) AS ?k) HAVING (?k > 5)
+    """).collect()}
+    assert got == {("b", 7), ("c", 6)}
+    with pytest.raises(SparqlSyntaxError, match="unbound"):
+        sparql(tri, """
+            SELECT (COUNT(?v) AS ?n) WHERE { ?s <name> ?v }
+            GROUP BY (STRLEN(?zz))
+        """)
