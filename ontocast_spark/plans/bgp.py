@@ -1095,7 +1095,16 @@ def bgp_aggregate(
         distinct = bool(rest and rest[0])
         if fn == "count" and var == "*":
             if distinct:
-                raise ValueError("COUNT(DISTINCT *) is not supported")
+                # distinct SOLUTIONS within the group: countDistinct
+                # over a struct of the non-key columns (a bare
+                # multi-column count_distinct would drop rows with
+                # any unbound variable)
+                others = [c for c in solutions.columns
+                          if c not in group_vars]
+                exprs.append(F.count_distinct(
+                    F.struct(*others) if others else F.lit(1)
+                ).alias(alias))
+                continue
             exprs.append(F.count(F.lit(1)).alias(alias))
             continue
         col = F.col(var)

@@ -107,8 +107,8 @@ term-metadata builtins over UNION arms or MINUS/EXISTS bodies,
 property paths in CONSTRUCT/UPDATE templates or variable-graph
 ``GRAPH ?g`` blocks (constant-IRI GRAPH blocks evaluate paths scoped
 to that graph's edges), REGEX/
-REPLACE flags outside Java's ``imsx``, bare aggregate calls in
-HAVING, ``COUNT(DISTINCT *)``.
+REPLACE flags outside Java's ``imsx``, ``SUM/MIN/...(DISTINCT *)``
+(only ``COUNT(DISTINCT *)`` is meaningful), nested aggregate calls.
 Comparison operators in FILTER must be whitespace-separated from
 their operands when ``<``/``>`` could otherwise read as an IRI
 bracket.
@@ -388,7 +388,7 @@ class _Parser:
         if self._at_op("*"):
             self.pos += 1
             src = "*"
-            if distinct:
+            if distinct and fn != "count":
                 raise SparqlSyntaxError(
                     f"{fn.upper()}(DISTINCT *) is outside the "
                     "supported subset"

@@ -238,10 +238,30 @@ def test_distinct_aggregates(spark):
     }
 
 
-def test_count_distinct_star_rejected(spark):
-    tri = _triples(spark, [("a", "p", "1")])
+def test_count_distinct_star(spark):
+    """COUNT(DISTINCT *) counts distinct SOLUTIONS per group — a
+    struct-based countDistinct so rows with unbound variables still
+    count (a bare multi-column count_distinct would drop them)."""
+    tri = _triples(spark, [
+        ("a", "p", "1"), ("a", "p", "2"), ("a", "q", "1"),
+        ("b", "p", "3"),
+    ])
+    # per-subject distinct (?p, ?o) solutions
+    got = {(r["s"], r["n"]) for r in sparql(tri, """
+        SELECT ?s (COUNT(DISTINCT *) AS ?n) WHERE { ?s ?p ?o }
+        GROUP BY ?s
+    """).collect()}
+    assert got == {("a", 3), ("b", 1)}
+    # with an OPTIONAL leaving ?x unbound on some solutions
+    got = [r["n"] for r in sparql(tri, """
+        SELECT (COUNT(DISTINCT *) AS ?n) WHERE {
+            ?s <p> ?o OPTIONAL { ?s <q> ?x }
+        }
+    """).collect()]
+    assert got == [3]
+    # non-COUNT DISTINCT * stays rejected
     with pytest.raises(SparqlSyntaxError, match="DISTINCT"):
-        sparql(tri, "SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s <p> ?o }")
+        sparql(tri, "SELECT (SUM(DISTINCT *) AS ?n) WHERE { ?s <p> ?o }")
 
 
 # ------------------------------------------------- post-agg Extend
