@@ -164,7 +164,12 @@ def write_triples_bucketed(
 
     Requires a session with a warehouse dir (``saveAsTable``); the
     reference's Fuseki/TDB role of a persistent indexed store
-    (fuseki.py:188-270) maps to exactly this kind of layout."""
+    (fuseki.py:188-270) maps to exactly this kind of layout.
+
+    Spark cannot overwrite a table that the input is simultaneously
+    being read from — to re-bucket an existing store, stage through a
+    different table name (write to ``{table}__next``, then
+    ``ALTER TABLE ... RENAME``) or materialize the input first."""
     (
         triples.write.mode("overwrite")
         .bucketBy(buckets, "subj")

@@ -1098,9 +1098,12 @@ def bgp_aggregate(
                 # distinct SOLUTIONS within the group: countDistinct
                 # over a struct of the non-key columns (a bare
                 # multi-column count_distinct would drop rows with
-                # any unbound variable)
+                # any unbound variable). Internal !-prefixed columns
+                # (blank nodes, derived agg args) are existentials,
+                # not in-scope variables — excluded from the identity
                 others = [c for c in solutions.columns
-                          if c not in group_vars]
+                          if c not in group_vars
+                          and not c.startswith("!")]
                 exprs.append(F.count_distinct(
                     F.struct(*others) if others else F.lit(1)
                 ).alias(alias))

@@ -2134,29 +2134,19 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
     order_cols = [order_key(k).asc() if a else order_key(k).desc()
                   for k, a in order_by] if order_by else []
     if all_aggs or q.group_by:
-        # an aggregate may take a full expression argument —
-        # materialize those as hidden columns first (evaluated over
-        # the pre-group solutions, spec §18.2.4 Aggregation(E, ...))
-        aggs = []
         base = sols
-        for i, (fn, src, alias, *rest) in enumerate(all_aggs):
-            if isinstance(src, str):
-                aggs.append((fn, src, alias, *rest))
-                continue
-            loose = _expr_vars(src) - set(base.columns)
-            if loose:
-                raise SparqlSyntaxError(
-                    f"aggregate argument references unbound "
-                    f"?{sorted(loose)[0]}"
-                )
-            # ! prefix: outside the VAR grammar, cannot shadow a
-            # user variable
-            col = f"!aggarg{i}"
-            base = base.withColumn(col, _compile_expr(src))
-            aggs.append((fn, col, alias, *rest))
+        # group expression keys materialize FIRST (spec §18.2.4
+        # Group(exprlist, ...)), so aggregate arguments may reference
+        # their aliases
+        agg_aliases = {a[2] for a in all_aggs}
         group_cols: list = []
         expr_key_aliases: list = []
         for j, k in enumerate(q.group_by):
+            if not isinstance(k, str) and k[2] is None \
+                    and k[1][0] == "var":
+                # GROUP BY (?x): a parenthesized bare variable is the
+                # variable itself (§19.8 allows projecting it)
+                k = k[1][1]
             if isinstance(k, str):
                 if k not in base.columns:
                     raise SparqlSyntaxError(
@@ -2172,7 +2162,7 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
                     f"?{sorted(loose)[0]}"
                 )
             name = alias if alias is not None else f"!gkey{j}"
-            if name in base.columns:
+            if name in base.columns or name in agg_aliases:
                 raise SparqlSyntaxError(
                     f"GROUP BY alias ?{name} is already bound"
                 )
@@ -2180,6 +2170,25 @@ def _eval_select_sols(triples: DataFrame, q: ParsedQuery):
             group_cols.append(name)
             if alias is not None:
                 expr_key_aliases.append(alias)
+        # an aggregate may take a full expression argument —
+        # materialize those as hidden columns over the pre-group
+        # solutions (spec §18.2.4 Aggregation(E, ...))
+        aggs = []
+        for i, (fn, src, alias, *rest) in enumerate(all_aggs):
+            if isinstance(src, str):
+                aggs.append((fn, src, alias, *rest))
+                continue
+            loose = _expr_vars(src) - set(base.columns)
+            if loose:
+                raise SparqlSyntaxError(
+                    f"aggregate argument references unbound "
+                    f"?{sorted(loose)[0]}"
+                )
+            # ! prefix: outside the VAR grammar, cannot shadow a
+            # user variable
+            col = f"!aggarg{i}"
+            base = base.withColumn(col, _compile_expr(src))
+            aggs.append((fn, col, alias, *rest))
         plain_b = [c for c in base.columns if not is_meta_col(c)]
         if aggs:
             out = bgp_aggregate(base.select(*plain_b), group_cols, aggs)

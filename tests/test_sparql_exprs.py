@@ -972,3 +972,30 @@ def test_group_by_expression_keys(spark):
             SELECT (COUNT(?v) AS ?n) WHERE { ?s <name> ?v }
             GROUP BY (STRLEN(?zz))
         """)
+
+
+def test_group_key_review_fixes(spark):
+    """Third review pass: aggregate args may reference group-key
+    aliases, GROUP BY (?x) is the plain variable (projectable), alias
+    collisions with aggregate aliases are parse-level errors, and
+    COUNT(DISTINCT *) ignores internal blank-node columns."""
+    tri = _triples(spark, [("a", "p", "xy"), ("b", "p", "z")])
+    got = {(r["k"], float(r["t"])) for r in sparql(tri, """
+        SELECT ?k (SUM(?k + 1) AS ?t) WHERE { ?s <p> ?o }
+        GROUP BY (STRLEN(?o) AS ?k)
+    """).collect()}
+    assert got == {(2, 3.0), (1, 2.0)}
+    got = {r["o"] for r in sparql(tri, """
+        SELECT ?o WHERE { ?s <p> ?o } GROUP BY (?o)
+    """).collect()}
+    assert got == {"xy", "z"}
+    with pytest.raises(SparqlSyntaxError, match="already bound"):
+        sparql(tri, """
+            SELECT (COUNT(?o) AS ?n) WHERE { ?s <p> ?o }
+            GROUP BY (STRLEN(?o) AS ?n)
+        """)
+    tri2 = _triples(spark, [("a", "p", "1"), ("a", "p", "2")])
+    got = [r["n"] for r in sparql(tri2, """
+        SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s <p> [] }
+    """).collect()]
+    assert got == [1]  # blank-node bindings are not solution identity
