@@ -323,3 +323,49 @@ def test_parser_total_on_token_soup(seed):
         parse_sparql(text)
     except SparqlSyntaxError:
         pass
+
+
+def test_aggregate_queries_match_bruteforce(spark):
+    """Seeded random GROUP BY + COUNT/SUM/MIN/MAX queries vs a plain
+    Python evaluator over the same tiny graphs — covers grouping,
+    bare HAVING aggregates, and the hoisting machinery end-to-end
+    without DuckDB."""
+    from collections import defaultdict
+
+    from ontocast_spark.plans.sparql import sparql
+
+    rng = random.Random(77)
+    for _ in range(6):
+        triples = sorted({
+            (rng.choice(NODES), "p0", str(rng.randrange(1, 9)))
+            for _ in range(rng.randrange(6, 16))
+        })
+        tdf = spark.createDataFrame(
+            triples, "subj string, pred string, obj string"
+        )
+        fn = rng.choice(["COUNT", "SUM", "MIN", "MAX"])
+        thresh = rng.randrange(1, 3)
+        text = f"""
+            SELECT ?s ({fn}(?v) AS ?agg) WHERE {{ ?s <p0> ?v }}
+            GROUP BY ?s HAVING (COUNT(?v) >= {thresh})
+        """
+        got = {
+            (r["s"], float(r["agg"]) if fn != "COUNT" else int(r["agg"]))
+            for r in sparql(tdf, text).collect()
+        }
+        groups = defaultdict(list)
+        for s, _, v in triples:
+            groups[s].append(v)
+        want = set()
+        for s, vals in groups.items():
+            if len(vals) < thresh:
+                continue
+            if fn == "COUNT":
+                want.add((s, len(vals)))
+            elif fn == "SUM":
+                want.add((s, float(sum(float(v) for v in vals))))
+            elif fn == "MIN":
+                want.add((s, float(min(vals))))  # lexical min
+            else:
+                want.add((s, float(max(vals))))
+        assert got == want, (fn, thresh, triples)
