@@ -343,6 +343,25 @@ def make_handler(spark: SparkSession, index=None, triples=None):
                 {"status": "success", "n_triples": len(new)},
             )
 
+        def do_DELETE(self):
+            """Graph Store Protocol DELETE: drop a named graph (or
+            clear the default graph)."""
+            from urllib.parse import urlsplit
+
+            parts = urlsplit(self.path)
+            if self._route(parts.path) != "data":
+                self._reply(404, {"status": "error", "error": "not found"})
+                return
+            g = self._graph_param(parts.query)
+            with lock:
+                existed = any(r[5] == g for r in store)
+                store[:] = [r for r in store if r[5] != g]
+            if g is not None and not existed:
+                self._reply(404, {"status": "error",
+                                  "error": "no such graph"})
+            else:
+                self._reply(200, {"status": "success"})
+
         def do_POST(self):
             from urllib.parse import urlsplit
 

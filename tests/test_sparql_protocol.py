@@ -378,3 +378,32 @@ def test_boolean_bindings_use_xsd_lexical_forms(server):
     vals = {b["three"]["value"]
             for b in json.loads(body)["results"]["bindings"]}
     assert vals == {"true"}  # not Python's "True"
+
+
+def test_gsp_delete_graph(spark):
+    from ontocast_spark.sources.fuseki import FusekiClient
+
+    srv = serve(spark, host="127.0.0.1", port=0)
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        client = FusekiClient(base, "ds")
+        client.put_graph("https://g/x", '<https://a> <https://p> "1" .\n')
+        req = urllib.request.Request(
+            base + "/ds/data?graph=" + urllib.parse.quote(
+                "https://g/x", safe=""),
+            method="DELETE",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 200
+        code, _, body = _get_query(
+            base, "ASK { GRAPH <https://g/x> { ?s ?p ?o } }"
+        )
+        assert json.loads(body)["boolean"] is False
+        # deleting a missing graph is 404
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
