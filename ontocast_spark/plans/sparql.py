@@ -102,7 +102,11 @@ Out of scope (raise ``SparqlSyntaxError``): variable SERVICE
 endpoints, SERVICE bodies binding no variables, MINUS/EXISTS
 bodies whose solutions can be unbound (OPTIONAL/uneven UNION/UNDEF/
 BIND inside the probe), subqueries with nullable projections,
-group-scoped FILTERs referencing variables bound outside the group,
+group-scoped FILTERs referencing variables bound outside the group
+(EXCEPT inside OPTIONAL bodies, where such a filter is the spec's
+LeftJoin(A, P, F) condition — evaluated as Filter(F, Join) unioned
+with Diff(A, P, F), so a failing or erroring condition keeps the base
+row with the optional side unbound),
 term-metadata builtins over UNION arms or MINUS/EXISTS bodies,
 property paths in CONSTRUCT/UPDATE templates or variable-graph
 ``GRAPH ?g`` blocks (constant-IRI GRAPH blocks evaluate paths scoped
@@ -1929,18 +1933,85 @@ def _compile_group(
             body_meta = meta_here or any(
                 _expr_uses_meta(f) for f in payload.filters
             )
+            # compile the body WITHOUT its group-level filters first;
+            # a filter whose variables all bind inside the body stays
+            # inside (the spec's LeftJoin(A, P, F) with F over P), one
+            # referencing base variables becomes the left-join
+            # CONDITION (evaluated as Filter(F, Join) u Diff(A, P, F))
+            body_wo = _Group(
+                elements=payload.elements, filters=[],
+                exists=payload.exists,
+            )
             df, m = _compile_group(
-                triples, payload, needs_meta=body_meta, dedup=dedup
+                triples, body_wo, needs_meta=body_meta, dedup=dedup
             )
             if df is None:
                 raise SparqlSyntaxError("empty OPTIONAL body")
+            deferred = []
+            for f in payload.filters:
+                if _expr_vars(f) <= set(df.columns):
+                    df = bgp_filter(df, _compile_expr(f))
+                else:
+                    deferred.append(f)
             if sols is not None and not (
                 set(sols.columns) & set(df.columns)
             ):
                 raise SparqlSyntaxError(
                     "OPTIONAL group shares no variable with the base"
                 )
-            merge(df, m, how="left")
+            if not deferred:
+                merge(df, m, how="left")
+            else:
+                if sols is None:
+                    raise SparqlSyntaxError(
+                        "OPTIONAL needs a base pattern in this subset"
+                    )
+                loose = set().union(
+                    *[_expr_vars(f) for f in deferred]
+                ) - set(df.columns) - set(sols.columns)
+                if loose:
+                    raise SparqlSyntaxError(
+                        f"FILTER references ?{sorted(loose)[0]}, "
+                        "which is not bound in its group (outer "
+                        "variables are outside the supported subset)"
+                    )
+                lcols = set(sols.columns)
+                joined = sol_join(
+                    sols, df, left_nullable=maybe, right_nullable=m,
+                    how="inner",
+                )
+                for f in deferred:
+                    # one frame holds both sides' columns — the
+                    # condition compiles unambiguously; an error
+                    # (NULL) counts as not-true, per Diff's definition
+                    joined = bgp_filter(joined, _compile_expr(f))
+                # Diff(A, P, F): base rows with no surviving partner,
+                # NULL-padded on the body-only variables
+                keys = list(sols.columns)
+                probe = joined.select(*keys).dropDuplicates()
+                nullable = [c for c in keys
+                            if c in maybe or is_meta_col(c)]
+                if not nullable:
+                    unmatched = sols.join(probe, on=keys,
+                                          how="left_anti")
+                else:
+                    lhs = sols.alias("_l")
+                    rhs = probe.alias("_r")
+                    cond = F.lit(True)
+                    for c in keys:
+                        lc = F.col(f"_l.{c}")
+                        rc = F.col(f"_r.{c}")
+                        cond = cond & (
+                            lc.eqNullSafe(rc) if c in nullable
+                            else (lc == rc)
+                        )
+                    unmatched = lhs.join(rhs, cond, "left_anti").select(
+                        *[F.col(f"_l.{c}").alias(c) for c in keys]
+                    )
+                sols = sol_union([joined, unmatched], distinct=False)
+                maybe = maybe | {c for c in df.columns
+                                 if c not in lcols
+                                 and not is_meta_col(c)}
         elif tag == "minus":
             if sols is None:
                 raise SparqlSyntaxError("MINUS needs a base pattern")

@@ -999,3 +999,48 @@ def test_group_key_review_fixes(spark):
         SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s <p> [] }
     """).collect()]
     assert got == [1]  # blank-node bindings are not solution identity
+
+
+def test_optional_filter_over_base_variables(spark):
+    """OPTIONAL { P FILTER(F) } where F references BASE variables —
+    the spec's LeftJoin(A, P, F) condition, evaluated as
+    Filter(F, Join) ∪ Diff(A, P, F): a failing condition leaves the
+    base row with the optional side unbound, never drops it."""
+    tri = _triples(spark, [
+        ("a", "lim", "5"), ("b", "lim", "1"), ("c", "lim", "3"),
+        ("a", "val", "3"), ("b", "val", "4"), ("b", "val", "0"),
+    ])
+    got = {(r["s"], r["v"]) for r in sparql(tri, """
+        SELECT ?s ?v WHERE {
+            ?s <lim> ?m
+            OPTIONAL { ?s <val> ?v FILTER(?v < ?m) }
+        }
+    """).collect()}
+    # a: 3 < 5 keeps; b: only 0 < 1 survives; c: no val at all
+    assert got == {("a", "3"), ("b", "0"), ("c", None)}
+    # condition failing for EVERY partner -> unbound, row retained
+    got = {(r["s"], r["v"]) for r in sparql(tri, """
+        SELECT ?s ?v WHERE {
+            ?s <lim> ?m
+            OPTIONAL { ?s <val> ?v FILTER(?v > ?m) }
+        }
+    """).collect()}
+    assert got == {("a", None), ("b", "4"), ("c", None)}
+    # an erroring condition (numeric coercion of a non-number) counts
+    # as not-true: unbound, row retained
+    tri2 = _triples(spark, [
+        ("x", "lim", "zz"), ("x", "val", "1"),
+    ])
+    got = {(r["s"], r["v"]) for r in sparql(tri2, """
+        SELECT ?s ?v WHERE {
+            ?s <lim> ?m OPTIONAL { ?s <val> ?v FILTER(?v < ?m + 0) }
+        }
+    """).collect()}
+    assert got == {("x", None)}
+    # genuinely unbound filter vars still error cleanly
+    with pytest.raises(SparqlSyntaxError, match="not bound"):
+        sparql(tri, """
+            SELECT ?s WHERE {
+                ?s <lim> ?m OPTIONAL { ?s <val> ?v FILTER(?v < ?zz) }
+            }
+        """)

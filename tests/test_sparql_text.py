@@ -854,13 +854,17 @@ def test_filter_inside_optional_and_union(spark):
     # and the UNDEF wildcard row joins twice (a: 2 sols x 2 rows,
     # b: 2 x 1, c: 1 x 1, d: 1 x 2)
     assert got3 == ["a", "a", "a", "a", "b", "b", "c", "d", "d"]
-    # group-scoped filter may not reference outer variables
-    with pytest.raises(SparqlSyntaxError):
-        sparql(tri, """
-            SELECT ?x WHERE {
-              ?x <knows> ?y . OPTIONAL { ?x <age> ?n FILTER(?n > ?y) }
-            }
-        """)
+    # a filter referencing OUTER variables is the LeftJoin condition
+    # (in-subset since late round 5): evaluated over base+body, a
+    # failing/erroring condition keeps the base row with ?n unbound.
+    # ?n > ?y compares lexical forms: a(30>"b") false, b(7>"c") false,
+    # c has no age -> every base row keeps an unbound ?n
+    got_outer = sorted((r["x"], r["n"]) for r in sparql(tri, """
+        SELECT ?x ?n WHERE {
+          ?x <knows> ?y . OPTIONAL { ?x <age> ?n FILTER(?n > ?y) }
+        }
+    """).collect())
+    assert got_outer == [("a", None), ("b", None), ("c", None)]
     # FILTER EXISTS inside an OPTIONAL body (in-subset since round 5):
     # scoped to the body, evaluated BEFORE the left join — d's age row
     # fails EXISTS (d has no <knows> edge) but d never matched; b's
