@@ -369,3 +369,49 @@ def test_aggregate_queries_match_bruteforce(spark):
             else:
                 want.add((s, float(max(vals))))
         assert got == want, (fn, thresh, triples)
+
+
+def test_optional_filter_condition_matches_bruteforce(spark):
+    """Seeded random LeftJoin(A, P, F) cases with F over BOTH sides —
+    engine vs a direct implementation of the spec's LeftJoin
+    definition (Filter(F, Join) ∪ Diff(A, P, F))."""
+    from ontocast_spark.plans.sparql import sparql
+
+    rng = random.Random(123)
+    for _ in range(6):
+        triples = sorted({
+            (rng.choice(NODES), rng.choice(["base", "opt"]),
+             str(rng.randrange(1, 6)))
+            for _ in range(rng.randrange(6, 16))
+        })
+        tdf = spark.createDataFrame(
+            triples, "subj string, pred string, obj string"
+        )
+        op = rng.choice(["<", ">", "=", "!="])
+        text = f"""
+            SELECT ?s ?b ?v WHERE {{
+                ?s <base> ?b
+                OPTIONAL {{ ?s <opt> ?v FILTER(?v {op} ?b) }}
+            }}
+        """
+        got = Counter(
+            (r["s"], r["b"], r["v"]) for r in sparql(tdf, text).collect()
+        )
+        # brute: for each base row, partners satisfying F, else NULL
+        import operator
+        ops = {"<": operator.lt, ">": operator.gt,
+               "=": operator.eq, "!=": operator.ne}
+        want: Counter = Counter()
+        for s, p, b in triples:
+            if p != "base":
+                continue
+            partners = [
+                v for s2, p2, v in triples
+                if s2 == s and p2 == "opt" and ops[op](v, b)
+            ]
+            if partners:
+                for v in partners:
+                    want[(s, b, v)] += 1
+            else:
+                want[(s, b, None)] += 1
+        assert got == want, (op, triples)
