@@ -1975,9 +1975,30 @@ def _compile_group(
                         "which is not bound in its group (outer "
                         "variables are outside the supported subset)"
                     )
+                macc: set = set()
+                for f in deferred:
+                    _meta_arg_vars(f, macc)
+                if macc - set(df.columns):
+                    raise SparqlSyntaxError(
+                        "term-metadata builtins over base variables "
+                        "in an OPTIONAL filter are outside the "
+                        "supported subset"
+                    )
                 lcols = set(sols.columns)
+                # Diff(A, P, F) needs ROW identity, not value
+                # identity: the compatibility join coalesces a
+                # maybe-unbound shared variable to the body's value,
+                # so a NULL-carrying base row would not value-match
+                # its own joined image. Tag each base row with an id;
+                # localCheckpoint pins the ids so both union arms see
+                # the same assignment (the one materialization this
+                # path pays).
+                rid = "!leftrow"
+                tagged = sols.withColumn(
+                    rid, F.monotonically_increasing_id()
+                ).localCheckpoint()
                 joined = sol_join(
-                    sols, df, left_nullable=maybe, right_nullable=m,
+                    tagged, df, left_nullable=maybe, right_nullable=m,
                     how="inner",
                 )
                 for f in deferred:
@@ -1985,30 +2006,15 @@ def _compile_group(
                     # condition compiles unambiguously; an error
                     # (NULL) counts as not-true, per Diff's definition
                     joined = bgp_filter(joined, _compile_expr(f))
-                # Diff(A, P, F): base rows with no surviving partner,
-                # NULL-padded on the body-only variables
-                keys = list(sols.columns)
-                probe = joined.select(*keys).dropDuplicates()
-                nullable = [c for c in keys
-                            if c in maybe or is_meta_col(c)]
-                if not nullable:
-                    unmatched = sols.join(probe, on=keys,
-                                          how="left_anti")
-                else:
-                    lhs = sols.alias("_l")
-                    rhs = probe.alias("_r")
-                    cond = F.lit(True)
-                    for c in keys:
-                        lc = F.col(f"_l.{c}")
-                        rc = F.col(f"_r.{c}")
-                        cond = cond & (
-                            lc.eqNullSafe(rc) if c in nullable
-                            else (lc == rc)
-                        )
-                    unmatched = lhs.join(rhs, cond, "left_anti").select(
-                        *[F.col(f"_l.{c}").alias(c) for c in keys]
-                    )
-                sols = sol_union([joined, unmatched], distinct=False)
+                # base rows with no surviving partner, NULL-padded on
+                # the body-only variables
+                unmatched = tagged.join(
+                    joined.select(rid).dropDuplicates(),
+                    on=rid, how="left_anti",
+                )
+                sols = sol_union(
+                    [joined, unmatched], distinct=False
+                ).drop(rid)
                 maybe = maybe | {c for c in df.columns
                                  if c not in lcols
                                  and not is_meta_col(c)}

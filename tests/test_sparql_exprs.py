@@ -1044,3 +1044,44 @@ def test_optional_filter_over_base_variables(spark):
                 ?s <lim> ?m OPTIONAL { ?s <val> ?v FILTER(?v < ?zz) }
             }
         """)
+
+
+def test_optional_filter_condition_with_nullable_shared_var(spark):
+    """Review fix: Diff(A, P, F) uses ROW identity. A base row whose
+    shared variable is NULL (from an earlier OPTIONAL) coalesces to
+    the body's value in the join — by value identity it would both
+    join AND reappear null-padded; by row identity it appears exactly
+    once."""
+    tri = _triples(spark, [
+        ("s1", "p", "9"), ("s2", "p", "9"),
+        ("s2", "q", "n1"), ("n1", "r", "3"),
+    ])
+    got = sorted(
+        (r["s"], r["o"], r["x"], r["v"])
+        for r in sparql(tri, """
+            SELECT ?s ?o ?x ?v WHERE {
+                ?s <p> ?o
+                OPTIONAL { ?s <q> ?x }
+                OPTIONAL { ?x <r> ?v FILTER(?v < ?o) }
+            }
+        """).collect()
+    )
+    # s1's x is unbound: it joins n1's r-edge compatibly (NULL
+    # compatible with anything) and the filter passes -> ONE row;
+    # a spec-illegal extra (s1, 9, None, None) must not appear
+    assert got == [
+        ("s1", "9", "n1", "3"),
+        ("s2", "9", "n1", "3"),
+    ]
+    # meta builtins over base variables in the deferred filter reject
+    # cleanly instead of dying on an unresolved column
+    meta = _triples(spark, [
+        ("a", "p", "hi", True, "en", None), ("a", "q", "x", False,
+         None, None),
+    ], meta=True)
+    with pytest.raises(SparqlSyntaxError, match="base variables"):
+        sparql(meta, """
+            SELECT ?s WHERE {
+                ?s <p> ?b OPTIONAL { ?s <q> ?v FILTER(LANG(?b) = "en") }
+            }
+        """)
