@@ -39,9 +39,10 @@ from pyspark.sql import SparkSession
 
 INFO = {
     "name": "ontocast-spark",
-    "version": "0.2.0",
+    "version": "0.3.0",
     "description": "PySpark-native ontology-assisted KG construction",
-    "capabilities": ["text-to-triples", "ontology-extraction"],
+    "capabilities": ["text-to-triples", "ontology-extraction",
+                     "sparql-protocol", "graph-store-protocol"],
     "input_types": ["text", "json"],
     "output_types": ["turtle", "json"],
     "engine": "pyspark",

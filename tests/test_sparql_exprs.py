@@ -1,9 +1,12 @@
-"""Round-5 SPARQL expression surface (plans/sparql.py): ``(expr AS
-?v)`` projections, HAVING, OFFSET, IN / NOT IN, arithmetic with
-numeric coercion, and the extended builtin set (COALESCE / IF /
-STRBEFORE / STRAFTER / SUBSTR / REPLACE / ABS / CEIL / FLOOR / ROUND /
-LANGMATCHES).  Reference surface: the SPARQL 1.1 grammar the
-reference delegates to Fuseki (fuseki.py:188-270)."""
+"""Round-5 SPARQL expression and solution-modifier surface
+(plans/sparql.py): ``(expr AS ?v)`` projections, GROUP BY (incl.
+expression keys), HAVING / ORDER BY (incl. bare hoisted aggregates),
+OFFSET, IN / NOT IN, arithmetic with ANSI-safe numeric coercion, the
+full builtin library (string / numeric / digest / dateTime /
+isNumeric / ENCODE_FOR_URI), blank nodes, negated property sets,
+dataset clauses, GRAPH-scoped paths, COUNT(DISTINCT *), and OPTIONAL
+filters as LeftJoin conditions. Reference surface: the SPARQL 1.1
+grammar the reference delegates to Fuseki (fuseki.py:188-270)."""
 
 import pytest
 
