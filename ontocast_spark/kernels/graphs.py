@@ -18,8 +18,6 @@ over at most a few hundred triples.
 
 from __future__ import annotations
 
-from collections import deque
-
 from .rdfterms import (
     PROV_WAS_QUOTED_FROM,
     RDF_TYPE,
@@ -59,32 +57,43 @@ def build_adjacency(triples) -> dict[str, set[str]]:
 
 
 def connected_components(triples) -> list[set[str]]:
-    """BFS connected components over the entity set.
+    """Connected components over the entity set (union-find with path
+    halving — one pass over the triples instead of materializing an
+    adjacency-set map and BFS-ing it; optimization round 6).
 
-    Entities are visited in sorted order so component discovery order is
-    deterministic (the reference iterates an unordered set).
+    Output is identical to the previous sorted-BFS implementation:
+    components are returned in ascending order of their minimal entity
+    (the order in which a sorted scan would first discover them).
     """
-    entities = get_all_entities(triples)
-    adj = build_adjacency(triples)
-    visited: set[str] = set()
-    components: list[set[str]] = []
-    for entity in sorted(entities):
-        if entity in visited:
-            continue
-        component: set[str] = set()
-        queue = deque([entity])
-        while queue:
-            cur = queue.popleft()
-            if cur in visited:
-                continue
-            visited.add(cur)
-            component.add(cur)
-            for nb in adj.get(cur, ()):
-                if nb not in visited:
-                    queue.append(nb)
-        if component:
-            components.append(component)
-    return components
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path halving
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, _, o, lit, _ in triples:
+        if s not in parent:
+            parent[s] = s
+        if not lit:
+            if o not in parent:
+                parent[o] = o
+            rs, ro = find(s), find(o)
+            if rs != ro:
+                # union by smaller root keeps roots = min(component),
+                # giving the deterministic component order for free
+                if rs < ro:
+                    parent[ro] = rs
+                else:
+                    parent[rs] = ro
+
+    groups: dict[str, set[str]] = {}
+    for e in parent:
+        groups.setdefault(find(e), set()).add(e)
+    return [groups[r] for r in sorted(groups)]
 
 
 def _degree_label_maps(triples):

@@ -27,7 +27,20 @@ Scale design (10^12 turns, skewed conversations):
   chunk_text.py:34-35) drops turn_idx >= cap before any shuffle, so a
   10^9-turn adversarial conversation costs one filter, not one task.
 - Everything is built-in expressions — no Python, full whole-stage
-  codegen; the only shuffle is the groupBy itself.
+  codegen.
+- **One exchange, not two** (optimization round 6, guide §2.4): the
+  natural ``groupBy(conv_id, bucket)`` → ``groupBy(conv_id)`` plan
+  shuffles the full text payload twice (once keyed on (conv_id,
+  bucket), once on conv_id). An explicit hash repartition on
+  ``conv_id`` satisfies the ClusteredDistribution requirement of BOTH
+  aggregations (partitioning on a subset of the grouping keys clusters
+  every (conv_id, bucket) group), so the text bytes cross the wire
+  exactly once and the second aggregation is exchange-free.
+  ``collect_list`` has no map-side reduction, so nothing is lost by
+  skipping the partial-aggregate exchange. The per-group aggregation
+  buffers stay bounded by ``bucket_size``; the per-*task* skew of a
+  mega-conversation landing on one reducer is capped by ``max_turns``
+  (the same bound the old second exchange already had).
 """
 
 from __future__ import annotations
@@ -56,6 +69,7 @@ def assemble_documents(
 
     bucketed = (
         df.withColumn("bucket", (F.col("turn_idx") / F.lit(bucket_size)).cast("int"))
+        .repartition(F.col("conv_id"))
         .groupBy("conv_id", "bucket")
         .agg(
             F.array_join(

@@ -319,3 +319,40 @@ def test_embedder_hook_and_fallback():
     assert chunker.active_embedder() is None
     # fallback is unchanged and deterministic
     assert chunker.split_text(text, min_chunk_size=None) == baseline
+
+
+def test_hash_embed_windows_matches_naive_combine():
+    """The vectorized window embedding (_hash_embed_windows) must be
+    bit-identical to hash_embed over _combine_sentences, including the
+    separator-free token-fusion edge ("abc" + "5def" -> token "abc5def")
+    and the all-zero fallback window."""
+    import numpy as np
+
+    from ontocast_spark.kernels.chunker import (
+        _combine_sentences,
+        _hash_embed_windows,
+        hash_embed,
+    )
+
+    cases = [
+        # plain prose (punctuation-terminated: no fusion)
+        ["Alice met Bob.", "Revenue grew 12.5 %.", "The court convened.",
+         "ACME Corp filed a report.", "He left."] * 4,
+        # fusing boundaries: alnum end meets alnum start
+        ["abc", "5def", "ghi7", "jkl", "m n o", "8", "p."],
+        # pure-token chain (fusion spanning 3+ sentences)
+        ["run1", "2", "3end", "normal text.", "More Text!"],
+        # windows with no tokens at all (zero-vector fallback)
+        ["...", "!!!", "???", "..", "!?"],
+        # unicode (outside the ASCII token class: no fusion)
+        ["Müller spoke", "ünïcode végé", "naïve café"],
+        # single alnum chars and mixed
+        ["a", "b", "c", "d", "e", "f", "g"],
+    ]
+    for sentences in cases:
+        for buf in (1, 2, 5):
+            naive = np.stack(
+                [hash_embed(c) for c in _combine_sentences(sentences, buf)]
+            )
+            fast = _hash_embed_windows(sentences, buf)
+            assert np.array_equal(naive, fast), (sentences, buf)
