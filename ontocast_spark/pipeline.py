@@ -85,20 +85,26 @@ def run_pipeline(
             conversations, spark, warehouse, "kg_canon"
         )
 
+    # lazily-built documents table (returned to callers / staged path);
+    # the fused path does NOT consume it — assembly is fused into the
+    # kernel pass (one exchange; see operators/fused.py), so this
+    # DataFrame is only evaluated when a consumer actually runs it
     documents = assemble_documents(
         conversations,
         domain=cfg.domain,
         bucket_size=cfg.bucket_size,
         max_turns=cfg.max_turns,
+        single_exchange=True,  # every in-pipeline consumer materializes text
     )
 
     facts = None
     chunks = None
     if cfg.fused:
-        from .operators.fused import kg_construct_fused
+        from .operators.fused import kg_construct_fused_turns
 
-        combined = kg_construct_fused(
-            spark, documents, index, max_chunks=cfg.max_chunks
+        combined = kg_construct_fused_turns(
+            spark, conversations, index, domain=cfg.domain,
+            max_turns=cfg.max_turns, max_chunks=cfg.max_chunks,
         )
         ontology_rows = combined.filter(F.col("row_kind") == "ontology").drop(
             "row_kind"
