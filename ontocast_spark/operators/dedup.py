@@ -95,6 +95,11 @@ def minhash_lsh_candidates(
     """Banded LSH over MinHash signatures -> candidate (a, b) pairs."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(docs, text_col, id_col, num_hashes)
+    # (id, sig) feeds three plan branches (bucket sizes, join left,
+    # join right) and each would re-run the n_shingles x k md5 fold —
+    # truncate lineage so the signatures are computed once per run
+    # (round 6, guide §5; ~0.5 KB/doc, never the text)
+    sig = sig.localCheckpoint(eager=False)
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -299,11 +304,18 @@ def dedup_corpus(
 
 def simhash_expr(text_col: str = "text", bits: int = 32):
     """32-bit SimHash column: per-token MD5 hex-digit parity majority
-    vote — identical formulation to queries.q_simhash (oracled)."""
+    vote — identical formulation to queries.q_simhash (oracled).
+
+    The token is hashed ONCE into a per-token digest array before the
+    bit fold (round 6, guide §4): HOF lambdas get no subexpression
+    elimination, so ``substr(md5(tok), b+1, 1)`` inside the per-bit
+    transform re-ran md5 once per *bit* (32 digests per token).
+    Values are unchanged — same tokens, same digests, same parities."""
     weight = (
-        "aggregate(split({t}, ' '), array_repeat(0, {bits}), "
-        "(acc, tok) -> zip_with(acc, transform(sequence(0, {m}), "
-        "b -> CASE WHEN substr(md5(tok), b + 1, 1) IN "
+        "aggregate(transform(split({t}, ' '), tok -> md5(tok)), "
+        "array_repeat(0, {bits}), "
+        "(acc, h) -> zip_with(acc, transform(sequence(0, {m}), "
+        "b -> CASE WHEN substr(h, b + 1, 1) IN "
         "('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END), "
         "(x, y) -> x + y))"
     ).format(t=text_col, bits=bits, m=bits - 1)
@@ -330,6 +342,13 @@ def simhash_dedup(
     sh = docs.select(
         F.col(id_col).alias("id"), simhash_expr(text_col).alias("simhash")
     )
+    # the signature table feeds three plan branches (bucket sizes, join
+    # left, join right); without lineage truncation each branch re-runs
+    # the full per-token hash fold over the corpus (no exchange reuse —
+    # measured 4 evaluations). localCheckpoint materializes the tiny
+    # (id, simhash) projection once per run — 16 bytes/doc, never the
+    # text (round 6, guide §5; same pattern as path_closure's loop).
+    sh = sh.localCheckpoint(eager=False)
     bands = 32 // band_bits
     keys = F.array(
         *[
@@ -391,6 +410,10 @@ def embedding_neardup(
         F.col(vec_col).alias("v"),
         F.concat_ws("", sign_bits).alias("bkey"),
     )
+    # three consumers (bucket sizes, join left, join right) would each
+    # re-run the 8 plane dot-products per vector — compute them once
+    # (round 6, guide §5)
+    sig = sig.localCheckpoint(eager=False)
     sizes = sig.groupBy("bkey").agg(F.count(F.lit(1)).alias("n"))
     sig = sig.join(
         F.broadcast(sizes.filter(F.col("n") <= max_bucket).drop("n")), "bkey"

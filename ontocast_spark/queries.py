@@ -522,10 +522,20 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
     )
-    query = emb.filter(F.col("vec_id") == 0).selectExpr("e AS qe")
+    # identical float arithmetic, less per-row work (round 6, guide §1):
+    # - the query norm is a row-invariant — computed ONCE on the
+    #   broadcast side instead of once per scored row;
+    # - sum-of-squares folds the square into the aggregate lambda
+    #   ((a, x) -> a + x*x), skipping the intermediate squared-array
+    #   allocation transform() created per row. Both are the same
+    #   sequential reduction in the same element order, so every sim
+    #   value (and the oracle hash) is unchanged.
+    nrm = "sqrt(aggregate({0}, 0D, (a, x) -> a + x * x))"
+    query = emb.filter(F.col("vec_id") == 0).selectExpr(
+        "e AS qe", f"{nrm.format('e')} AS qn"
+    )
     dot = "aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)"
-    nrm = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (a, x) -> a + x))"
-    sim = f"round(({dot}) / ({nrm.format('e')} * {nrm.format('qe')}), 6)"
+    sim = f"round(({dot}) / ({nrm.format('e')} * qn), 6)"
     scored = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(query))
