@@ -115,7 +115,16 @@ def assemble_sessions_stateful(
         if not idxs:
             return
         state.update((idxs, texts, max_ts_ms))
-        state.setTimeoutTimestamp(max_ts_ms + gap_ms)
+        # clamp: when several file drops collapse into one micro-batch
+        # the watermark can already sit past max(ts)+gap for an older
+        # session; Spark rejects a timeout at/behind the watermark, so
+        # fire at the earliest legal instant instead (the session is
+        # overdue either way — same document, next trigger)
+        timeout_ms = max_ts_ms + gap_ms
+        wm_ms = state.getCurrentWatermarkMs()
+        if timeout_ms <= wm_ms:
+            timeout_ms = wm_ms + 1
+        state.setTimeoutTimestamp(timeout_ms)
         return
 
     return (
