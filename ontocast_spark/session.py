@@ -43,6 +43,19 @@ def build_spark(
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # scan-split floor (guide §6): the default 4 MB openCostInBytes
+        # caps split granularity at 4 MB, so an input table smaller than
+        # cores x 4 MB scans on a handful of tasks (measured: a 5.6 MB
+        # parquet file scanned on 2 of 32 cores; every expression-heavy
+        # per-row operator then runs at 1/16 of machine parallelism).
+        # 128 KB keeps small inputs parallel while leaving large-file
+        # splitting governed by maxPartitionBytes exactly as before; for
+        # corpora of MANY tiny files raise it back via env (low open
+        # cost packs more files per task there).
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "131072"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
