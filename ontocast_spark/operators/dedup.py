@@ -72,8 +72,16 @@ def minhash_signature(
     together and folded to the element-wise minimum with
     ``aggregate``/``zip_with`` — md5 runs n_shingles x k times (the
     actual work) instead of the shingle split/slice chain running k
-    times."""
-    shingles = _shingles_sql(text_col, shingle_n)
+    times. The token array is materialized as a column first (round 6):
+    HOF lambdas get no subexpression elimination, so
+    ``slice(split(text), i, n)`` inside the shingle transform re-ran
+    the full split once per shingle INDEX — O(tokens²) per document;
+    slicing a materialized array attribute is O(n)."""
+    prep = docs.withColumn("__toks", F.split(F.col(text_col), " "))
+    shingles = (
+        f"transform(sequence(1, greatest(size(__toks)-{shingle_n - 1}, 1)), "
+        f"i -> array_join(slice(__toks, i, {shingle_n}), ' '))"
+    )
     sig = F.expr(
         f"aggregate("
         f"transform({shingles}, s -> transform(sequence(0, {num_hashes - 1}), "
@@ -81,7 +89,7 @@ def minhash_signature(
         f"array_repeat('zz', {num_hashes}), "  # > any md5 hex digest
         f"(acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))"
     )
-    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return prep.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(

@@ -293,16 +293,22 @@ def decontaminate(
     the corpus, so its exploded shingle set broadcasts; the corpus is
     touched by one scan + one projection, never an all-pairs compare.
 
-    Returns (clean_docs, contaminated(doc_id, n_hits))."""
+    Returns (clean_docs, contaminated(doc_id, n_hits)).
+
+    The token array is materialized as a column before the shingle
+    transform (round 6): ``slice(split(text), i, n)`` inside the lambda
+    re-ran the split once per shingle index — O(tokens²) per document."""
     sh = (
-        f"transform(sequence(1, greatest(size(split({text_col}, ' '))-{ngram - 1}, 1)), "
-        f"i -> array_join(slice(split({text_col}, ' '), i, {ngram}), ' '))"
+        f"transform(sequence(1, greatest(size(__toks)-{ngram - 1}, 1)), "
+        f"i -> array_join(slice(__toks, i, {ngram}), ' '))"
     )
-    doc_sh = docs.select(
+    toks = F.split(F.col(text_col), " ")
+    doc_sh = docs.withColumn("__toks", toks).select(
         F.col(id_col), F.explode(F.expr(sh)).alias("g")
     )
     bench_sh = (
-        benchmark.select(F.explode(F.expr(sh)).alias("g")).distinct()
+        benchmark.withColumn("__toks", toks)
+        .select(F.explode(F.expr(sh)).alias("g")).distinct()
     )
     contaminated = (
         doc_sh.join(F.broadcast(bench_sh), "g")

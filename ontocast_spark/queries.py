@@ -417,9 +417,12 @@ FROM documents
 
 _MINHASH_K = 4
 
+# shingles over a materialized __toks column (round 6): HOF lambdas get
+# no subexpression elimination, so slice(split(text), i, 3) inside the
+# transform re-ran the split once per shingle index — O(tokens²)/doc
 _SPARK_SHINGLES = (
-    "transform(sequence(1, greatest(size(split(text, ' '))-2, 1)), "
-    "i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+    "transform(sequence(1, greatest(size(__toks)-2, 1)), "
+    "i -> array_join(slice(__toks, i, 3), ' '))"
 )
 _DUCK_SHINGLES = (
     "[array_to_string(string_split(text, ' ')[i:i+2], ' ') "
@@ -444,8 +447,12 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"array_repeat('zz', {_MINHASH_K}), "
         f"(acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))"
     )
-    return docs.selectExpr("doc_id", f"{arr} AS _sigs").selectExpr(
-        "doc_id", *[f"_sigs[{k}] AS sig{k}" for k in range(_MINHASH_K)]
+    return (
+        docs.selectExpr("doc_id", "split(text, ' ') AS __toks")
+        .selectExpr("doc_id", f"{arr} AS _sigs")
+        .selectExpr(
+            "doc_id", *[f"_sigs[{k}] AS sig{k}" for k in range(_MINHASH_K)]
+        )
     )
 
 
