@@ -44,18 +44,6 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return deduped, mapping
 
 
-def _shingles_sql(text_col: str, n: int = 3) -> str:
-    return (
-        f"transform(sequence(1, greatest(size(split({text_col}, ' '))-{n - 1}, 1)), "
-        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
-    )
-
-
-def _shingles(text_col: str, n: int = 3):
-    toks = F.split(F.col(text_col), " ")
-    return F.expr(_shingles_sql(text_col, n)), toks
-
-
 def minhash_signature(
     docs: DataFrame,
     text_col: str = "text",
