@@ -11,12 +11,15 @@ reference's per-document/per-chunk loops disappear)::
         ontology ──dedup──▶ ontology_alignments
 
 Shuffle budget (what actually moves at 100 TB):
-  1. assembly groupBy (two-level, bounded buffers),
-  2. the canonicalize groupBy(conv_id).
-Chunking/extraction/sublimation/connection are narrow mapInPandas over
-Arrow batches. The ontology-addendum dedup is a small distinct over
-ontology-namespace rows (term declarations repeat per chunk — high
-map-side combine ratio).
+- fused path (default, round 6): ONE hash repartition of the raw turns
+  on conv_id — assembly, chunking, extraction, sublimation, connection
+  and canonicalization all run inside the single downstream
+  ``mapInPandas`` task (operators/fused.kg_construct_fused_turns);
+- staged path (diagnostic): the two-level assembly groupBy (bounded
+  buffers) plus the canonicalize groupBy(conv_id).
+The ontology-addendum dedup is a small distinct over ontology-namespace
+rows (term declarations repeat per chunk — high map-side combine
+ratio).
 
 ``run_pipeline`` optionally persists every stage through
 :mod:`ontocast_spark.io` (parquet/Iceberg + per-partition lineage

@@ -28,8 +28,9 @@ def test_fused_equals_staged(spark):
     so = staged["ontology_alignments"].select("subj", "pred", "obj")
     assert fo.exceptAll(so).count() == 0
     assert so.exceptAll(fo).count() == 0
-    # the fused plan has no post-assembly exchange (the canonicalize
-    # shuffle is eliminated): exactly 2 exchanges in the whole plan
+    # the fused plan has no assembly aggregates and no canonicalize
+    # shuffle: one exchange in the whole plan since round 6 (the bound
+    # stays <= 2 so the guard also covers the assemble-then-fuse form)
     plan = fused["kg_triples"]._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2, plan
 
